@@ -1,0 +1,42 @@
+"""pitchvis_tpu: a TPU-native (JAX/XLA/Pallas) real-time musical pitch
+analysis framework with the capabilities of PitchVis (heinzelotto/pitchvis).
+
+Core pipeline: audio -> AGC -> VQT (variable-Q transform) -> analysis
+(peaks, calmness, tuning) -> colors/LED/display outputs, built as batched,
+fused XLA computation serving thousands of concurrent streams per chip.
+"""
+
+from .core.config import (
+    AgcParameters,
+    AnalysisParameters,
+    ColorParameters,
+    PeakDetectionParameters,
+    VqtParameters,
+    VqtRange,
+)
+from .core.errors import AboveNyquistError, VqtError, WindowExceedsNFftError
+from .kernel.builder import VqtKernel, build_kernel, get_kernel, kernel_stats
+from .ops.vqt import Vqt, VqtArrays, vqt_db_batch, vqt_power_batch, power_to_db
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AgcParameters",
+    "AnalysisParameters",
+    "ColorParameters",
+    "PeakDetectionParameters",
+    "VqtParameters",
+    "VqtRange",
+    "VqtError",
+    "AboveNyquistError",
+    "WindowExceedsNFftError",
+    "VqtKernel",
+    "build_kernel",
+    "get_kernel",
+    "kernel_stats",
+    "Vqt",
+    "VqtArrays",
+    "vqt_db_batch",
+    "vqt_power_batch",
+    "power_to_db",
+]

@@ -1,0 +1,46 @@
+"""Multi-chip scale-out.
+
+The reference is single-host; its only concurrency is an audio thread feeding
+a mutex-protected ring buffer (pitchvis_audio/src/lib.rs:17-28). The
+TPU-native scaling mechanism is batch parallelism over independent audio
+streams: the stream axis is sharded over a device mesh ("dp"); no
+cross-stream communication is needed for the VQT/analysis pipeline, so
+collectives only appear in the (small) ML training step (gradient psum) and
+in debug reductions.
+
+Layout: streams ride the "dp" mesh axis over ICI; weights (the VQT kernel
+matrices and ML params) are replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def stream_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    """Leading (stream/batch) axis sharded over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, x, axis_name: str = "dp"):
+    """Places a host batch onto the mesh, stream axis sharded."""
+    return jax.device_put(x, stream_sharding(mesh, axis_name))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicates a pytree of arrays (e.g. VQT kernel weights) on all devices."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
