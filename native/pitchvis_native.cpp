@@ -1,0 +1,219 @@
+// Native host runtime for pitchvis_tpu.
+//
+// The TPU does the math; this library is the host-side serving runtime
+// around it, the C++ counterpart of the reference's audio-thread machinery
+// (pitchvis_audio/src/lib.rs RingBuffer + cpal callbacks) scaled to many
+// concurrent streams:
+//
+//  * pv_rb_*   — per-stream single-producer/single-consumer ring buffers
+//                with lock-free writes and a batched snapshot that gathers
+//                the trailing n_fft window of every stream into one
+//                contiguous [n_streams, n_fft] host buffer (the device_put
+//                staging buffer).
+//  * pv_agc_*  — the dagc gain recurrence (dagc_fork/src/lib.rs:76-87) as a
+//                tight scalar loop (used by host-side dataset generation and
+//                by the ingest path when AGC-on-host is configured).
+//  * pv_synth_render — additive-harmonic voice mixing with ADSR envelopes
+//                (the render hot loop of the training synthesizer,
+//                rustysynth_fork/src/synthesizer.rs render path equivalent).
+//
+// Build: see native/Makefile (g++ -O3 -shared -fPIC). Exposed via ctypes
+// (pitchvis_tpu/runtime/native.py); every entry point is plain C ABI.
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Ring buffers
+// ---------------------------------------------------------------------------
+
+struct StreamRing {
+  std::vector<float> buf;      // capacity samples, circular
+  std::atomic<uint64_t> head;  // total samples ever written
+  float gain;                  // AGC gain (updated by ingest if enabled)
+
+  StreamRing() : head(0), gain(1.0f) {}
+};
+
+struct RingBank {
+  std::vector<std::unique_ptr<StreamRing>> rings;  // atomics are immovable
+  int64_t capacity;
+};
+
+void* pv_rb_create(int64_t n_streams, int64_t capacity) {
+  auto* bank = new RingBank();
+  bank->capacity = capacity;
+  bank->rings.reserve(n_streams);
+  for (int64_t i = 0; i < n_streams; ++i) {
+    auto r = std::make_unique<StreamRing>();
+    r->buf.assign(capacity, 0.0f);
+    bank->rings.push_back(std::move(r));
+  }
+  return bank;
+}
+
+void pv_rb_destroy(void* handle) { delete static_cast<RingBank*>(handle); }
+
+// Producer side (one thread per stream, or any external pacing): appends
+// n samples. NaN chunks are rejected wholesale (audio_desktop.rs:102-105).
+// Returns 0 on success, -1 on NaN rejection.
+int32_t pv_rb_write(void* handle, int64_t stream, const float* samples, int64_t n) {
+  auto* bank = static_cast<RingBank*>(handle);
+  StreamRing& r = *bank->rings[stream];
+  for (int64_t i = 0; i < n; ++i) {
+    if (std::isnan(samples[i])) return -1;
+  }
+  uint64_t head = r.head.load(std::memory_order_relaxed);
+  const int64_t cap = bank->capacity;
+  for (int64_t i = 0; i < n; ++i) {
+    r.buf[(head + i) % cap] = samples[i];
+  }
+  r.head.store(head + n, std::memory_order_release);
+  return 0;
+}
+
+// Same, but applies the AGC recurrence to the chunk before writing and
+// updates the stream's gain; freezes on silent chunks (energy < 1e-6).
+int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int64_t n,
+                        float desired_rms, float distortion) {
+  auto* bank = static_cast<RingBank*>(handle);
+  StreamRing& r = *bank->rings[stream];
+  double energy = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (std::isnan(samples[i])) return -1;
+    energy += (double)samples[i] * samples[i];
+  }
+  const bool frozen = energy < 1e-6;
+  uint64_t head = r.head.load(std::memory_order_relaxed);
+  const int64_t cap = bank->capacity;
+  float gain = r.gain;
+  const float inv = 1.0f / desired_rms;
+  for (int64_t i = 0; i < n; ++i) {
+    float x = samples[i] * gain;
+    r.buf[(head + i) % cap] = x;
+    if (!frozen) {
+      float y = x * x * inv;
+      float g = 1.0f + distortion * (1.0f - y);
+      if (g < distortion) g = distortion;
+      gain *= g;
+    }
+  }
+  r.gain = gain;
+  r.head.store(head + n, std::memory_order_release);
+  return 0;
+}
+
+// Consumer side: gathers the trailing `window` samples of every stream into
+// out[n_streams * window] (zero-padded if a stream has written less than
+// `window` samples). Also fills gains[n_streams] when non-null.
+void pv_rb_snapshot(void* handle, float* out, float* gains, int64_t window) {
+  auto* bank = static_cast<RingBank*>(handle);
+  const int64_t cap = bank->capacity;
+  const int64_t n_streams = (int64_t)bank->rings.size();
+  for (int64_t s = 0; s < n_streams; ++s) {
+    StreamRing& r = *bank->rings[s];
+    const uint64_t head = r.head.load(std::memory_order_acquire);
+    float* dst = out + s * window;
+    const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)window);
+    const int64_t pad = window - avail;
+    std::memset(dst, 0, pad * sizeof(float));
+    for (int64_t i = 0; i < avail; ++i) {
+      dst[pad + i] = r.buf[(head - avail + i) % cap];
+    }
+    if (gains) gains[s] = r.gain;
+  }
+}
+
+double pv_rb_gain(void* handle, int64_t stream) {
+  return static_cast<RingBank*>(handle)->rings[stream]->gain;
+}
+
+uint64_t pv_rb_written(void* handle, int64_t stream) {
+  return static_cast<RingBank*>(handle)->rings[stream]->head.load(std::memory_order_acquire);
+}
+
+// ---------------------------------------------------------------------------
+// dagc AGC (standalone)
+// ---------------------------------------------------------------------------
+
+// In/out samples, returns the updated gain.
+float pv_agc_process(float gain, float* samples, int64_t n, float desired_rms,
+                     float distortion, int32_t frozen) {
+  const float inv = 1.0f / desired_rms;
+  for (int64_t i = 0; i < n; ++i) {
+    float x = samples[i] * gain;
+    samples[i] = x;
+    if (!frozen) {
+      float y = x * x * inv;
+      float g = 1.0f + distortion * (1.0f - y);
+      if (g < distortion) g = distortion;
+      gain *= g;
+    }
+  }
+  return gain;
+}
+
+// ---------------------------------------------------------------------------
+// Synth voice render kernel
+// ---------------------------------------------------------------------------
+
+// Renders n samples of `n_voices` additive voices into mix[n] (accumulating)
+// and writes each voice's end-of-chunk envelope gain into gains_out.
+//
+// Per voice inputs (arrays of length n_voices):
+//   freq, phase (radians, updated in place), age (seconds, updated),
+//   released_at (<0 = not released), amp (velocity * master),
+//   attack, decay, sustain, release,
+//   harmonics: [n_voices * n_harm] amplitude table.
+void pv_synth_render(float* mix, int64_t n, double sample_rate, int64_t n_voices,
+                     const double* freq, double* phase, double* age,
+                     const double* released_at, const double* amp,
+                     const double* attack, const double* decay,
+                     const double* sustain, const double* release,
+                     const double* harmonics, int64_t n_harm, double* gains_out) {
+  const double nyq = sample_rate / 2.0;
+  const double dt = 1.0 / sample_rate;
+  for (int64_t v = 0; v < n_voices; ++v) {
+    const double f = freq[v];
+    const double a0 = age[v];
+    const double rel = released_at[v];
+    double env_last = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double t = a0 + i * dt;
+      double env;
+      if (t < attack[v]) {
+        env = t / (attack[v] > 1e-5 ? attack[v] : 1e-5);
+      } else if (t < attack[v] + decay[v]) {
+        env = 1.0 - (1.0 - sustain[v]) * (t - attack[v]) / (decay[v] > 1e-5 ? decay[v] : 1e-5);
+      } else {
+        env = sustain[v];
+      }
+      if (rel >= 0.0 && t > rel) {
+        double tr = (t - rel) / (release[v] > 1e-5 ? release[v] : 1e-5);
+        env *= tr < 1.0 ? (1.0 - tr) : 0.0;
+      }
+      double wave = 0.0;
+      const double base = phase[v] + 2.0 * M_PI * f * i * dt;
+      for (int64_t h = 0; h < n_harm; ++h) {
+        const double fh = f * (h + 1);
+        if (fh >= nyq) break;
+        const double ah = harmonics[v * n_harm + h];
+        if (ah == 0.0) continue;
+        wave += ah * std::sin(base * (h + 1));
+      }
+      mix[i] += (float)(amp[v] * env * wave);
+      env_last = env;
+    }
+    phase[v] = std::fmod(phase[v] + 2.0 * M_PI * f * n * dt, 2.0 * M_PI);
+    age[v] = a0 + n * dt;
+    gains_out[v] = amp[v] * env_last;
+  }
+}
+
+}  // extern "C"

@@ -16,6 +16,14 @@ from .core.config import (
 )
 from .core.errors import AboveNyquistError, VqtError, WindowExceedsNFftError
 from .kernel.builder import VqtKernel, build_kernel, get_kernel, kernel_stats
+from .models.analysis import (
+    AnalysisOutputs,
+    AnalysisState,
+    analysis_step,
+    analysis_step_batch,
+    init_state_batch,
+)
+from .models.pipeline import PipelineState, StreamingPipeline, pipeline_step
 from .ops.vqt import Vqt, VqtArrays, vqt_db_batch, vqt_power_batch, power_to_db
 
 __version__ = "0.1.0"
@@ -31,6 +39,14 @@ __all__ = [
     "AboveNyquistError",
     "WindowExceedsNFftError",
     "VqtKernel",
+    "AnalysisOutputs",
+    "AnalysisState",
+    "analysis_step",
+    "analysis_step_batch",
+    "init_state_batch",
+    "PipelineState",
+    "StreamingPipeline",
+    "pipeline_step",
     "build_kernel",
     "get_kernel",
     "kernel_stats",

@@ -1,0 +1,184 @@
+"""The five BASELINE.json benchmark configurations, reproducible on one chip.
+
+1. offline_vqt  — offline VQT of a 10 s mono WAV, default params
+2. streaming    — ring buffer + dagc AGC + VQT + EMA smoothing @ 60 Hz hops
+3. analysis     — full analysis chain (peaks, calmness, tuning, accuracy)
+4. serial       — spectrum -> color mapping -> 0xFF-framed LED byte stream
+5. train        — synthesized MIDI -> batched VQT dataset gen + model inference
+
+Each bench returns a dict with metric/value/unit/vs_baseline. The reference
+baseline for VQT-bound configs is 6,060 frames/s (0.165 ms/frame on one CPU
+core, VQT_REVIEW.md:12-15); the serial path baseline is its 30 FPS loop rate;
+train-config baseline is frames labeled per second (reference: single frame
+VQT per rayon task, same 0.165 ms scale at Q=10).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_VQT_FPS = 6060.0
+
+
+def _best_time(fn, n_iter=10, repeats=3):
+    fn()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fn()
+        jax.tree.map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, out
+        )
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
+
+def bench_offline_vqt(batch: int = 1024, path: str = "time") -> dict:
+    from ..core.config import VqtParameters
+    from ..ops.vqt import Vqt
+
+    params = VqtParameters()
+    vqt = Vqt(params, path=path)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.standard_normal((batch, params.n_fft)).astype(np.float32) * 0.1)
+    dt = _best_time(lambda: vqt.calculate_vqt_batch_in_db(x), n_iter=20)
+    fps = batch / dt
+    return {
+        "metric": "vqt_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_VQT_FPS, 2),
+    }
+
+
+def bench_streaming(n_streams: int = 256) -> dict:
+    """Config #2: 60 Hz hops through ring+AGC+VQT+analysis; measures
+    aggregate realtime factor per chip (streams * realtime)."""
+    from ..core.config import VqtParameters
+    from ..models.pipeline import StreamingPipeline
+
+    params = VqtParameters()
+    pipe = StreamingPipeline(n_streams, params)
+    hop = int(params.sr / 60.0)
+    rng = np.random.default_rng(0)
+    chunk = jax.device_put(rng.standard_normal((n_streams, hop)).astype(np.float32) * 0.05)
+    dt_hop = hop / params.sr
+
+    def step():
+        return pipe.step(chunk, dt_hop)
+
+    dt = _best_time(step, n_iter=10)
+    realtime_factor = n_streams * dt_hop / dt
+    return {
+        "metric": "streaming_realtime_factor_per_chip",
+        "value": round(realtime_factor, 1),
+        "unit": "x realtime (aggregate)",
+        "vs_baseline": round(realtime_factor / 100.0, 2),  # ~100x realtime/core ref
+    }
+
+
+def bench_analysis(n_streams: int = 256) -> dict:
+    from ..core.config import AnalysisParameters, VqtParameters
+    from ..models.analysis import analysis_step_batch, init_state_batch
+
+    params = VqtParameters()
+    aparams = AnalysisParameters()
+    n = params.n_buckets
+    state = init_state_batch(n_streams, n)
+    rng = np.random.default_rng(0)
+    x = jax.device_put((rng.random((n_streams, n)) * 30).astype(np.float32))
+
+    holder = {"state": state}
+
+    def step():
+        s, out = analysis_step_batch(aparams, params.range, holder["state"], x, 1.0 / 60.0)
+        holder["state"] = s
+        return out
+
+    dt = _best_time(step, n_iter=10)
+    fps = n_streams / dt
+    return {
+        "metric": "analysis_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_VQT_FPS, 2),
+    }
+
+
+def bench_serial(n_streams: int = 256) -> dict:
+    from ..core.config import SERIAL_VQT_PARAMETERS
+    from ..io.led import led_frame_values
+
+    rng_cfg = SERIAL_VQT_PARAMETERS.range
+    n = rng_cfg.n_buckets
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random((n_streams, n)) > 0.9)
+    center = jnp.asarray(np.tile(np.arange(n, dtype=np.float32) + 0.3, (n_streams, 1)))
+    size = jnp.asarray((rng.random((n_streams, n)) * 20).astype(np.float32))
+
+    batched = jax.jit(jax.vmap(lambda m, c, s: led_frame_values(rng_cfg, m, c, s)))
+
+    def step():
+        return batched(mask, center, size)
+
+    dt = _best_time(step, n_iter=10)
+    fps = n_streams / dt
+    return {
+        "metric": "led_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),  # reference loop runs at 30 FPS
+    }
+
+
+def bench_train(seconds: float = 6.0) -> dict:
+    """Config #5: MIDI -> rendered audio -> batched VQT labels -> model
+    inference; measures labeled frames per second end to end."""
+    import tempfile
+
+    from ..core.config import TRAIN_VQT_PARAMETERS
+    from ..models.pitch_mlp import PitchMLP
+    from ..ops.vqt import Vqt
+    from ..synth.midi import write_midi
+    from ..train.dataset import annotate_midi
+    from ..synth.midi import load_midi
+
+    params = TRAIN_VQT_PARAMETERS
+    vqt = Vqt(params)
+    with tempfile.NamedTemporaryFile(suffix=".mid") as f:
+        notes = [(i * 0.25, 0.4, 0, 40 + (i % 24), 100) for i in range(int(seconds * 4))]
+        write_midi(f.name, notes)
+        midi = load_midi(f.name)
+        t0 = time.perf_counter()
+        annotated = annotate_midi(midi, vqt, params, max_seconds=seconds)
+        gen_dt = time.perf_counter() - t0
+
+    model = PitchMLP(input_bins=5 * params.n_buckets)
+    mp = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 5 * params.n_buckets)))
+    frames = jnp.asarray(np.stack([a[1] for a in annotated]))
+    windows = jnp.stack([frames[i : i + 5].reshape(-1) for i in range(len(annotated) - 4)])
+    infer = jax.jit(lambda w: model.apply(mp, w[:, None, :]))
+    infer_dt = _best_time(lambda: infer(windows), n_iter=5)
+
+    fps = len(annotated) / (gen_dt + infer_dt)
+    return {
+        "metric": "train_labeled_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),  # ~1 frame per vqt-delay chunk x3
+    }
+
+
+ALL_CONFIGS = {
+    "offline_vqt": bench_offline_vqt,
+    "streaming": bench_streaming,
+    "analysis": bench_analysis,
+    "serial": bench_serial,
+    "train": bench_train,
+}

@@ -1,0 +1,126 @@
+"""Live parameter tuning with clamped ranges and debounced kernel rebuild.
+
+The reference viewer lets every analysis/VQT parameter be adjusted at runtime
+from the keyboard, clamps each to a safe range, and rebuilds the VQT kernel
+2 s after the last change (pitchvis_viewer/src/app/common.rs:847-1165). The
+TPU-native equivalent: a `ParameterTuner` that applies clamped updates to the
+frozen config dataclasses and hands out a fresh (cached) kernel + recompile
+once changes settle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+from .config import AnalysisParameters, VqtParameters
+
+REBUILD_DEBOUNCE_SECS = 2.0  # common.rs:1105-1165
+
+# clamp ranges from common.rs:916-1058
+VQT_CLAMPS: dict[str, tuple[float, float]] = {
+    "quality": (0.5, 5.0),
+    "gamma": (0.0, 30.0),
+    "sparsity_quantile": (0.9, 0.9999),
+}
+
+ANALYSIS_CLAMPS: dict[str, tuple[float, float]] = {
+    "peak_config.min_prominence": (1.0, 30.0),
+    "peak_config.min_height": (1.0, 15.0),
+    "bassline_peak_config.min_prominence": (1.0, 20.0),
+    "bassline_peak_config.min_height": (1.0, 10.0),
+    "harmonic_threshold": (0.05, 0.8),
+    "highest_bassnote": (12, 60),
+    "vqt_smoothing_calmness_min": (0.1, 2.0),
+    "vqt_smoothing_calmness_max": (0.5, 5.0),
+    "spectrogram_length": (100, 1000),
+}
+
+
+def _set_nested(obj, dotted: str, value):
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(obj, **{parts[0]: value})
+    child = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _set_nested(child, ".".join(parts[1:]), value)})
+
+
+def _get_nested(obj, dotted: str):
+    for p in dotted.split("."):
+        obj = getattr(obj, p)
+    return obj
+
+
+class ParameterTuner:
+    """Holds the current (vqt, analysis) parameter pair; `adjust` applies a
+    clamped delta or absolute set; `pending_rebuild()` reports whether a VQT
+    change is waiting out the debounce; `take_rebuilt()` returns the new
+    parameter set once settled (analysis-only changes apply immediately —
+    they are jit-static and recompile cheaply)."""
+
+    def __init__(
+        self,
+        vqt_params: VqtParameters | None = None,
+        analysis_params: AnalysisParameters | None = None,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self.vqt_params = vqt_params or VqtParameters()
+        self.analysis_params = analysis_params or AnalysisParameters()
+        self._defaults = (self.vqt_params, self.analysis_params)
+        self._clock = clock
+        self._last_vqt_change: float | None = None
+        self._pending_vqt: VqtParameters | None = None
+
+    # -- adjustments ----------------------------------------------------------
+    def adjust_vqt(self, field: str, *, delta: float | None = None, value: Any = None):
+        lo, hi = VQT_CLAMPS[field]
+        cur = _get_nested(self._pending_vqt or self.vqt_params, field)
+        new = (cur + delta) if delta is not None else value
+        new = min(max(new, lo), hi)
+        self._pending_vqt = _set_nested(self._pending_vqt or self.vqt_params, field, new)
+        self._last_vqt_change = self._clock()
+        return new
+
+    def adjust_analysis(self, field: str, *, delta: float | None = None, value: Any = None):
+        lo, hi = ANALYSIS_CLAMPS[field]
+        cur = _get_nested(self.analysis_params, field)
+        new = (cur + delta) if delta is not None else value
+        if isinstance(cur, int):
+            new = int(min(max(new, lo), hi))
+        else:
+            new = min(max(new, lo), hi)
+        self.analysis_params = _set_nested(self.analysis_params, field, new)
+        return new
+
+    def reset(self) -> None:
+        """Reset everything to defaults (the viewer's reset combo)."""
+        self.vqt_params, self.analysis_params = self._defaults
+        self._pending_vqt = None
+        self._last_vqt_change = self._clock()
+
+    # -- rebuild handshake -----------------------------------------------------
+    def pending_rebuild(self) -> bool:
+        return self._pending_vqt is not None
+
+    def take_rebuilt(self) -> VqtParameters | None:
+        """Returns the new VqtParameters once the debounce has elapsed (and
+        commits them); None while still debouncing or if nothing changed.
+        Invalid parameter combinations roll back to the previous good set
+        with the error attached (common.rs:1137-1161 semantics)."""
+        if self._pending_vqt is None:
+            return None
+        if self._clock() - (self._last_vqt_change or 0.0) < REBUILD_DEBOUNCE_SECS:
+            return None
+        candidate = self._pending_vqt
+        self._pending_vqt = None
+        from ..kernel.builder import build_kernel  # validates
+
+        try:
+            build_kernel(candidate)
+        except Exception:
+            # revert to defaults like the reference's failure path
+            self.vqt_params = self._defaults[0]
+            raise
+        self.vqt_params = candidate
+        return candidate

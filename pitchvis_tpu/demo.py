@@ -1,0 +1,105 @@
+"""Offline demo CLI: WAV -> VQT -> analysis -> peaks / LED frames.
+
+The headless counterpart of the reference's viewer/serial binaries:
+
+    python -m pitchvis_tpu.demo song.wav [--fps 30] [--led out.bin]
+    python -m pitchvis_tpu.demo --tone 440 --seconds 2
+
+Prints a per-frame summary (detected notes with names and cents) and can
+write the exact pitchvis_serial byte stream to a file/tty.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def note_name(center_bins: float, buckets_per_octave: int, min_freq: float) -> str:
+    from .ops.colors import PITCH_NAMES
+
+    semis = center_bins * 12.0 / buckets_per_octave
+    # min_freq=55 Hz is A1
+    pitch_class = (round(semis) + 9) % 12
+    octave = 1 + (round(semis) + 9) // 12
+    cents = round((semis - round(semis)) * 100)
+    return f"{PITCH_NAMES[pitch_class]}{octave}{cents:+d}ct"
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("wav", nargs="?", help="input WAV file")
+    parser.add_argument("--tone", type=float, help="generate a test tone (Hz) instead")
+    parser.add_argument("--seconds", type=float, default=2.0)
+    parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--led", help="write pitchvis_serial LED frames to this file")
+    parser.add_argument("--frames", type=int, default=0, help="print at most N frame summaries")
+    args = parser.parse_args(argv)
+
+    from .core.config import SERIAL_VQT_PARAMETERS, AnalysisParameters, VqtParameters
+    from .io.led import led_frame
+    from .io.wav import load_wav
+    from .models.pipeline import StreamingPipeline
+    from .ops.resample import resample
+
+    params = SERIAL_VQT_PARAMETERS if args.led else VqtParameters()
+
+    if args.tone:
+        sr = int(params.sr)
+        t = np.arange(int(sr * args.seconds)) / sr
+        audio = (0.2 * np.sin(2 * np.pi * args.tone * t)).astype(np.float32)
+    elif args.wav:
+        audio, sr = load_wav(args.wav)
+        if sr != int(params.sr):
+            audio = resample(audio, sr, int(params.sr))[0]
+    else:
+        parser.error("give a WAV file or --tone")
+
+    pipe = StreamingPipeline(1, params)
+    hop = int(params.sr / args.fps)
+    n_hops = len(audio) // hop
+    led_out = open(args.led, "wb") if args.led else None
+
+    printed = 0
+    for i in range(n_hops):
+        chunk = audio[i * hop : (i + 1) * hop][None, :]
+        out = pipe.step(chunk, hop / params.sr)
+        peaks = np.asarray(out.analysis.peaks[0])
+        centers = np.asarray(out.analysis.peak_center[0])
+        sizes = np.asarray(out.analysis.peak_size[0])
+
+        if led_out is not None:
+            led_out.write(
+                led_frame(
+                    params.range,
+                    out.analysis.peaks[0],
+                    out.analysis.peak_center[0],
+                    out.analysis.peak_size[0],
+                )
+            )
+
+        if args.frames == 0 or printed < args.frames:
+            idx = np.where(peaks)[0]
+            notes = ", ".join(
+                f"{note_name(centers[p], params.range.buckets_per_octave, params.range.min_freq)}"
+                f"({sizes[p]:.1f}dB)"
+                for p in idx
+            )
+            calm = float(out.analysis.scene_calmness[0])
+            tuning = float(out.analysis.tuning_inaccuracy[0])
+            print(
+                f"t={i * hop / params.sr:6.2f}s gain={float(out.gain[0]):5.2f} "
+                f"calm={calm:.2f} tune={tuning:4.1f}ct  {notes}"
+            )
+            printed += 1
+
+    if led_out is not None:
+        led_out.close()
+        print(f"wrote {n_hops} LED frames to {args.led}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

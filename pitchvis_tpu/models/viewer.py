@@ -1,0 +1,248 @@
+"""Display-derived outputs.
+
+The reference's Bevy/WGSL presentation layer is out of scope for a TPU
+framework, but every quantity it derives from the analysis is exposed here as
+batched, jittable outputs (SURVEY.md section 7), so a renderer (or a headless
+consumer) gets exactly what `update_display` computes:
+
+* log-spiral ball geometry (display_system/util.rs:9-20)
+* per-ball state: position, color, alpha, scale, calmness/accuracy shader
+  params, exponential fade, proximity hiding (update.rs:136-334)
+* bloom intensity = clamp(1.3 * scene_calmness) (update.rs:336-351)
+* chroma vector: power per pitch class, C4-referenced, max-normalized
+  (update.rs:1090-1144)
+* scrolling spectrogram rows in VQT and Peaks modes (update.rs:930-1087)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.config import VqtRange
+from ..ops.colors import COLORS, EASING_POW, GRAY_LEVEL, calculate_color
+
+PITCH_BALL_SCALE_FACTOR = 0.05  # display ball scale (setup.rs)
+VISIBILITY_CUTOFF = 0.019  # update.rs:147
+C4_FREQ = 261.626  # update.rs:1108
+PEAK_RADIUS = 2.0  # spectrogram peak splat radius (update.rs)
+
+
+def bin_to_spiral(buckets_per_octave: int, x) -> tuple:
+    """Log-spiral coordinates of a (fractional) bin (util.rs:9-20):
+    radius = 2*(0.3 + (x/bpo)^0.75), one turn per octave, bin 0 at angle 0
+    measured so that (-cos, sin) orients like the reference."""
+    x = jnp.asarray(x, jnp.float32)
+    radius = 2.0 * (0.3 + (x / buckets_per_octave) ** 0.75)
+    angle = (x + buckets_per_octave) / buckets_per_octave * 2.0 * math.pi
+    return -jnp.cos(angle) * radius, jnp.sin(angle) * radius
+
+
+def spiral_points(octaves: int, buckets_per_octave: int) -> np.ndarray:
+    """(n_buckets, 2) static ball positions (util.rs:3-7)."""
+    x, y = bin_to_spiral(buckets_per_octave, jnp.arange(octaves * buckets_per_octave))
+    return np.stack([np.asarray(x), np.asarray(y)], axis=-1)
+
+
+def bloom_intensity(scene_calmness) -> jnp.ndarray:
+    """update.rs:346-347."""
+    return jnp.clip(jnp.asarray(scene_calmness) * 1.3, 0.0, 1.0)
+
+
+def pitch_color_rotation(buckets_per_octave: int):
+    """The viewer rotates bins by (bpo - 3*(bpo/12)) so bin 0 (A) maps to
+    pitch class A (update.rs:220-222)."""
+    return buckets_per_octave - 3 * (buckets_per_octave // 12)
+
+
+def chroma_vector(x_vqt_smoothed: jnp.ndarray, rng: VqtRange) -> jnp.ndarray:
+    """12-bin chroma: power summed per pitch class (C4-referenced), then
+    max-normalized (update.rs:1103-1131)."""
+    n = rng.n_buckets
+    semitones_from_c4 = 12.0 * math.log2(rng.min_freq / C4_FREQ)
+    bin0_class = (round(semitones_from_c4) % 12 + 12) % 12
+
+    semitone = jnp.round(jnp.arange(n) * 12.0 / rng.buckets_per_octave).astype(jnp.int32)
+    pitch_class = (semitone + bin0_class) % 12
+    power = jnp.power(10.0, x_vqt_smoothed / 10.0)
+    chroma = jax.ops.segment_sum(power, pitch_class, num_segments=12)
+    mx = jnp.max(chroma)
+    return jnp.where(mx > 0.0, chroma / jnp.maximum(mx, 1e-30), chroma)
+
+
+class BallState(struct.PyTreeNode):
+    """Per-bin "pitch ball" carry (scale decays exponentially when the bin's
+    peak disappears; update.rs:136-184)."""
+
+    scale: jnp.ndarray  # (n,)
+    z_offset: jnp.ndarray  # (n,) background drift of fading balls
+
+    @classmethod
+    def init(cls, n_buckets: int) -> "BallState":
+        return cls(scale=jnp.zeros(n_buckets), z_offset=jnp.zeros(n_buckets))
+
+
+class BallOutputs(struct.PyTreeNode):
+    position: jnp.ndarray  # (n, 3) spiral x, y, z-order
+    rgba: jnp.ndarray  # (n, 4)
+    scale: jnp.ndarray  # (n,)
+    visible: jnp.ndarray  # (n,) bool
+    calmness: jnp.ndarray  # shader params (update.rs:263-266)
+    pitch_accuracy: jnp.ndarray
+    pitch_deviation: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("rng",))
+def update_balls(
+    rng: VqtRange,
+    state: BallState,
+    peaks: jnp.ndarray,
+    peak_center: jnp.ndarray,
+    peak_size: jnp.ndarray,
+    calmness: jnp.ndarray,
+    pitch_accuracy: jnp.ndarray,
+    pitch_deviation: jnp.ndarray,
+    dt,
+) -> tuple[BallState, BallOutputs]:
+    """One display frame of ball state (update.rs:136-334): fade all balls
+    with the per-bin dropoff (0.85 - 0.15*i/n)^(30*dt), then re-place/refresh
+    balls whose bin holds a continuous peak (keyed by trunc(center)), hide
+    balls within 0.23 semitones of any peak, keep peaks themselves visible."""
+    n = rng.n_buckets
+    idx = jnp.arange(n)
+    dt = jnp.asarray(dt, jnp.float32)
+
+    # fade (update.rs:155-166)
+    dropoff = (0.85 - 0.15 * idx.astype(jnp.float32) / n) ** (30.0 * dt)
+    scale = state.scale * dropoff
+    z_offset = state.z_offset - 0.001 * 30.0 * dt
+
+    # active peaks keyed by trunc(center) (update.rs:208-212)
+    key = jnp.where(peaks, jnp.clip(peak_center.astype(jnp.int32), 0, n - 1), n)
+    active = jnp.zeros(n, bool).at[key].set(True, mode="drop")
+    center_at = jnp.zeros(n).at[key].set(peak_center, mode="drop")
+    size_at = jnp.zeros(n).at[key].set(peak_size, mode="drop")
+
+    max_size = jnp.maximum(jnp.max(jnp.where(peaks, peak_size, 0.0)), 1e-30)
+    color_coefficient = 1.0 - (1.0 - size_at / max_size) ** 2.0
+
+    rotation = pitch_color_rotation(rng.buckets_per_octave)
+    bucket = jnp.mod(center_at + rotation, rng.buckets_per_octave)
+    rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
+
+    calm_param = jnp.clip(calmness - 0.27, 0.0, 1.0)  # update.rs:264
+    calmness_scale = 1.0 + 0.2 * calm_param
+
+    new_scale = jnp.where(
+        active, size_at * PITCH_BALL_SCALE_FACTOR * calmness_scale, scale
+    )
+    z_order = jnp.where(active, (size_at / max_size - 1.01) * 12.5, z_offset)
+    z_offset = jnp.where(active, jnp.zeros_like(z_offset), z_offset)
+
+    x, y = bin_to_spiral(rng.buckets_per_octave, jnp.where(active, center_at, idx.astype(jnp.float32)))
+    position = jnp.stack([x, y, z_order], axis=-1)
+
+    visible = new_scale >= VISIBILITY_CUTOFF * PITCH_BALL_SCALE_FACTOR
+    visible = jnp.where(active & (new_scale >= 0.002), True, visible)
+
+    # hide balls within 0.23 semitones of a peak, except the peaks themselves
+    # (update.rs:305-327)
+    radius = rng.buckets_per_octave / 12.0 * 0.23
+    hide = jnp.zeros(n, bool)
+    span = int(math.ceil(radius)) + 1
+    for off in range(-span, span + 1):
+        near = jnp.zeros(n, bool).at[
+            jnp.clip(jnp.round(center_at + off).astype(jnp.int32), 0, n - 1)
+        ].set(active, mode="drop")
+        shift_ok = jnp.abs(jnp.round(center_at + off) - center_at) <= radius
+        near = near & jnp.zeros(n, bool).at[
+            jnp.clip(jnp.round(center_at + off).astype(jnp.int32), 0, n - 1)
+        ].set(active & shift_ok, mode="drop")
+        hide = hide | near
+    hide = hide & ~active
+    visible = visible & ~hide
+
+    rgba = jnp.concatenate([rgb, color_coefficient[:, None]], axis=-1)
+    new_state = BallState(scale=new_scale, z_offset=z_offset)
+    return new_state, BallOutputs(
+        position=position,
+        rgba=rgba,
+        scale=new_scale,
+        visible=visible,
+        calmness=jnp.where(active, calm_param, 0.0),
+        pitch_accuracy=pitch_accuracy,
+        pitch_deviation=pitch_deviation,
+    )
+
+
+def spectrogram_row_vqt(rng: VqtRange, x_vqt_smoothed: jnp.ndarray) -> jnp.ndarray:
+    """(n, 4) RGBA8 spectrogram row in VQT mode (update.rs:960-1005):
+    brightness = clamp((1-(1-v/max)^2)*1.5), color = pitch color * 1.2."""
+    n = rng.n_buckets
+    mx = jnp.max(x_vqt_smoothed)
+    normalized = x_vqt_smoothed / (mx + 0.001)
+    brightness = jnp.where(mx > 0.0, jnp.clip((1.0 - (1.0 - normalized) ** 2.0) * 1.5, 0.0, 1.0), 0.0)
+
+    rotation = pitch_color_rotation(rng.buckets_per_octave)
+    bucket = ((jnp.arange(n) + rotation) % rng.buckets_per_octave).astype(jnp.float32)
+    rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
+    rgba = jnp.concatenate([rgb * 1.2, brightness[:, None] * 1.2], axis=-1)
+    return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def spectrogram_row_peaks(
+    rng: VqtRange, peaks: jnp.ndarray, peak_center: jnp.ndarray, peak_size: jnp.ndarray
+) -> jnp.ndarray:
+    """(n, 4) RGBA8 row in Peaks mode (update.rs:1008-1065): each continuous
+    peak splats a Gaussian of radius 2 bins with its pitch color."""
+    n = rng.n_buckets
+    idx = jnp.arange(n, dtype=jnp.float32)
+    max_size = jnp.maximum(jnp.max(jnp.where(peaks, peak_size, 0.0)), 1e-30)
+
+    rotation = pitch_color_rotation(rng.buckets_per_octave)
+
+    rgba = jnp.zeros((n, 4))
+    # accumulate per peak via shifted writes: peaks live on bins, so iterate
+    # static offsets within the radius
+    for off in range(-int(PEAK_RADIUS) - 1, int(PEAK_RADIUS) + 2):
+        target = jnp.clip(jnp.round(peak_center).astype(jnp.int32) + off, 0, n - 1)
+        distance = jnp.abs(target.astype(jnp.float32) - peak_center)
+        in_radius = peaks & (distance <= PEAK_RADIUS)
+        brightness = jnp.clip((1.0 - (1.0 - peak_size / max_size) ** 2.0) * 1.5, 0.0, 1.0)
+        falloff = jnp.exp(-distance * distance / (PEAK_RADIUS * PEAK_RADIUS * 0.5))
+        bucket = jnp.mod(peak_center + rotation, rng.buckets_per_octave)
+        rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
+        px = jnp.concatenate([rgb * 1.2, (brightness * falloff)[:, None] * 1.2], axis=-1)
+        write = jnp.where(peaks, target, n)
+        rgba = rgba.at[write].set(jnp.where(in_radius[:, None], px, 0.0), mode="drop")
+    return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+class SpectrogramState(struct.PyTreeNode):
+    """Circular-buffer spectrogram (height, n, 4) u8, newest row at
+    write_index; the scroll shader's V-offset equals write_index/height
+    (spectrogram_scroll.wgsl)."""
+
+    image: jnp.ndarray
+    write_index: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def init(cls, height: int, n_buckets: int) -> "SpectrogramState":
+        return cls(
+            image=jnp.zeros((height, n_buckets, 4), jnp.uint8),
+            write_index=jnp.zeros((), jnp.int32),
+        )
+
+    def push(self, row: jnp.ndarray) -> "SpectrogramState":
+        h = self.image.shape[0]
+        img = jax.lax.dynamic_update_index_in_dim(self.image, row, self.write_index, 0)
+        nxt = (self.write_index + 1) % h
+        img = jax.lax.dynamic_update_index_in_dim(
+            img, jnp.zeros_like(row), nxt, 0
+        )  # clear next line (update.rs:1068-1074)
+        return SpectrogramState(image=img, write_index=nxt)

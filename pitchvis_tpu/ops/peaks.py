@@ -211,7 +211,6 @@ def enhance_peaks_continuous(
     """
     n = x.shape[0]
     idx = jnp.arange(n)
-    ln2_over_bpo = math.log(2.0) / rng.buckets_per_octave
 
     xm = x[jnp.maximum(idx - 1, 0)]
     x0 = x
@@ -236,10 +235,6 @@ def enhance_peaks_continuous(
     edge = (idx < 1) | (idx > n - 2)
     center = jnp.where(edge, idx.astype(jnp.float32), center)
     size = jnp.where(edge, x, size)
-
-    # kappa: scale the parabola offset from bin units into the reference's
-    # log-f formulation (identical for exact spacing; kept for clarity).
-    del ln2_over_bpo
     return center, size
 
 

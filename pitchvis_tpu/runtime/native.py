@@ -1,0 +1,172 @@
+"""ctypes bindings for the native host runtime (native/pitchvis_native.cpp).
+
+Builds on demand (`make -C native`) and degrades gracefully: `available()`
+is False when no compiler/library is present and pure-Python fallbacks are
+used by the callers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpitchvis_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.pv_rb_create.restype = ctypes.c_void_p
+    lib.pv_rb_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.pv_rb_destroy.argtypes = [ctypes.c_void_p]
+    lib.pv_rb_write.restype = ctypes.c_int32
+    lib.pv_rb_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.pv_rb_write_agc.restype = ctypes.c_int32
+    lib.pv_rb_write_agc.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float,
+    ]
+    lib.pv_rb_snapshot.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.pv_rb_gain.restype = ctypes.c_double
+    lib.pv_rb_gain.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pv_rb_written.restype = ctypes.c_uint64
+    lib.pv_rb_written.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pv_agc_process.restype = ctypes.c_float
+    lib.pv_agc_process.argtypes = [
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+    ]
+    lib.pv_synth_render.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class NativeRingBank:
+    """Lock-free per-stream ring buffers with batched snapshot (the host
+    staging stage feeding device_put). The TPU-scale counterpart of the
+    reference's Arc<Mutex<RingBuffer>> (pitchvis_audio/src/lib.rs:17-28)."""
+
+    def __init__(self, n_streams: int, capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build native/ first")
+        self._lib = lib
+        self._handle = ctypes.c_void_p(lib.pv_rb_create(n_streams, capacity))
+        self.n_streams = n_streams
+        self.capacity = capacity
+
+    def write(self, stream: int, samples: np.ndarray, *, agc: bool = True,
+              desired_rms: float = 0.07, distortion: float = 1e-4) -> bool:
+        """Appends a chunk; returns False when rejected (NaN guard)."""
+        samples = np.ascontiguousarray(samples, np.float32)
+        if agc:
+            ret = self._lib.pv_rb_write_agc(
+                self._handle, stream, _fptr(samples), len(samples),
+                desired_rms, distortion,
+            )
+        else:
+            ret = self._lib.pv_rb_write(self._handle, stream, _fptr(samples), len(samples))
+        return ret == 0
+
+    def snapshot(self, window: int) -> tuple[np.ndarray, np.ndarray]:
+        """Trailing `window` samples of all streams -> ((B, window), gains)."""
+        out = np.empty((self.n_streams, window), np.float32)
+        gains = np.empty(self.n_streams, np.float32)
+        self._lib.pv_rb_snapshot(self._handle, _fptr(out), _fptr(gains), window)
+        return out, gains
+
+    def gain(self, stream: int) -> float:
+        return float(self._lib.pv_rb_gain(self._handle, stream))
+
+    def written(self, stream: int) -> int:
+        return int(self._lib.pv_rb_written(self._handle, stream))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.pv_rb_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def agc_process(gain: float, samples: np.ndarray, desired_rms: float,
+                distortion: float, frozen: bool) -> float:
+    """In-place native dagc recurrence; returns the updated gain."""
+    lib = _load()
+    assert lib is not None
+    assert samples.dtype == np.float32 and samples.flags.c_contiguous
+    return float(
+        lib.pv_agc_process(gain, _fptr(samples), len(samples), desired_rms,
+                           distortion, int(frozen))
+    )
+
+
+def synth_render(mix: np.ndarray, sample_rate: float, freq, phase, age,
+                 released_at, amp, attack, decay, sustain, release,
+                 harmonics) -> np.ndarray:
+    """Native additive-voice render; mutates mix/phase/age, returns per-voice
+    end-of-chunk gains."""
+    lib = _load()
+    assert lib is not None
+    n_voices = len(freq)
+    n_harm = harmonics.shape[1] if n_voices else 0
+    gains = np.zeros(n_voices, np.float64)
+    if n_voices == 0:
+        return gains
+    lib.pv_synth_render(
+        _fptr(mix), len(mix), sample_rate, n_voices,
+        _dptr(freq), _dptr(phase), _dptr(age), _dptr(released_at), _dptr(amp),
+        _dptr(attack), _dptr(decay), _dptr(sustain), _dptr(release),
+        _dptr(np.ascontiguousarray(harmonics)), n_harm, _dptr(gains),
+    )
+    return gains

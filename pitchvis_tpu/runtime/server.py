@@ -1,0 +1,81 @@
+"""Multi-stream serving runtime.
+
+Combines the native lock-free ring bank (ingest side, written by arbitrary
+producer threads) with the jitted device pipeline (compute side): the
+analysis thread snapshots all streams' trailing windows in one native call,
+stages them onto the device, and runs VQT + analysis for the whole batch.
+This is the production counterpart of the reference's audio-thread /
+main-thread split (pitchvis_viewer/src/vqt_system.rs:40-68) scaled to
+thousands of streams per chip.
+
+AGC runs in the native ingest (per-chunk, like the reference's audio
+callback), so the device pipeline receives pre-gained samples; the device
+ring/AGC path (models/pipeline.py) remains available for fully-on-device
+deployments where producers feed fixed-size batches directly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import AnalysisParameters, VqtParameters
+from ..kernel.builder import get_kernel
+from ..models.analysis import analysis_step_batch, init_state_batch
+from ..ops.vqt import VqtArrays, vqt_db_batch
+from .native import NativeRingBank, available as native_available
+
+
+class StreamServer:
+    """Ingest + batched analysis server for `n_streams` concurrent streams."""
+
+    def __init__(
+        self,
+        n_streams: int,
+        vqt_params: VqtParameters | None = None,
+        analysis_params: AnalysisParameters | None = None,
+        buffer_seconds: float = 4.0,
+        path: str = "time",
+    ):
+        if not native_available():
+            raise RuntimeError(
+                "native runtime unavailable — use models.pipeline.StreamingPipeline"
+            )
+        self.vqt_params = vqt_params or VqtParameters()
+        self.analysis_params = analysis_params or AnalysisParameters()
+        self.path = path
+        self.kernel = get_kernel(self.vqt_params)
+        self.arrays = VqtArrays.from_kernel(self.kernel)
+        capacity = max(int(self.vqt_params.sr * buffer_seconds), self.vqt_params.n_fft)
+        self.rings = NativeRingBank(n_streams, capacity)
+        self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
+        self.n_streams = n_streams
+        self._last_step = None
+
+        self._vqt = jax.jit(lambda a, x: vqt_db_batch(a, x, path=path))
+
+    # -- ingest side (any thread) -------------------------------------------
+    def push(self, stream: int, samples: np.ndarray) -> bool:
+        """Appends raw samples for one stream (AGC applied natively)."""
+        return self.rings.write(stream, samples)
+
+    # -- compute side (analysis thread) --------------------------------------
+    def step(self):
+        """One analysis update over all streams. Returns (outputs, gains)."""
+        now = time.monotonic()
+        dt = 1.0 / 60.0 if self._last_step is None else max(now - self._last_step, 1e-4)
+        self._last_step = now
+
+        windows, gains = self.rings.snapshot(self.vqt_params.n_fft)
+        x = jax.device_put(windows)
+        x_vqt = self._vqt(self.arrays, x)
+        self.analysis_state, outputs = analysis_step_batch(
+            self.analysis_params, self.vqt_params.range, self.analysis_state, x_vqt, dt
+        )
+        return outputs, gains
+
+    def close(self) -> None:
+        self.rings.close()

@@ -1,0 +1,161 @@
+"""Standard MIDI file (SMF) parser.
+
+Covers what the training pipeline needs from the reference's vendored
+rustysynth MidiFile (rustysynth_fork/src/midi_file.rs): format 0/1 files,
+tempo map, and per-channel note-on/note-off/program-change events merged
+onto an absolute-seconds timeline. No external dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MidiEvent:
+    time: float  # absolute seconds
+    kind: str  # "on" | "off" | "program"
+    channel: int
+    key: int = 0
+    velocity: int = 0
+    program: int = 0
+
+
+@dataclass
+class MidiFile:
+    events: list[MidiEvent] = field(default_factory=list)
+    length: float = 0.0  # seconds
+
+    def get_length(self) -> float:
+        return self.length
+
+
+def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return value, pos
+
+
+def parse_midi(data: bytes) -> MidiFile:
+    if data[:4] != b"MThd":
+        raise ValueError("not a MIDI file")
+    hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    if division & 0x8000:
+        raise ValueError("SMPTE time division not supported")
+    ticks_per_beat = division or 480
+
+    pos = 8 + hlen
+    # collect (tick, order, event) across tracks; tempo events apply globally
+    raw_events: list[tuple[int, int, MidiEvent | tuple]] = []
+    order = 0
+    for _ in range(ntrks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError("bad track chunk")
+        tlen = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        tpos = pos + 8
+        tend = tpos + tlen
+        pos = tend
+
+        tick = 0
+        running = 0
+        while tpos < tend:
+            delta, tpos = _read_varlen(data, tpos)
+            tick += delta
+            status = data[tpos]
+            if status & 0x80:
+                tpos += 1
+                running = status
+            else:
+                status = running
+            kind = status & 0xF0
+            ch = status & 0x0F
+            if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
+                d1, d2 = data[tpos], data[tpos + 1]
+                tpos += 2
+                if kind == 0x90 and d2 > 0:
+                    raw_events.append((tick, order, MidiEvent(0.0, "on", ch, d1, d2)))
+                elif kind == 0x80 or (kind == 0x90 and d2 == 0):
+                    raw_events.append((tick, order, MidiEvent(0.0, "off", ch, d1, d2)))
+            elif kind in (0xC0, 0xD0):
+                d1 = data[tpos]
+                tpos += 1
+                if kind == 0xC0:
+                    raw_events.append((tick, order, MidiEvent(0.0, "program", ch, program=d1)))
+            elif status == 0xFF:  # meta
+                meta_type = data[tpos]
+                tpos += 1
+                mlen, tpos = _read_varlen(data, tpos)
+                if meta_type == 0x51 and mlen == 3:
+                    usec = int.from_bytes(data[tpos : tpos + 3], "big")
+                    raw_events.append((tick, order, ("tempo", usec)))
+                tpos += mlen
+            elif status in (0xF0, 0xF7):  # sysex
+                mlen, tpos = _read_varlen(data, tpos)
+                tpos += mlen
+            else:
+                raise ValueError(f"unexpected status byte {status:#x}")
+            order += 1
+
+    raw_events.sort(key=lambda e: (e[0], e[1]))
+
+    # tick -> seconds with the tempo map
+    events: list[MidiEvent] = []
+    tempo = 500_000  # default 120 bpm
+    last_tick = 0
+    now = 0.0
+    for tick, _, ev in raw_events:
+        now += (tick - last_tick) * tempo / 1_000_000.0 / ticks_per_beat
+        last_tick = tick
+        if isinstance(ev, tuple):
+            tempo = ev[1]
+        else:
+            ev.time = now
+            events.append(ev)
+
+    length = max((e.time for e in events), default=0.0)
+    return MidiFile(events=events, length=length)
+
+
+def load_midi(path: str) -> MidiFile:
+    with open(path, "rb") as f:
+        return parse_midi(f.read())
+
+
+def write_midi(path: str, notes: list[tuple[float, float, int, int, int]], tempo_bpm: float = 120.0) -> None:
+    """Test/dataset helper: writes a single-track MIDI file from
+    (start_sec, duration_sec, channel, key, velocity) tuples."""
+    ticks_per_beat = 480
+    tempo = int(60_000_000 / tempo_bpm)
+
+    def varlen(v: int) -> bytes:
+        out = [v & 0x7F]
+        v >>= 7
+        while v:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        return bytes(reversed(out))
+
+    def to_tick(t: float) -> int:
+        return round(t * 1_000_000 / tempo * ticks_per_beat)
+
+    evs = [(to_tick(0), bytes([0xFF, 0x51, 0x03]) + tempo.to_bytes(3, "big"))]
+    for start, dur, ch, key, vel in notes:
+        evs.append((to_tick(start), bytes([0x90 | ch, key, vel])))
+        evs.append((to_tick(start + dur), bytes([0x80 | ch, key, 0])))
+    evs.sort(key=lambda e: e[0])
+
+    body = b""
+    last = 0
+    for tick, payload in evs:
+        body += varlen(tick - last) + payload
+        last = tick
+    body += varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
+
+    with open(path, "wb") as f:
+        f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, ticks_per_beat))
+        f.write(b"MTrk" + struct.pack(">I", len(body)) + body)

@@ -1,0 +1,212 @@
+"""Training dataset generation: MIDI -> rendered audio -> batched VQT labels.
+
+Port of pitchvis_train/src/train.rs:112-351 with the TPU-native twist from
+BASELINE config #5: synthesis and AGC/ring-buffer bookkeeping run on the
+host (the reference renders with rustysynth on rayon threads), while the VQT
+labeling of all captured frames is batched onto the device in one call per
+MIDI file instead of one CPU mat-vec per frame.
+
+Pipeline per MIDI file (train.rs:252-351):
+  * render in chunks of vqt_delay samples (rounded down to a multiple of 64)
+  * downmix to mono, freeze AGC on silent chunks (energy < 1e-6), AGC the
+    ring buffer tail
+  * every 3rd chunk: snapshot active voices (key -> (l+r)/2 * agc_gain, max
+    per key) and the trailing n_fft window
+  * emit rows of (n_buckets VQT dB values + 128 MIDI targets), where targets
+    are 1.0 where the *previous* snapshot's attack > 0.5 (train.rs:443-460)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.config import TRAIN_VQT_PARAMETERS, VqtParameters
+from ..models.pitch_mlp import N_MIDI
+from ..ops.vqt import Vqt
+from .. import synth as _synth_pkg  # noqa: F401  (package presence)
+from ..synth.midi import MidiFile, load_midi
+from ..synth.synthesizer import MidiFileSequencer, Synthesizer
+
+FREQ_A1_MIDI_KEY_ID = 33  # train.rs:34
+STEP_SIZE_IN_CHUNKS = 3  # train.rs:43
+BUFSIZE_FACTOR = 2  # BUFSIZE = 2 * SR (train.rs:31)
+
+
+class _HostAgc:
+    """Literal dagc recurrence on the host (dataset gen is host-side)."""
+
+    def __init__(self, desired_rms: float = 0.07, distortion: float = 0.001):
+        self.desired_rms = desired_rms
+        self.k = distortion
+        self.gain = 1.0
+        self.frozen = False
+
+    def freeze_gain(self, frozen: bool) -> None:
+        self.frozen = frozen
+
+    def process(self, samples: np.ndarray) -> None:
+        if self.frozen:
+            samples *= self.gain
+            return
+        g = self.gain
+        k = self.k
+        inv = 1.0 / self.desired_rms
+        for i in range(len(samples)):
+            x = samples[i] * g
+            samples[i] = x
+            g *= max(1.0 + k * (1.0 - x * x * inv), k)
+        self.gain = g
+
+
+def annotate_midi(
+    midi: MidiFile,
+    vqt: Vqt,
+    params: VqtParameters = TRAIN_VQT_PARAMETERS,
+    step_size_in_chunks: int = STEP_SIZE_IN_CHUNKS,
+    max_seconds: float | None = None,
+) -> list[tuple[dict[int, float], np.ndarray]]:
+    """Renders one MIDI file and captures (active_keys, vqt_frame) pairs
+    (train.rs:252-351). The VQT of all captured windows runs as ONE batched
+    device call."""
+    sr = int(params.sr)
+    delay_samples = int(vqt.delay_secs * 1000.0) * sr // 1000
+    delay_samples = (delay_samples // 64) * 64
+    if delay_samples == 0:
+        raise ValueError("vqt delay too small")
+
+    synth = Synthesizer(sr)
+    seq = MidiFileSequencer(synth)
+    seq.play(midi)
+    agc = _HostAgc(0.07, 0.001)
+
+    length = midi.get_length()
+    if max_seconds is not None:
+        length = min(length, max_seconds)
+    sample_count = int(sr * length)
+
+    bufsize = BUFSIZE_FACTOR * sr
+    ring = np.zeros(bufsize, np.float32)
+    left = np.zeros(delay_samples, np.float32)
+    right = np.zeros(delay_samples, np.float32)
+
+    key_snapshots: list[dict[int, float]] = []
+    windows: list[np.ndarray] = []
+    written = 0
+    chunk_count = 0
+    prev_active: dict[int, float] = {}
+    active: dict[int, float] = {}
+    while written < sample_count:
+        chunk_count += 1
+        seq.render(left, right)
+        written += len(left)
+
+        mono = (left + right) / 2.0
+        agc.freeze_gain(float(np.sum(mono**2)) < 1e-6)
+        ring = np.concatenate([ring[len(mono) :], mono])
+        tail = ring[-len(mono) :].copy()
+        agc.process(tail)
+        ring[-len(mono) :] = tail
+
+        if chunk_count % step_size_in_chunks != 0:
+            continue
+
+        prev_active = active
+        active = {}
+        for voice in synth.get_active_voices():
+            gain = (voice.current_mix_gain_left + voice.current_mix_gain_right) / 2.0 * agc.gain
+            if gain > active.get(voice.key, -1.0):
+                active[voice.key] = gain
+
+        key_snapshots.append(prev_active)
+        windows.append(ring[-params.n_fft :].copy())
+
+    if not windows:
+        return []
+    specs = np.asarray(vqt.calculate_vqt_batch_in_db(np.stack(windows)))
+    return list(zip(key_snapshots, specs))
+
+
+def generate_data_row(
+    active_keys: dict[int, float], x_vqt: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """One flat (n_buckets + 128) row: VQT dB + binary attack targets
+    (train.rs:443-460)."""
+    targets = np.zeros(N_MIDI, np.float32)
+    for key, attack in active_keys.items():
+        if 0 <= key < N_MIDI:
+            targets[key] = 1.0 if attack > 0.5 else 0.0
+    return np.concatenate([np.asarray(x_vqt, np.float32), targets])
+
+
+def generate_dataset(
+    midi_paths: list[str],
+    params: VqtParameters = TRAIN_VQT_PARAMETERS,
+    out_path: str | None = None,
+    max_seconds_per_file: float | None = None,
+) -> np.ndarray:
+    """Full dataset over a MIDI corpus (train.rs:112-207). Returns (and
+    optionally saves as .npy) the flat f32 array in the reference's data.npy
+    layout."""
+    vqt = Vqt(params)
+    rows: list[np.ndarray] = []
+    for p in midi_paths:
+        try:
+            midi = load_midi(p)
+        except Exception as e:  # mirrors the reference's per-file tolerance
+            print(f"failed to parse midi file {p}: {e}")
+            continue
+        annotated = annotate_midi(midi, vqt, params, max_seconds=max_seconds_per_file)
+        for active, spec in annotated:
+            rows.append(generate_data_row(active, spec, params.n_buckets))
+    data = np.concatenate(rows) if rows else np.zeros(0, np.float32)
+    if out_path:
+        np.save(out_path, data)
+    return data
+
+
+def center_vqt_samples(
+    active_keys: dict[int, float],
+    vqt_transform: np.ndarray,
+    buckets_per_semitone: int,
+    octaves: int,
+) -> tuple[list[tuple[np.ndarray, float]], list[tuple[np.ndarray, float]]]:
+    """Key-centered positive/negative sample augmentation
+    (train.rs:366-441): positives center the active key with 40 semitones
+    below / 46 above in an 87-semitone window; negatives shift by
+    +-{3..9,12,19,24} semitones when no other active key is within 2."""
+    shifts = [-24, -19, -12, -9, -8, -7, -6, -5, -4, -3, 3, 4, 5, 6, 7, 8, 9, 12, 19, 24]
+    positives: list[tuple[np.ndarray, float]] = []
+    negatives: list[tuple[np.ndarray, float]] = []
+    width = 87 * buckets_per_semitone
+
+    def boundaries(key_index: int):
+        start = max(key_index - 40 * buckets_per_semitone, 0)
+        start_overshoot = max(40 * buckets_per_semitone - key_index, 0)
+        end = min(key_index + 46 * buckets_per_semitone, len(vqt_transform))
+        end_overshoot = max(key_index + 46 * buckets_per_semitone - len(vqt_transform), 0)
+        return start, start_overshoot, end, end_overshoot
+
+    def spliced(key_index: int) -> np.ndarray:
+        # Rust Vec::splice replaces range [so, width - eo) with the slice and
+        # the vector length changes when the lengths differ (train.rs:399-403)
+        start, so, end, eo = boundaries(key_index)
+        zeros = np.zeros(width, np.float32)
+        return np.concatenate(
+            [zeros[:so], vqt_transform[start:end], zeros[width - eo :]]
+        ).astype(np.float32)
+
+    for key, attack in active_keys.items():
+        if key < FREQ_A1_MIDI_KEY_ID or key >= FREQ_A1_MIDI_KEY_ID + octaves * 12:
+            continue
+        key_index = (key - FREQ_A1_MIDI_KEY_ID) * buckets_per_semitone
+        positives.append((spliced(key_index), attack))
+
+        for shift in shifts:
+            shifted_key = key + shift
+            if shifted_key < FREQ_A1_MIDI_KEY_ID or shifted_key >= FREQ_A1_MIDI_KEY_ID + octaves * 12:
+                continue
+            if all(abs(other - shifted_key) >= 2 for other in active_keys):
+                ki = (shifted_key - FREQ_A1_MIDI_KEY_ID) * buckets_per_semitone
+                negatives.append((spliced(ki), attack))
+
+    return positives, negatives

@@ -1,0 +1,107 @@
+"""Tracing / profiling / observability.
+
+The reference surfaces runtime metrics in a debug UI: FPS
+(FrameTimeDiagnosticsPlugin), audio latency and chunk size from the ring
+buffer, VQT algorithmic delay, current smoothing horizon
+(pitchvis_viewer/src/app/common.rs:148-334). The TPU equivalents:
+
+* `StageTimer` — per-stage wall-clock timers with EMA'd rates (the FPS /
+  latency overlay data source), cheap enough for production loops;
+* `DebugReport` — one-call snapshot of pipeline health: stage timings,
+  throughput, AGC gains, algorithmic delay, kernel stats;
+* `trace()` — context manager around `jax.profiler.trace` for device-level
+  traces viewable in TensorBoard/Perfetto;
+* `annotate()` — `jax.profiler.TraceAnnotation` wrapper for named regions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+class StageTimer:
+    """EMA'd per-stage timings (seconds) + rates, frame-rate independent."""
+
+    def __init__(self, horizon: float = 2.0):
+        self.horizon = horizon
+        self._ema: dict[str, float] = {}
+        self._last: dict[str, float] = {}
+        self._count: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.observe(name, dt)
+
+    def observe(self, name: str, dt: float) -> None:
+        self._last[name] = dt
+        self._count[name] += 1
+        prev = self._ema.get(name)
+        if prev is None:
+            self._ema[name] = dt
+        else:
+            import math
+
+            alpha = 1.0 - math.exp(-2.0 * dt / self.horizon)
+            self._ema[name] = prev + alpha * (dt - prev)
+
+    def ema(self, name: str) -> float:
+        return self._ema.get(name, 0.0)
+
+    def last(self, name: str) -> float:
+        return self._last.get(name, 0.0)
+
+    def fps(self, name: str) -> float:
+        e = self.ema(name)
+        return 1.0 / e if e > 0 else 0.0
+
+    def report(self) -> dict:
+        return {
+            name: {
+                "ema_ms": round(1000.0 * self._ema[name], 3),
+                "last_ms": round(1000.0 * self._last.get(name, 0.0), 3),
+                "count": self._count[name],
+                "fps": round(self.fps(name), 1),
+            }
+            for name in self._ema
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Device-level profiler trace (jax.profiler): view in TensorBoard."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named trace region for the profiler timeline."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def debug_report(pipeline, timer: StageTimer | None = None) -> dict:
+    """Pipeline health snapshot (the debug-overlay data of common.rs:148-334
+    as a dict): algorithmic delay, kernel structure, stage timings."""
+    from ..kernel.builder import kernel_stats
+
+    report = {
+        "vqt_delay_ms": round(1000.0 * pipeline.delay_secs, 2),
+        "kernel": kernel_stats(pipeline.kernel),
+        "n_buckets": pipeline.vqt_params.n_buckets,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    if timer is not None:
+        report["stages"] = timer.report()
+    return report

@@ -1,0 +1,47 @@
+"""Fused Pallas VQT kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from pitchvis_tpu.ops.vqt import Vqt
+from pitchvis_tpu.ops.vqt_pallas import PallasVqtArrays, vqt_db_pallas, vqt_power_pallas
+from pitchvis_tpu.utils.signal import create_sines_batch
+
+
+@pytest.fixture(scope="module")
+def pallas_arrays(small_kernel):
+    return PallasVqtArrays.from_kernel(small_kernel)
+
+
+class TestPallasVqt:
+    def test_geometry(self, pallas_arrays, small_kernel):
+        """All group windows nest inside the tail; padding preserves counts."""
+        assert pallas_arrays.tail == max(g.window_size for g in small_kernel.window_groups)
+        assert sum(pallas_arrays.nf) == small_kernel.n_buckets
+        for off, size in zip(pallas_arrays.offsets, pallas_arrays.window_sizes):
+            assert off >= 0 and off + size <= pallas_arrays.tail
+        for fp in pallas_arrays.nf_pad:
+            assert fp % 128 == 0
+
+    def test_matches_time_path(self, pallas_arrays, small_params, small_vqt):
+        x = create_sines_batch(small_params, [[220.0], [440.0, 1000.0], [330.0]])
+        ref = np.asarray(small_vqt.calculate_vqt_batch_in_db(x))
+        got = np.asarray(vqt_db_pallas(pallas_arrays, x, batch_tile=2))
+        # split-K accumulation costs ~1e-3 dB vs the single-dot time path
+        assert np.abs(got - ref).max() < 2e-2
+
+    def test_accepts_tail_only_input(self, pallas_arrays, small_params, small_vqt):
+        x = create_sines_batch(small_params, [[523.25]])
+        full = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=1))
+        tail = np.asarray(
+            vqt_power_pallas(pallas_arrays, x[:, -pallas_arrays.tail :], batch_tile=1)
+        )
+        np.testing.assert_allclose(full, tail, rtol=1e-6)
+
+    def test_batch_padding(self, pallas_arrays, small_params):
+        """Batch not divisible by the tile is padded and unpadded correctly."""
+        x = create_sines_batch(small_params, [[220.0], [440.0], [660.0]])
+        a = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=2))
+        b = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=4))
+        assert a.shape == (3, pallas_arrays.n_buckets)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-10)

@@ -1,0 +1,190 @@
+"""Peak detection tests: exact cross-check against scipy.signal.find_peaks
+(the reference's `find_peaks` crate is a scipy port; peak_detection.rs:26-51)
+plus behavioral contracts."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from pitchvis_tpu.core.config import PeakDetectionParameters, VqtRange
+from pitchvis_tpu.ops.peaks import (
+    _suppress_by_distance,
+    enhance_peaks_continuous,
+    find_peaks_mask,
+    first_allowed_bin,
+    local_maxima,
+    min_separation_bins,
+    promote_bass_peaks,
+    prominences,
+    top_k_peaks,
+)
+
+import jax.numpy as jnp
+
+
+def random_spectrum(seed, n=128, quantize=None):
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.standard_normal(n)).astype(np.float32)
+    x = x - x.min()
+    if quantize:
+        x = np.round(x * quantize) / quantize
+    return x.astype(np.float32)
+
+
+class TestLocalMaxima:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_scipy(self, seed):
+        x = random_spectrum(seed)
+        got = np.where(np.asarray(local_maxima(jnp.asarray(x))))[0]
+        want, _ = scipy.signal.find_peaks(x)
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_plateaus_match_scipy(self, seed):
+        x = random_spectrum(seed, quantize=2.0)  # forces plateaus
+        got = np.where(np.asarray(local_maxima(jnp.asarray(x))))[0]
+        want, _ = scipy.signal.find_peaks(x)
+        np.testing.assert_array_equal(got, want)
+
+    def test_explicit_plateau_midpoint(self):
+        x = jnp.asarray([0, 1, 5, 5, 5, 1, 0], jnp.float32)
+        got = np.where(np.asarray(local_maxima(x)))[0]
+        np.testing.assert_array_equal(got, [3])  # (2+4)//2
+
+    def test_edges_not_peaks(self):
+        x = jnp.asarray([5, 1, 0, 1, 6], jnp.float32)
+        assert not np.asarray(local_maxima(x)).any()
+
+
+class TestProminence:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_scipy(self, seed):
+        x = random_spectrum(seed)
+        peaks, props = scipy.signal.find_peaks(x, prominence=0.0)
+        got = np.asarray(prominences(jnp.asarray(x)))
+        np.testing.assert_allclose(got[peaks], props["prominences"], atol=1e-5)
+
+
+class TestDistance:
+    @pytest.mark.parametrize("seed", range(5))
+    @pytest.mark.parametrize("d", [2, 3])
+    def test_matches_scipy(self, seed, d):
+        x = random_spectrum(seed)
+        cand = local_maxima(jnp.asarray(x))
+        kept = np.where(np.asarray(_suppress_by_distance(cand, jnp.asarray(x), d)))[0]
+        want, _ = scipy.signal.find_peaks(x, distance=d)
+        np.testing.assert_array_equal(kept, want)
+
+
+class TestFullPipeline:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_scipy_pipeline(self, seed):
+        """height -> distance -> prominence, scipy's filter order."""
+        x = random_spectrum(seed) * 3.0
+        bpo = 84  # min distance 3, min_bin 4
+        cfg = PeakDetectionParameters(min_prominence=4.0, min_height=3.0)
+        got = np.where(np.asarray(find_peaks_mask(jnp.asarray(x), cfg, bpo)))[0]
+        want, _ = scipy.signal.find_peaks(
+            x, height=cfg.min_height, distance=min_separation_bins(bpo),
+            prominence=cfg.min_prominence,
+        )
+        want = want[want >= first_allowed_bin(bpo)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_min_separation_and_min_bin_constants(self):
+        assert min_separation_bins(84) == 3
+        assert min_separation_bins(36) == 1
+        assert first_allowed_bin(84) == 4
+        assert first_allowed_bin(36) == 2
+        assert first_allowed_bin(24) == 1
+
+
+class TestContinuous:
+    def test_symmetric_peak_centered(self):
+        rng = VqtRange(min_freq=55.0, octaves=2, buckets_per_octave=24)
+        x = np.zeros(48, np.float32)
+        x[9:12] = [5.0, 10.0, 5.0]
+        mask = jnp.zeros(48, bool).at[10].set(True)
+        center, size = enhance_peaks_continuous(mask, jnp.asarray(x), rng)
+        assert abs(float(center[10]) - 10.0) < 1e-4
+        assert abs(float(size[10]) - 10.0) < 1e-4
+
+    def test_asymmetric_peak_shifts_toward_heavier_side(self):
+        rng = VqtRange(min_freq=55.0, octaves=2, buckets_per_octave=24)
+        x = np.zeros(48, np.float32)
+        x[9:12] = [4.0, 10.0, 8.0]
+        mask = jnp.zeros(48, bool).at[10].set(True)
+        center, size = enhance_peaks_continuous(mask, jnp.asarray(x), rng)
+        assert 10.0 < float(center[10]) < 11.0
+        # size is linear interp between bins 10 and 11
+        f = float(center[10]) - 10.0
+        assert abs(float(size[10]) - (10.0 * (1 - f) + 8.0 * f)) < 1e-4
+
+    def test_reference_parity_log_space(self):
+        """The closed-form offset equals the reference's explicit log-f
+        Lagrange fit (peak_detection.rs:79-125) for exact log spacing."""
+        rng = VqtRange(min_freq=55.0, octaves=2, buckets_per_octave=24)
+        p = 20
+        amps = np.array([3.7, 9.2, 6.1])
+        logf = np.log(55.0 * 2.0 ** (np.array([p - 1, p, p + 1]) / 24.0))
+        denom = (logf[0] - logf[1]) * (logf[0] - logf[2]) * (logf[1] - logf[2])
+        a = (logf[2] * (amps[1] - amps[0]) + logf[0] * (amps[2] - amps[1]) + logf[1] * (amps[0] - amps[2])) / denom
+        b = (logf[2] ** 2 * (amps[0] - amps[1]) + logf[0] ** 2 * (amps[1] - amps[2]) + logf[1] ** 2 * (amps[2] - amps[0])) / denom
+        ref_center = 24.0 * np.log2(np.exp(np.clip(-b / (2 * a), logf[0], logf[2])) / 55.0)
+
+        x = np.zeros(48, np.float32)
+        x[p - 1 : p + 2] = amps
+        mask = jnp.zeros(48, bool).at[p].set(True)
+        center, _ = enhance_peaks_continuous(mask, jnp.asarray(x), rng)
+        assert abs(float(center[p]) - ref_center) < 1e-3
+
+
+class TestBassPromotion:
+    def test_promotes_peak_with_harmonics(self):
+        rng = VqtRange(min_freq=55.0, octaves=4, buckets_per_octave=24)
+        n = rng.n_buckets
+        x = np.zeros(n, np.float32)
+        p = 10
+        x[p] = 20.0
+        for h in (2, 3):
+            hb = int(round(p + 24 * np.log2(h)))
+            x[hb] = 18.0
+        mask = jnp.zeros(n, bool).at[p].set(True)
+        center = jnp.arange(n, dtype=jnp.float32)
+        size = jnp.asarray(x)
+        out = promote_bass_peaks(mask, center, size, jnp.asarray(x), rng, 28, 0.3)
+        assert float(out[p]) > 20.0
+        assert float(out[p]) <= 20.0 + 10 * np.log10(1.5) + 1e-4
+
+    def test_no_promotion_without_harmonics(self):
+        rng = VqtRange(min_freq=55.0, octaves=4, buckets_per_octave=24)
+        n = rng.n_buckets
+        x = np.zeros(n, np.float32)
+        x[10] = 20.0
+        mask = jnp.zeros(n, bool).at[10].set(True)
+        out = promote_bass_peaks(
+            mask, jnp.arange(n, dtype=jnp.float32), jnp.asarray(x), jnp.asarray(x), rng, 28, 0.3
+        )
+        assert float(out[10]) == 20.0
+
+    def test_above_bassnote_untouched(self):
+        rng = VqtRange(min_freq=55.0, octaves=4, buckets_per_octave=24)
+        n = rng.n_buckets
+        x = np.full(n, 15.0, np.float32)
+        mask = jnp.zeros(n, bool).at[50].set(True)
+        out = promote_bass_peaks(
+            mask, jnp.arange(n, dtype=jnp.float32), jnp.asarray(x), jnp.asarray(x), rng, 28, 0.3
+        )
+        assert float(out[50]) == 15.0
+
+
+class TestTopK:
+    def test_topk_sorted_by_center(self):
+        n = 32
+        mask = jnp.zeros(n, bool).at[jnp.asarray([5, 12, 20])].set(True)
+        center = jnp.arange(n, dtype=jnp.float32) + 0.25
+        size = jnp.zeros(n).at[5].set(3.0).at[12].set(9.0).at[20].set(6.0)
+        c, s, valid = top_k_peaks(mask, center, size, 2)
+        assert valid.tolist() == [True, True]
+        assert c.tolist() == [12.25, 20.25]
+        assert s.tolist() == [9.0, 6.0]

@@ -1,0 +1,150 @@
+"""Native host runtime tests (native/pitchvis_native.cpp via ctypes)."""
+
+import numpy as np
+import pytest
+
+from pitchvis_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+class TestNativeAgc:
+    def test_matches_python_reference(self):
+        rng = np.random.default_rng(0)
+        samples = (rng.standard_normal(512) * 0.05).astype(np.float32)
+        got = samples.copy()
+        g = native.agc_process(1.0, got, 0.07, 1e-4, False)
+
+        gain = 1.0
+        want = np.empty_like(samples)
+        for i, x in enumerate(samples):
+            x = x * gain
+            want[i] = x
+            y = x * x / 0.07
+            gain *= max(1.0 + 1e-4 * (1.0 - y), 1e-4)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        assert abs(g - gain) < 1e-4
+
+    def test_frozen(self):
+        samples = np.full(64, 0.5, np.float32)
+        g = native.agc_process(2.0, samples, 0.07, 1e-4, True)
+        assert g == 2.0
+        np.testing.assert_allclose(samples, 1.0)
+
+
+class TestNativeRingBank:
+    def test_write_snapshot(self):
+        bank = native.NativeRingBank(3, 64)
+        bank.write(0, np.full(16, 0.01, np.float32), agc=False)
+        bank.write(1, np.arange(8, dtype=np.float32) * 0.001, agc=False)
+        out, gains = bank.snapshot(16)
+        assert out.shape == (3, 16)
+        np.testing.assert_allclose(out[0], 0.01)
+        # stream 1: zero-padded head, then the 8 samples
+        np.testing.assert_allclose(out[1, :8], 0.0)
+        np.testing.assert_allclose(out[1, 8:], np.arange(8) * 0.001, atol=1e-7)
+        np.testing.assert_allclose(out[2], 0.0)
+        bank.close()
+
+    def test_wraparound(self):
+        bank = native.NativeRingBank(1, 32)
+        for i in range(10):
+            bank.write(0, np.full(8, float(i) * 0.001, np.float32), agc=False)
+        out, _ = bank.snapshot(16)
+        np.testing.assert_allclose(out[0, :8], 0.008, atol=1e-7)
+        np.testing.assert_allclose(out[0, 8:], 0.009, atol=1e-7)
+        assert bank.written(0) == 80
+        bank.close()
+
+    def test_nan_rejected(self):
+        bank = native.NativeRingBank(1, 32)
+        bad = np.full(8, 0.5, np.float32)
+        bad[3] = np.nan
+        assert not bank.write(0, bad)
+        out, _ = bank.snapshot(8)
+        np.testing.assert_allclose(out, 0.0)
+        bank.close()
+
+    def test_agc_ingest_matches_standalone(self):
+        rng = np.random.default_rng(1)
+        chunk = (rng.standard_normal(64) * 0.1).astype(np.float32)
+        bank = native.NativeRingBank(1, 128)
+        bank.write(0, chunk, agc=True)
+        out, gains = bank.snapshot(64)
+
+        ref = chunk.copy()
+        g = native.agc_process(1.0, ref, 0.07, 1e-4, False)
+        np.testing.assert_allclose(out[0], ref, atol=1e-6)
+        assert abs(gains[0] - g) < 1e-5
+        bank.close()
+
+    def test_concurrent_writers(self):
+        import threading
+
+        bank = native.NativeRingBank(8, 4096)
+
+        def writer(s):
+            for i in range(50):
+                bank.write(s, np.full(64, (s + 1) * 1e-3, np.float32), agc=False)
+
+        threads = [threading.Thread(target=writer, args=(s,)) for s in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out, _ = bank.snapshot(64)
+        for s in range(8):
+            np.testing.assert_allclose(out[s], (s + 1) * 1e-3, atol=1e-7)
+        bank.close()
+
+
+class TestNativeSynth:
+    def test_matches_numpy_voice(self):
+        from pitchvis_tpu.synth.synthesizer import Synthesizer
+
+        sr = 22050
+        synth = Synthesizer(sr)
+        synth.note_on(0, 69, 100)
+        v = synth.voices[0]
+
+        n = 1024
+        mix = np.zeros(n, np.float32)
+        freq = np.array([v.freq])
+        phase = np.array([0.0])
+        age = np.array([0.0])
+        released = np.array([-1.0])
+        amp = np.array([(v.velocity / 127.0) * synth.master_gain])
+        tb = v.timbre
+        gains = native.synth_render(
+            mix, sr, freq, phase, age, released, amp,
+            np.array([tb.attack]), np.array([tb.decay]), np.array([tb.sustain]),
+            np.array([tb.release]), tb.harmonics[None, :].astype(np.float64),
+        )
+        left = np.zeros(n, np.float32)
+        right = np.zeros(n, np.float32)
+        synth.render(left, right)
+        np.testing.assert_allclose(mix, left, atol=2e-4)
+        assert gains[0] > 0
+
+
+class TestStreamServer:
+    def test_end_to_end(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(4, small_params, buffer_seconds=1.0)
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        server.push(0, tone)
+        server.push(1, np.zeros(1000, np.float32))
+
+        out = None
+        for _ in range(3):
+            out, gains = server.step()
+        peaks0 = np.where(np.asarray(out.peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        assert not np.asarray(out.peaks[1]).any()
+        assert gains[0] > 1.0
+        server.close()

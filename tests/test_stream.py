@@ -1,0 +1,162 @@
+"""AGC, ring buffer, resampler, and end-to-end streaming pipeline tests
+(vs dagc_fork/src/lib.rs:93-108 and the reference's callback semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pitchvis_tpu.core.config import AgcParameters, VqtParameters, VqtRange
+from pitchvis_tpu.ops.agc import agc_chunk, agc_init
+from pitchvis_tpu.ops.resample import PolyphaseResampler, resample
+from pitchvis_tpu.stream.ring import RingState, ring_push, ring_window
+
+
+def agc_reference(gain, samples, desired_rms, k, frozen):
+    """Literal NumPy port of dagc MonoAgc::process for cross-checking."""
+    out = np.empty_like(samples)
+    for i, x in enumerate(samples):
+        x = x * gain
+        out[i] = x
+        if not frozen:
+            y = x * x / desired_rms
+            g = max(1.0 + k * (1.0 - y), k)
+            gain = gain * g
+    return gain, out
+
+
+class TestAgc:
+    def test_matches_reference_recurrence(self):
+        rng = np.random.default_rng(0)
+        samples = (rng.standard_normal(256) * 0.05).astype(np.float32)
+        p = AgcParameters()
+        want_gain, want = agc_reference(1.0, samples.astype(np.float64), p.desired_output_rms, p.distortion_factor, False)
+        got_gain, got = agc_chunk(agc_init(1), jnp.asarray(samples)[None, :], p,
+                                  frozen=jnp.asarray([False]))
+        np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-5)
+        assert abs(float(got_gain[0]) - want_gain) < 1e-4
+
+    def test_freeze_semantics(self):
+        """dagc it_works (lib.rs:93-108): frozen -> gain unchanged; unfrozen
+        -> gain changes."""
+        p = AgcParameters(desired_output_rms=0.001, distortion_factor=0.0001)
+        samples = jnp.asarray([[0.5, 1.0, -0.2]])
+        g1, _ = agc_chunk(agc_init(1), samples, p, frozen=jnp.asarray([True]))
+        assert float(g1[0]) == 1.0
+        g2, _ = agc_chunk(agc_init(1), samples, p, frozen=jnp.asarray([False]))
+        assert float(g2[0]) != 1.0
+
+    def test_silence_auto_freeze(self):
+        p = AgcParameters()
+        quiet = jnp.full((1, 128), 1e-6)
+        g, _ = agc_chunk(agc_init(1), quiet, p)
+        assert float(g[0]) == 1.0
+
+    def test_gain_converges_to_target_rms(self):
+        rng = np.random.default_rng(1)
+        p = AgcParameters()
+        gain = agc_init(1)
+        x = (rng.standard_normal((1, 2048)) * 0.01).astype(np.float32)
+        out = None
+        for _ in range(40):
+            gain, out = agc_chunk(gain, jnp.asarray(x), p)
+        rms = float(jnp.sqrt(jnp.mean(out**2)))
+        assert abs(rms - np.sqrt(p.desired_output_rms)) / np.sqrt(p.desired_output_rms) < 0.25
+
+    def test_batch_streams_independent(self):
+        p = AgcParameters()
+        rng = np.random.default_rng(2)
+        a = (rng.standard_normal(64) * 0.05).astype(np.float32)
+        b = (rng.standard_normal(64) * 0.2).astype(np.float32)
+        g_both, out_both = agc_chunk(agc_init(2), jnp.stack([a, b]), p)
+        g_a, out_a = agc_chunk(agc_init(1), a[None], p)
+        np.testing.assert_allclose(np.asarray(out_both)[0], np.asarray(out_a)[0], atol=1e-6)
+        assert abs(float(g_both[0]) - float(g_a[0])) < 1e-6
+
+
+class TestRing:
+    def test_push_and_window(self):
+        st = RingState.init(2, 16)
+        # small amplitudes: AGC gain moves by <= distortion_factor per sample
+        vals = np.arange(8, dtype=np.float32) * 0.01
+        st = ring_push(st, jnp.tile(jnp.asarray(vals), (2, 1)))
+        w = np.asarray(ring_window(st, 8))
+        np.testing.assert_allclose(w[0], vals, rtol=1e-2)
+        # older samples rolled out correctly
+        assert np.all(np.asarray(st.buffer)[:, :8] == 0.0)
+
+    def test_nan_chunk_rejected_per_stream(self):
+        st = RingState.init(2, 8)
+        good = np.full(4, 0.5, np.float32)
+        bad = good.copy()
+        bad[2] = np.nan
+        st2 = ring_push(st, jnp.asarray(np.stack([good, bad])))
+        buf = np.asarray(st2.buffer)
+        assert np.all(np.isfinite(buf))
+        assert buf[0, -4:].max() > 0  # stream 0 accepted
+        assert np.all(buf[1] == 0.0)  # stream 1 rejected entirely
+        assert float(st2.gain[1]) == 1.0
+
+
+class TestResampler:
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_sine_preserved(self, sr_in):
+        sr_out = 22050
+        f = 440.0
+        t_in = np.arange(sr_in // 2) / sr_in
+        x = np.sin(2 * np.pi * f * t_in).astype(np.float32)
+        y = resample(x, sr_in, sr_out)[0]
+        # compare against an ideal sine delayed by the filter group delay
+        from pitchvis_tpu.ops.resample import PolyphaseResampler, make_spec
+
+        spec = make_spec(sr_in, sr_out)
+        delay = (spec.taps_per_phase * spec.l - 1) / 2.0 / (spec.l * sr_in)
+        t_out = np.arange(len(y)) / sr_out
+        ideal = np.sin(2 * np.pi * f * (t_out - delay))
+        skip = 256
+        err = np.abs(y[skip:-skip] - ideal[skip : len(y) - skip])
+        assert err.max() < 0.01
+
+    def test_streaming_matches_offline(self):
+        sr_in, sr_out = 48000, 22050
+        m = 320  # M for 48000->22050
+        chunk_in = m * 3
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(chunk_in * 4).astype(np.float32) * 0.1
+        rs = PolyphaseResampler(sr_in, sr_out, chunk_in)
+        state = rs.init_state(1)
+        outs = []
+        for i in range(4):
+            state, o = rs.process(state, jnp.asarray(x[None, i * chunk_in : (i + 1) * chunk_in]))
+            outs.append(np.asarray(o)[0])
+        streamed = np.concatenate(outs)
+        full = PolyphaseResampler(sr_in, sr_out, chunk_in * 4)
+        _, offline = full.process(full.init_state(1), jnp.asarray(x[None, :]))
+        np.testing.assert_allclose(streamed, np.asarray(offline)[0], atol=1e-5)
+
+    def test_bad_chunk_size_raises(self):
+        with pytest.raises(ValueError):
+            PolyphaseResampler(48000, 22050, 100)
+
+
+class TestPipeline:
+    def test_end_to_end_tone(self, small_params):
+        """Streaming sim (BASELINE config #2/#3): feed a tone through
+        AGC+ring+VQT+analysis at 60 Hz hops; the right peak must emerge."""
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+
+        params = small_params
+        pipe = StreamingPipeline(2, params)
+        f = params.range.min_freq * 2.0 ** (30.0 / params.range.buckets_per_octave)
+        hop = 368
+        t = np.arange(params.n_fft + hop * 40) / params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        out = None
+        for i in range(40):
+            chunk = tone[i * hop : (i + 1) * hop]
+            chunks = np.stack([chunk, np.zeros_like(chunk)])
+            out = pipe.step(chunks, hop / params.sr)
+        peaks0 = np.where(np.asarray(out.analysis.peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        assert not np.asarray(out.analysis.peaks[1]).any()  # silent stream
+        assert float(out.gain[0]) > 1.0  # AGC pulled quiet tone up
+        assert float(out.gain[1]) == 1.0  # silence frozen

@@ -1,0 +1,81 @@
+"""Parameter tuning / debounced rebuild tests (vs common.rs:847-1165) and
+profiling utilities."""
+
+import pytest
+
+from pitchvis_tpu.core.config import VqtParameters, VqtRange
+from pitchvis_tpu.core.tuning import REBUILD_DEBOUNCE_SECS, ParameterTuner
+from pitchvis_tpu.utils.profiling import StageTimer
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+class TestTuner:
+    def _tuner(self):
+        clock = FakeClock()
+        params = VqtParameters(
+            n_fft=8192, range=VqtRange(min_freq=110.0, octaves=4, buckets_per_octave=24)
+        )
+        return ParameterTuner(params, clock=clock), clock
+
+    def test_clamped_adjustment(self):
+        tuner, _ = self._tuner()
+        assert tuner.adjust_vqt("quality", delta=100.0) == 5.0  # clamped hi
+        assert tuner.adjust_vqt("quality", value=0.0) == 0.5  # clamped lo
+        assert tuner.adjust_analysis("peak_config.min_height", delta=100.0) == 15.0
+        assert tuner.adjust_analysis("highest_bassnote", value=500) == 60
+        assert isinstance(tuner.analysis_params.highest_bassnote, int)
+
+    def test_analysis_changes_apply_immediately(self):
+        tuner, _ = self._tuner()
+        tuner.adjust_analysis("harmonic_threshold", value=0.5)
+        assert tuner.analysis_params.harmonic_threshold == 0.5
+        assert not tuner.pending_rebuild()
+
+    def test_vqt_rebuild_debounced(self):
+        tuner, clock = self._tuner()
+        tuner.adjust_vqt("quality", value=2.0)
+        assert tuner.pending_rebuild()
+        assert tuner.take_rebuilt() is None  # still debouncing
+        clock.t += REBUILD_DEBOUNCE_SECS + 0.1
+        new = tuner.take_rebuilt()
+        assert new is not None and new.quality == 2.0
+        assert tuner.vqt_params.quality == 2.0
+        assert not tuner.pending_rebuild()
+
+    def test_further_changes_extend_debounce(self):
+        tuner, clock = self._tuner()
+        tuner.adjust_vqt("gamma", value=10.0)
+        clock.t += REBUILD_DEBOUNCE_SECS - 0.5
+        tuner.adjust_vqt("gamma", delta=1.0)  # resets the timer
+        clock.t += 1.0
+        assert tuner.take_rebuilt() is None
+        clock.t += REBUILD_DEBOUNCE_SECS
+        assert tuner.take_rebuilt().gamma == 11.0
+
+    def test_reset(self):
+        tuner, clock = self._tuner()
+        tuner.adjust_analysis("harmonic_threshold", value=0.7)
+        tuner.adjust_vqt("quality", value=3.0)
+        tuner.reset()
+        assert tuner.analysis_params.harmonic_threshold == pytest.approx(0.3)
+        assert not tuner.pending_rebuild()
+
+
+class TestStageTimer:
+    def test_stage_timing_and_report(self):
+        t = StageTimer()
+        with t.stage("vqt"):
+            pass
+        t.observe("analysis", 0.010)
+        rep = t.report()
+        assert "vqt" in rep and "analysis" in rep
+        assert rep["analysis"]["last_ms"] == 10.0
+        assert rep["analysis"]["count"] == 1
+        assert t.fps("analysis") > 0

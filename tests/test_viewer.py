@@ -1,0 +1,149 @@
+"""Display-derived output tests (vs pitchvis_viewer/src/display_system)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from pitchvis_tpu.core.config import VqtRange
+from pitchvis_tpu.models.viewer import (
+    BallState,
+    SpectrogramState,
+    bin_to_spiral,
+    bloom_intensity,
+    chroma_vector,
+    spectrogram_row_peaks,
+    spectrogram_row_vqt,
+    spiral_points,
+    update_balls,
+)
+
+RANGE = VqtRange(min_freq=55.0, octaves=3, buckets_per_octave=24)
+
+
+class TestSpiral:
+    def test_radius_formula(self):
+        """util.rs:11-12: radius = 2*(0.3 + (x/bpo)^0.75)."""
+        x, y = bin_to_spiral(24, 24.0)  # one octave up
+        r = math.hypot(float(x), float(y))
+        assert abs(r - 2.0 * (0.3 + 1.0)) < 1e-4
+
+    def test_one_turn_per_octave(self):
+        x0, y0 = bin_to_spiral(24, 0.0)
+        x1, y1 = bin_to_spiral(24, 24.0)
+        a0 = math.atan2(float(y0), float(x0))
+        a1 = math.atan2(float(y1), float(x1))
+        assert abs(a0 - a1) < 1e-3  # same angle, larger radius
+
+    def test_spiral_points_shape(self):
+        pts = spiral_points(3, 24)
+        assert pts.shape == (72, 2)
+        assert np.all(np.isfinite(pts))
+
+
+class TestBloomChroma:
+    def test_bloom(self):
+        assert abs(float(bloom_intensity(0.5)) - 0.65) < 1e-6
+        assert float(bloom_intensity(1.0)) == 1.0  # clamped
+
+    def test_chroma_sums_pitch_classes(self):
+        n = RANGE.n_buckets
+        x = np.zeros(n, np.float32)
+        x[0] = 20.0  # bin 0 = A (55 Hz)
+        chroma = np.asarray(chroma_vector(jnp.asarray(x), RANGE))
+        assert chroma.shape == (12,)
+        assert chroma.argmax() == 9  # A is pitch class 9 (C-referenced)
+        assert abs(chroma.max() - 1.0) < 1e-6  # max-normalized
+
+    def test_chroma_octave_invariance(self):
+        n = RANGE.n_buckets
+        x = np.zeros(n, np.float32)
+        x[0] = 20.0
+        x[24] = 20.0  # same pitch class, octave up
+        chroma = np.asarray(chroma_vector(jnp.asarray(x), RANGE))
+        assert chroma.argmax() == 9
+
+    def test_chroma_silence(self):
+        chroma = np.asarray(chroma_vector(jnp.zeros(RANGE.n_buckets), RANGE))
+        assert np.all(np.isfinite(chroma))
+
+
+class TestBalls:
+    def _step(self, state, peaks_at, dt=1 / 30):
+        n = RANGE.n_buckets
+        mask = np.zeros(n, bool)
+        center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        for b, c, s in peaks_at:
+            mask[b] = True
+            center[b] = c
+            size[b] = s
+        return update_balls(
+            RANGE,
+            state,
+            jnp.asarray(mask),
+            jnp.asarray(center),
+            jnp.asarray(size),
+            jnp.zeros(n),
+            jnp.zeros(n),
+            jnp.zeros(n),
+            dt,
+        )
+
+    def test_active_ball_appears_then_fades(self):
+        n = RANGE.n_buckets
+        state = BallState.init(n)
+        state, out = self._step(state, [(30, 30.2, 10.0)])
+        assert bool(out.visible[30])
+        s0 = float(out.scale[30])
+        assert s0 > 0
+        # no peaks: ball fades with the per-bin dropoff
+        state, out = self._step(state, [])
+        s1 = float(out.scale[30])
+        dropoff = (0.85 - 0.15 * 30 / n) ** (30.0 * (1 / 30))
+        assert abs(s1 - s0 * dropoff) < 1e-5
+
+    def test_neighbors_of_peak_hidden(self):
+        n = RANGE.n_buckets
+        state = BallState.init(n)
+        # first give bin 31 some size so it would be visible
+        state, _ = self._step(state, [(31, 31.0, 10.0)])
+        # now peak moves to bin 30; bin 31 (within 0.23 semitone = 0.46 bins)
+        state, out = self._step(state, [(30, 30.9, 10.0)])
+        assert bool(out.visible[30])
+        assert not bool(out.visible[31])
+
+
+class TestSpectrogram:
+    def test_vqt_row(self):
+        n = RANGE.n_buckets
+        x = np.zeros(n, np.float32)
+        x[10] = 30.0
+        row = np.asarray(spectrogram_row_vqt(RANGE, jnp.asarray(x)))
+        assert row.shape == (n, 4)
+        assert row.dtype == np.uint8
+        assert row[10, 3] > 200  # bright at the peak
+        assert row[40, 3] < 100
+
+    def test_peaks_row_gaussian(self):
+        n = RANGE.n_buckets
+        mask = np.zeros(n, bool)
+        center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        mask[30] = True
+        center[30] = 30.0
+        size[30] = 10.0
+        row = np.asarray(
+            spectrogram_row_peaks(RANGE, jnp.asarray(mask), jnp.asarray(center), jnp.asarray(size))
+        )
+        assert row[30, 3] > row[31, 3] > row[32, 3]
+        assert row[35, 3] == 0
+
+    def test_scroll_state(self):
+        st = SpectrogramState.init(4, 8)
+        row = jnp.full((8, 4), 200, jnp.uint8)
+        st = st.push(row)
+        assert int(st.write_index) == 1
+        img = np.asarray(st.image)
+        assert np.all(img[0] == 200)
+        assert np.all(img[1] == 0)  # next line cleared
