@@ -120,6 +120,10 @@ class AnalysisParameters:
     # reference's HashSet<usize> is unbounded). 128 peaks is far beyond any
     # musical spectrum at min_prominence >= 5 dB over <= 588 bins.
     max_peaks: int = 128
+    # Jacobi rounds for min-distance peak suppression on the hot path
+    # (ops/peaks.py): musical spectra converge in <= 3; None = iterate a
+    # while_loop to exact convergence (slower per step on TPU).
+    suppress_iterations: int | None = 8
 
 
 @dataclass(frozen=True)

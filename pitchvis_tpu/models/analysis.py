@@ -108,7 +108,12 @@ def _update_calmness(
     n = rng.n_buckets
     radius = rng.buckets_per_octave // 12 // 3
 
-    peak_mask = find_peaks_mask(x_vqt, params.peak_config, rng.buckets_per_octave)
+    peak_mask = find_peaks_mask(
+        x_vqt,
+        params.peak_config,
+        rng.buckets_per_octave,
+        suppress_iterations=params.suppress_iterations,
+    )
 
     # dilate: bin i is "around" a peak p iff i in [p - radius, p + radius),
     # i.e. there is a peak at i + delta for delta in [-radius+1, radius]
@@ -166,16 +171,25 @@ def _pitch_accuracy_deviation(
     """Per-peak deviation from the nearest semitone, written at the rounded
     center bin (pitch_analysis.rs:12-42)."""
     n = peak_mask.shape[0]
+    idx = jnp.arange(n)
     c_semi = center * 12.0 / buckets_per_octave
     deviation = c_semi - jnp.round(c_semi)
     accuracy = jnp.maximum(1.0 - 2.0 * jnp.abs(deviation), 0.0)
 
-    # scatter only from peak bins: non-peaks get an out-of-bounds target and
-    # are dropped, so they can never clobber a peak's write
-    target = jnp.clip(jnp.round(center).astype(jnp.int32), 0, n - 1)
-    target = jnp.where(peak_mask, target, n)
-    acc_out = jnp.zeros(n, jnp.float32).at[target].set(accuracy, mode="drop")
-    dev_out = jnp.zeros(n, jnp.float32).at[target].set(deviation, mode="drop")
+    # the rounded center is within one bin of the peak bin, so the scatter
+    # is three static shifts + a precedence select (no data-dependent
+    # scatter, which serializes on TPU)
+    rel = jnp.clip(jnp.round(center).astype(jnp.int32), 0, n - 1) - idx
+    acc_out = jnp.zeros(n, jnp.float32)
+    dev_out = jnp.zeros(n, jnp.float32)
+    for r in (-1, 0, 1):
+        write = peak_mask & (rel == r)
+        # target position t receives from source i = t - r; valid when the
+        # shift did not wrap
+        valid = (idx >= r) & (idx < n + r)
+        m = jnp.roll(write, r) & valid
+        acc_out = jnp.where(m, jnp.roll(jnp.where(write, accuracy, 0.0), r), acc_out)
+        dev_out = jnp.where(m, jnp.roll(jnp.where(write, deviation, 0.0), r), dev_out)
     return acc_out, dev_out
 
 
@@ -216,10 +230,20 @@ def analysis_step(
     x_smoothed = ema_update(state.x_vqt_smoothed, x_vqt, dt, horizons)
 
     # 2. discrete peaks: bassline config below/at highest_bassnote, general
-    #    config above (analysis.rs:331-349)
+    #    config above (analysis.rs:331-349); local maxima and prominences are
+    #    threshold-independent and shared between the two configs
     idx = jnp.arange(n)
-    bass_mask = find_peaks_mask(x_smoothed, params.bassline_peak_config, rng.buckets_per_octave)
-    gen_mask = find_peaks_mask(x_smoothed, params.peak_config, rng.buckets_per_octave)
+    from ..ops.peaks import local_maxima, prominences
+
+    pre = (local_maxima(x_smoothed), prominences(x_smoothed))
+    bass_mask = find_peaks_mask(
+        x_smoothed, params.bassline_peak_config, rng.buckets_per_octave,
+        precomputed=pre, suppress_iterations=params.suppress_iterations,
+    )
+    gen_mask = find_peaks_mask(
+        x_smoothed, params.peak_config, rng.buckets_per_octave,
+        precomputed=pre, suppress_iterations=params.suppress_iterations,
+    )
     peaks = (bass_mask & (idx <= params.highest_bassnote)) | (
         gen_mask & (idx > params.highest_bassnote)
     )

@@ -84,6 +84,44 @@ def pipeline_step(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("vqt_params", "analysis_params", "agc_params", "path"),
+)
+def pipeline_step_multi(
+    vqt_arrays: VqtArrays,
+    state: PipelineState,
+    chunks: jnp.ndarray,
+    dt: jnp.ndarray,
+    *,
+    vqt_params: VqtParameters,
+    analysis_params: AnalysisParameters = AnalysisParameters(),
+    agc_params: AgcParameters = AgcParameters(),
+    path: str = "time",
+) -> tuple[PipelineState, PipelineOutputs]:
+    """K hops in one device call (lax.scan over the hop axis): amortizes the
+    per-dispatch overhead for throughput-oriented workloads (offline
+    processing, dataset labeling, >realtime serving).
+
+    chunks: (K, B, hop). Outputs are stacked along a leading K axis.
+    """
+
+    def body(s, chunk):
+        s2, out = pipeline_step(
+            vqt_arrays,
+            s,
+            chunk,
+            dt,
+            vqt_params=vqt_params,
+            analysis_params=analysis_params,
+            agc_params=agc_params,
+            path=path,
+        )
+        return s2, out
+
+    return jax.lax.scan(body, state, chunks)
+
+
 class StreamingPipeline:
     """Convenience wrapper owning the kernel arrays and state.
 
@@ -114,6 +152,20 @@ class StreamingPipeline:
             self.arrays,
             self.state,
             jnp.asarray(chunk, jnp.float32),
+            dt,
+            vqt_params=self.vqt_params,
+            analysis_params=self.analysis_params,
+            agc_params=self.agc_params,
+            path=self.path,
+        )
+        return out
+
+    def step_multi(self, chunks, dt) -> PipelineOutputs:
+        """(K, B, hop) chunks -> K hops in one device call."""
+        self.state, out = pipeline_step_multi(
+            self.arrays,
+            self.state,
+            jnp.asarray(chunks, jnp.float32),
             dt,
             vqt_params=self.vqt_params,
             analysis_params=self.analysis_params,

@@ -11,17 +11,21 @@ anyway, and a fixed top-K extraction is provided for list consumers.
 Algorithms (scipy semantics, filter order: height -> distance -> prominence):
 
 * local maxima with plateau handling (plateau midpoint is the peak position)
-* prominence via "nearest strictly-greater element" found with binary lifting
-  over a sparse range-max table (O(n log n), fully vectorized, static shapes)
-  and range-min queries for the window minima
+* prominence via "nearest strictly-greater element" + window minima computed
+  as O(n^2) masked broadcast-reductions
 * min-distance suppression (priority = peak height, ties to the higher index,
   matching scipy's argsort-from-the-end iteration) computed as a Jacobi
   fixpoint: a candidate is suppressed iff an unsuppressed higher-priority
   candidate lies strictly within `distance`. The greedy solution is the
   unique fixpoint; iteration converges in <= longest decreasing-priority
-  chain (practically 2-3 rounds), bounded by a `lax.while_loop`.
+  chain (practically 2-3 rounds).
 
-All functions operate on a single spectrum (n,) and are `vmap`-friendly.
+TPU performance rule observed throughout: NO data-dependent gathers or
+scatters. Batched gathers inside loops/scans lower to serialized
+dynamic-slices on TPU (measured ~1000x slower than the VPU); every lookup
+here is either a static shift (jnp.roll + validity mask), a bounded-offset
+select, or a masked broadcast-reduction. All functions operate on a single
+spectrum (n,) and are `vmap`-friendly.
 """
 
 from __future__ import annotations
@@ -72,82 +76,57 @@ def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
     return prev_ok & next_ok & (idx == mid)
 
 
-def _build_tables(x: jnp.ndarray, combine, pad_value):
-    """Sparse table: t[k][i] = combine over x[i : i + 2^k] (padded)."""
-    n = x.shape[0]
-    levels = max(1, math.ceil(math.log2(max(n, 2))) + 1)
-    tables = [x]
-    for k in range(1, levels):
-        span = 1 << (k - 1)
-        prev = tables[-1]
-        shifted = jnp.concatenate([prev[span:], jnp.full((span,), pad_value, x.dtype)])
-        tables.append(combine(prev, shifted))
-    return jnp.stack(tables)  # (levels, n)
 
 
-def _prev_greater(x: jnp.ndarray, max_table: jnp.ndarray) -> jnp.ndarray:
-    """For each i, the largest j < i with x[j] > x[i], or -1. Binary lifting:
-    shrink the left boundary `pos` while the span max stays <= x[i]."""
-    n = x.shape[0]
-    levels = max_table.shape[0]
-    pos = jnp.arange(n)
-    for k in range(levels - 1, -1, -1):
-        span = 1 << k
-        cand = pos - span
-        ok = cand >= 0
-        span_max = max_table[k, jnp.maximum(cand, 0)]
-        take = ok & (span_max <= x)
-        pos = jnp.where(take, cand, pos)
-    return pos - 1
-
-
-def _next_greater(x: jnp.ndarray, max_table: jnp.ndarray) -> jnp.ndarray:
-    """For each i, the smallest j > i with x[j] > x[i], or n."""
-    n = x.shape[0]
-    levels = max_table.shape[0]
-    end = jnp.arange(n) + 1  # exclusive right boundary of scanned region
-    for k in range(levels - 1, -1, -1):
-        span = 1 << k
-        ok = end + span <= n
-        span_max = max_table[k, jnp.minimum(end, n - 1)]
-        take = ok & (span_max <= x)
-        end = jnp.where(take, end + span, end)
-    return end
-
-
-def _range_min(min_table: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
-    """min over x[lo..hi] inclusive (lo <= hi), standard two-span RMQ."""
-    n = min_table.shape[1]
-    length = hi - lo + 1
-    k = jnp.where(length > 1, jnp.log2(length.astype(jnp.float32)).astype(jnp.int32), 0)
-    span = jnp.left_shift(1, k)
-    a = min_table[k, jnp.clip(lo, 0, n - 1)]
-    b = min_table[k, jnp.clip(hi - span + 1, 0, n - 1)]
-    return jnp.minimum(a, b)
 
 
 def prominences(x: jnp.ndarray) -> jnp.ndarray:
     """Per-bin scipy-style prominence (valid at local maxima): the peak
     height minus the higher of the two window minima, where each window
-    extends to the nearest strictly-greater sample (or the signal edge)."""
+    extends to the nearest strictly-greater sample (or the signal edge).
+
+    Computed as four O(n^2) masked broadcast-reductions with NO
+    data-dependent gathers: on TPU, batched gathers inside loops/scans lower
+    to serialized dynamic-slices (~1000x slower than the VPU), while n^2
+    masked reduces fuse into dense vector code. For n <= ~1k spectra this is
+    the faster *and* simpler formulation (588^2 = 346k lanes per reduce)."""
     n = x.shape[0]
-    max_table = _build_tables(x, jnp.maximum, _NEG)
-    min_table = _build_tables(x, jnp.minimum, _POS)
     idx = jnp.arange(n)
+    i = idx[:, None]  # peak position
+    j = idx[None, :]  # scanned position
+    xi = x[:, None]
+    xj = x[None, :]
 
-    left_bound = _prev_greater(x, max_table)  # -1 if none
-    right_bound = _next_greater(x, max_table)  # n if none
+    # nearest strictly-greater element on each side (-1 / n if none)
+    left_bound = jnp.max(jnp.where((j < i) & (xj > xi), j, -1), axis=1)
+    right_bound = jnp.min(jnp.where((j > i) & (xj > xi), j, n), axis=1)
 
-    left_min = _range_min(min_table, jnp.maximum(left_bound + 1, 0), idx)
-    right_min = _range_min(min_table, idx, jnp.minimum(right_bound - 1, n - 1))
+    # window minima: min x[left_bound+1 .. i] and min x[i .. right_bound-1]
+    left_min = jnp.min(
+        jnp.where((j > left_bound[:, None]) & (j <= i), xj, _POS), axis=1
+    )
+    right_min = jnp.min(
+        jnp.where((j >= i) & (j < right_bound[:, None]), xj, _POS), axis=1
+    )
     return x - jnp.maximum(left_min, right_min)
 
 
-def _suppress_by_distance(candidate: jnp.ndarray, height: jnp.ndarray, distance: int):
+def _suppress_by_distance(
+    candidate: jnp.ndarray,
+    height: jnp.ndarray,
+    distance: int,
+    max_iterations: int | None = None,
+):
     """Greedy min-distance selection (scipy _select_by_peak_distance):
     among candidates, iteratively suppress any with an unsuppressed
     strictly-higher-priority candidate strictly within `distance` bins.
-    Priority = (height, index); larger index wins ties."""
+    Priority = (height, index); larger index wins ties.
+
+    The greedy solution is the unique Jacobi fixpoint, reached in <= the
+    longest decreasing-priority chain of overlapping candidates.
+    ``max_iterations=None`` iterates a `while_loop` to exact convergence;
+    a fixed int unrolls a bounded `fori_loop` (no per-iteration convergence
+    sync — the production fast path; musical spectra converge in <= 3)."""
     n = height.shape[0]
     idx = jnp.arange(n)
 
@@ -157,12 +136,22 @@ def _suppress_by_distance(candidate: jnp.ndarray, height: jnp.ndarray, distance:
         for off in range(-(distance - 1), distance):
             if off == 0:
                 continue
-            j = idx + off
-            valid = (j >= 0) & (j < n)
-            jc = jnp.clip(j, 0, n - 1)
-            higher = (height[jc] > height) | ((height[jc] == height) & (jc > idx))
-            hit = hit | (valid & alive[jc] & higher)
+            # neighbor j = i + off via static shift (no gathers)
+            valid = (idx + off >= 0) & (idx + off < n)
+            h_j = jnp.roll(height, -off)
+            alive_j = jnp.roll(alive, -off)
+            higher = (h_j > height) | ((h_j == height) & (off > 0))
+            hit = hit | (valid & alive_j & higher)
         return hit & candidate
+
+    if max_iterations is not None:
+        suppressed = jax.lax.fori_loop(
+            0,
+            max_iterations,
+            lambda _, s: has_higher_neighbor(s),
+            jnp.zeros(n, bool),
+        )
+        return candidate & ~suppressed
 
     def cond(state):
         suppressed, changed = state
@@ -183,16 +172,28 @@ def find_peaks_mask(
     x: jnp.ndarray,
     config: PeakDetectionParameters,
     buckets_per_octave: int,
+    *,
+    precomputed: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    suppress_iterations: int | None = None,
 ) -> jnp.ndarray:
     """Discrete peak mask, matching `find_peaks` (peak_detection.rs:26-51):
     local maxima filtered by min_height, then min-distance (0.4 semitones),
-    then min_prominence; the first ~half semitone of bins is dropped."""
-    mask = local_maxima(x)
+    then min_prominence; the first ~half semitone of bins is dropped.
+
+    ``precomputed``: optional (local_maxima, prominences) pair — both are
+    threshold-independent, so callers applying several configs to the same
+    spectrum (analysis.rs:331-349) compute them once.
+    """
+    if precomputed is None:
+        mask, prom = local_maxima(x), None
+    else:
+        mask, prom = precomputed
     mask = mask & (x >= config.min_height)
     d = min_separation_bins(buckets_per_octave)
     if d >= 2:
-        mask = _suppress_by_distance(mask, x, d)
-    prom = prominences(x)
+        mask = _suppress_by_distance(mask, x, d, suppress_iterations)
+    if prom is None:
+        prom = prominences(x)
     mask = mask & (prom >= config.min_prominence)
     min_bin = first_allowed_bin(buckets_per_octave)
     return mask & (jnp.arange(x.shape[0]) >= min_bin)
@@ -212,9 +213,9 @@ def enhance_peaks_continuous(
     n = x.shape[0]
     idx = jnp.arange(n)
 
-    xm = x[jnp.maximum(idx - 1, 0)]
+    xm = jnp.roll(x, 1)  # x[i-1]; wrap only affects edge bins (overridden)
     x0 = x
-    xp = x[jnp.minimum(idx + 1, n - 1)]
+    xp = jnp.roll(x, -1)  # x[i+1]
 
     # Uniform log-f spacing: the Lagrange parabola maximum reduces to
     # p + (y- - y+) / (2 (y- - 2 y0 + y+)) bins; the reference's explicit
@@ -223,13 +224,14 @@ def enhance_peaks_continuous(
     offset = jnp.where(jnp.abs(denom) < 1e-12, 0.0, (xm - xp) / (2.0 * denom))
     offset = jnp.clip(offset, -1.0, 1.0)
 
-    center = idx.astype(jnp.float32) + offset
-    center = jnp.clip(center, 0.0, n - 1.0)
+    center = jnp.clip(idx.astype(jnp.float32) + offset, 0.0, n - 1.0)
 
-    lower = jnp.floor(center).astype(jnp.int32)
-    upper = jnp.minimum(lower + 1, n - 1)
-    frac = center - lower
-    size = jnp.maximum(x[lower] * (1.0 - frac) + x[upper] * frac, 0.0)
+    # linear interpolation at the refined center: the offset is within one
+    # bin of i, so both interpolation endpoints are selects over {x[i-1],
+    # x[i], x[i+1]} — no data-dependent gathers
+    size_pos = x0 * (1.0 - offset) + xp * offset  # offset in [0, 1]
+    size_neg = xm * (-offset) + x0 * (1.0 + offset)  # offset in [-1, 0)
+    size = jnp.maximum(jnp.where(offset >= 0.0, size_pos, size_neg), 0.0)
 
     # Edge bins use the discrete values directly (peak_detection.rs:71-77).
     edge = (idx < 1) | (idx > n - 2)
@@ -252,20 +254,35 @@ def promote_bass_peaks(
     `harmonic_threshold` * fundamental power; boost the peak by
     ``10*log10(min(1 + 0.5*score/fundamental, 1.5))`` dB."""
     n = x.shape[0]
+    idx = jnp.arange(n)
     bpo = float(rng.buckets_per_octave)
     is_bass = peak_mask & (center <= float(highest_bassnote))
 
     fundamental_power = jnp.power(10.0, size / 10.0)
 
+    def shifted(d: int) -> jnp.ndarray:
+        """x[i + d] via static shift; out-of-range filled with -inf-ish
+        (never selected: in_range masks such cases)."""
+        return jnp.where((idx + d >= 0) & (idx + d < n), jnp.roll(x, -d), _NEG)
+
     score = jnp.zeros_like(size)
     for harmonic, weight in zip((2, 3, 4, 5), (0.5, 0.3, 0.15, 0.05)):
-        # harmonic bin = center + bpo * log2(h)
-        hb = center + bpo * math.log2(harmonic)
+        # harmonic bin = center + bpo*log2(h); center is within one bin of i,
+        # so floor(hb) - i takes one of three static values -> selects over
+        # static shifts instead of gathers
+        c_h = bpo * math.log2(harmonic)
+        hb = center + c_h
         in_range = (hb >= 0.0) & (hb < n)
-        lo = jnp.clip(jnp.floor(hb).astype(jnp.int32), 0, n - 1)
-        hi = jnp.clip(jnp.ceil(hb).astype(jnp.int32), 0, n - 1)
+        lo_rel_mid = math.floor(c_h)
+        lo_rel = jnp.floor(hb).astype(jnp.int32) - idx
+        x_lo = jnp.full(n, _NEG)
+        x_hi = jnp.full(n, _NEG)
+        for d in (lo_rel_mid - 1, lo_rel_mid, lo_rel_mid + 1):
+            x_lo = jnp.where(lo_rel == d, shifted(d), x_lo)
+            x_hi = jnp.where(lo_rel == d, shifted(d + 1), x_hi)
         frac = hb - jnp.floor(hb)
-        amp_db = jnp.where(lo == hi, x[lo], x[lo] * (1.0 - frac) + x[hi] * frac)
+        lo_is_hi = (frac == 0.0) | (jnp.floor(hb) >= n - 1)
+        amp_db = jnp.where(lo_is_hi, x_lo, x_lo * (1.0 - frac) + x_hi * frac)
         hp = jnp.power(10.0, amp_db / 10.0)
         present = in_range & (hp > fundamental_power * harmonic_threshold)
         score = score + jnp.where(present, hp * weight, 0.0)

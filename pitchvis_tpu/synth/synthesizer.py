@@ -136,7 +136,10 @@ class Synthesizer:
 
     def render(self, left: np.ndarray, right: np.ndarray) -> None:
         """Renders len(left) samples into the provided buffers (the
-        rustysynth render API shape)."""
+        rustysynth render API shape). Uses the native C++ voice kernel when
+        built; the NumPy path below is the reference implementation."""
+        if self._try_native_render(left, right):
+            return
         n = len(left)
         sr = self.sample_rate
         t_rel = np.arange(n) / sr
@@ -169,6 +172,49 @@ class Synthesizer:
         self.voices = [v for v in self.voices if not v.done()]
         left[:] = mix.astype(np.float32)
         right[:] = mix.astype(np.float32)
+
+    def _try_native_render(self, left: np.ndarray, right: np.ndarray) -> bool:
+        try:
+            from ..runtime import native
+        except Exception:
+            return False
+        if not native.available():
+            return False
+        n = len(left)
+        vs = self.voices
+        if not vs:
+            left[:] = 0.0
+            right[:] = 0.0
+            return True
+        mix = np.zeros(n, np.float32)
+        freq = np.array([v.freq for v in vs], np.float64)
+        phase = np.array([v.phase for v in vs], np.float64)
+        age = np.array([v.age for v in vs], np.float64)
+        released = np.array(
+            [v.released_at if v.released_at is not None else -1.0 for v in vs], np.float64
+        )
+        vel = np.array([v.velocity / 127.0 for v in vs], np.float64)
+        amp = vel * self.master_gain
+        harm = np.stack([v.timbre.harmonics for v in vs]).astype(np.float64)
+        gains = native.synth_render(
+            mix, float(self.sample_rate), freq, phase, age, released, amp,
+            np.array([v.timbre.attack for v in vs], np.float64),
+            np.array([v.timbre.decay for v in vs], np.float64),
+            np.array([v.timbre.sustain for v in vs], np.float64),
+            np.array([v.timbre.release for v in vs], np.float64),
+            harm,
+        )
+        for v, p, a, g, vl in zip(vs, phase, age, gains, vel):
+            v.phase = float(p)
+            v.age = float(a)
+            env_last = float(g) / max(float(vl) * self.master_gain, 1e-12)
+            gain_now = float(vl) * env_last
+            v.current_mix_gain_left = gain_now
+            v.current_mix_gain_right = gain_now
+        self.voices = [v for v in vs if not v.done()]
+        left[:] = mix
+        right[:] = mix
+        return True
 
     def get_active_voices(self) -> list[Voice]:
         """The fork's introspection hook (synthesizer.rs:525-527)."""

@@ -33,18 +33,30 @@ BUFSIZE_FACTOR = 2  # BUFSIZE = 2 * SR (train.rs:31)
 
 
 class _HostAgc:
-    """Literal dagc recurrence on the host (dataset gen is host-side)."""
+    """Literal dagc recurrence on the host (dataset gen is host-side).
+    Delegates to the native C++ kernel when built (~100x the Python loop)."""
 
     def __init__(self, desired_rms: float = 0.07, distortion: float = 0.001):
         self.desired_rms = desired_rms
         self.k = distortion
         self.gain = 1.0
         self.frozen = False
+        try:
+            from ..runtime import native
+
+            self._native = native if native.available() else None
+        except Exception:
+            self._native = None
 
     def freeze_gain(self, frozen: bool) -> None:
         self.frozen = frozen
 
     def process(self, samples: np.ndarray) -> None:
+        if self._native is not None:
+            self.gain = self._native.agc_process(
+                self.gain, samples, self.desired_rms, self.k, self.frozen
+            )
+            return
         if self.frozen:
             samples *= self.gain
             return

@@ -175,6 +175,8 @@ def save_checkpoint(path: str, params, cfg: TrainConfig, metrics: dict) -> None:
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(os.path.join(path, f"model_{int(time.time())}"), params)
+    ckpt.wait_until_finished()
+    ckpt.close()
     with open(os.path.join(path, "train_meta.json"), "w") as f:
         json.dump({"config": dataclasses.asdict(cfg), "metrics": metrics}, f)
 
@@ -186,5 +188,9 @@ def load_checkpoint(path: str, cfg: TrainConfig):
     ckpt = ocp.StandardCheckpointer()
     model = make_model(cfg)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.t_window * cfg.n_buckets)))
-    dirs = sorted(d for d in os.listdir(path) if d.startswith("model_"))
+    dirs = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith("model_") and not d.endswith("-tmp")
+    )
     return ckpt.restore(os.path.join(os.path.abspath(path), dirs[-1]), template)

@@ -1,0 +1,72 @@
+"""WAV IO, settings persistence, and xtask CLI tests."""
+
+import numpy as np
+
+from pitchvis_tpu.core.settings import (
+    DisplayMode,
+    SettingsState,
+    VqtSmoothingMode,
+    load_settings,
+    save_settings,
+)
+from pitchvis_tpu.io.wav import frames_from_signal, load_wav, save_wav
+
+
+class TestWav:
+    def test_roundtrip(self, tmp_path):
+        sr = 22050
+        t = np.arange(sr) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        path = str(tmp_path / "t.wav")
+        save_wav(path, x, sr)
+        y, sr2 = load_wav(path)
+        assert sr2 == sr
+        assert len(y) == len(x)
+        # 16-bit quantization + 32767-vs-32768 scale convention
+        np.testing.assert_allclose(y, x, atol=2.0 / 32768.0)
+
+    def test_frames_from_signal(self):
+        x = np.arange(1000, dtype=np.float32)
+        frames = frames_from_signal(x, n_fft=256, hop=100)
+        assert frames.shape == (10, 256)
+        # frame i ends at sample (i+1)*hop - 1
+        assert frames[0, -1] == x[99]
+        assert frames[4, -1] == x[499]
+        # zero-padded history before the signal starts
+        assert frames[0, 0] == 0.0
+
+
+class TestSettings:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "settings.json")
+        s = SettingsState(
+            display_mode=DisplayMode.DEBUGGING,
+            fps_limit=None,
+            vqt_smoothing_mode=VqtSmoothingMode.LONG,
+            enable_bloom=False,
+        )
+        save_settings(path, s)
+        s2 = load_settings(path)
+        assert s2 == s
+
+    def test_corrupt_file_reverts_to_defaults(self, tmp_path):
+        path = str(tmp_path / "settings.json")
+        with open(path, "w") as f:
+            f.write("{not json")
+        s = load_settings(path)
+        assert s == SettingsState()
+        # and the file was repaired
+        assert load_settings(path) == SettingsState()
+
+    def test_smoothing_mode_durations(self):
+        assert VqtSmoothingMode.NONE.base_duration_secs() == 0.0
+        assert VqtSmoothingMode.DEFAULT.base_duration_secs() == 0.070
+        assert VqtSmoothingMode.LONG.base_duration_secs() == 0.140
+
+
+class TestXtask:
+    def test_unknown_command(self, capsys):
+        from pitchvis_tpu.xtask import main
+
+        assert main(["nope"]) == 2
+        assert main([]) == 2

@@ -139,6 +139,31 @@ class TestResampler:
 
 
 class TestPipeline:
+    def test_step_multi_matches_sequential(self, small_params):
+        """K hops via the scanned multi-step equal K sequential steps."""
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+
+        rng = np.random.default_rng(0)
+        hop = 368
+        k = 4
+        chunks = (rng.standard_normal((k, 2, hop)) * 0.05).astype(np.float32)
+        dt = hop / small_params.sr
+
+        seq = StreamingPipeline(2, small_params)
+        outs = [seq.step(chunks[i], dt) for i in range(k)]
+        multi = StreamingPipeline(2, small_params)
+        m_out = multi.step_multi(chunks, dt)
+
+        np.testing.assert_allclose(
+            np.asarray(m_out.x_vqt[-1]), np.asarray(outs[-1].x_vqt), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi.state.ring.gain), np.asarray(seq.state.ring.gain), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(m_out.analysis.peaks[-1]), np.asarray(outs[-1].analysis.peaks)
+        )
+
     def test_end_to_end_tone(self, small_params):
         """Streaming sim (BASELINE config #2/#3): feed a tone through
         AGC+ring+VQT+analysis at 60 Hz hops; the right peak must emerge."""
