@@ -159,6 +159,7 @@ def bench_train(seconds: float = 6.0) -> dict:
         notes = [(i * 0.25, 0.4, 0, 40 + (i % 24), 100) for i in range(int(seconds * 4))]
         write_midi(f.name, notes)
         midi = load_midi(f.name)
+        annotate_midi(midi, vqt, params, max_seconds=seconds)  # warm compile
         t0 = time.perf_counter()
         annotated = annotate_midi(midi, vqt, params, max_seconds=seconds)
         gen_dt = time.perf_counter() - t0

@@ -1,0 +1,89 @@
+"""Host audio capture shims.
+
+The reference captures audio via cpal/WebAudio/oboe callbacks
+(pitchvis_audio). A TPU serving host has no microphone; the equivalents are
+stream drivers that feed the runtime from files, pipes, or sockets:
+
+* `WavStreamDriver` — replays WAV files in real time (or faster) into a
+  StreamServer / StreamingPipeline, resampling to the pipeline rate.
+* `RawPipeDriver` — reads interleaved f32 frames from a file object (a pipe
+  from e.g. `arecord`/`sox`/`ffmpeg`), the practical way to attach live
+  microphones or network audio to the server.
+* `dump_input_devices` — diagnostic listing (audio_desktop.rs:36-48
+  equivalent) of the shims available in this environment.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..ops.resample import resample
+from .wav import load_wav
+
+
+def dump_input_devices(file=sys.stderr) -> None:
+    print("pitchvis_tpu host capture drivers:", file=file)
+    print("  - WavStreamDriver(path): replay a WAV file", file=file)
+    print("  - RawPipeDriver(fileobj, sr): interleaved f32 from a pipe", file=file)
+    print("    e.g. arecord -f FLOAT_LE -r 22050 -c 1 | python -m ...", file=file)
+
+
+class WavStreamDriver:
+    """Replays a WAV file into per-chunk callbacks at a given speed factor.
+
+    `push(stream_idx, chunk)` is any sink (StreamServer.push, or collecting
+    into arrays for StreamingPipeline batches).
+    """
+
+    def __init__(self, path: str, target_sr: int, chunk_size: int, speed: float = 1.0):
+        audio, sr = load_wav(path)
+        if sr != target_sr:
+            audio = resample(audio, sr, target_sr)[0]
+        self.audio = np.asarray(audio, np.float32)
+        self.sr = target_sr
+        self.chunk_size = chunk_size
+        self.speed = speed
+
+    def chunks(self):
+        for i in range(0, len(self.audio) - self.chunk_size + 1, self.chunk_size):
+            yield self.audio[i : i + self.chunk_size]
+
+    def stream_to(self, push, stream_idx: int = 0, realtime: bool = False) -> int:
+        """Feeds all chunks to `push(stream_idx, chunk)`; sleeps between
+        chunks when realtime. Returns the number of chunks."""
+        n = 0
+        period = self.chunk_size / self.sr / self.speed
+        for chunk in self.chunks():
+            t0 = time.monotonic()
+            push(stream_idx, chunk)
+            n += 1
+            if realtime:
+                time.sleep(max(0.0, period - (time.monotonic() - t0)))
+        return n
+
+
+class RawPipeDriver:
+    """Reads interleaved float32 mono samples from a binary file object."""
+
+    def __init__(self, fileobj, sr: int, chunk_size: int):
+        self.fileobj = fileobj
+        self.sr = sr
+        self.chunk_size = chunk_size
+
+    def read_chunk(self) -> np.ndarray | None:
+        raw = self.fileobj.read(self.chunk_size * 4)
+        if not raw or len(raw) < 4:
+            return None
+        return np.frombuffer(raw, np.float32)
+
+    def stream_to(self, push, stream_idx: int = 0) -> int:
+        n = 0
+        while True:
+            chunk = self.read_chunk()
+            if chunk is None:
+                return n
+            push(stream_idx, chunk)
+            n += 1

@@ -134,7 +134,15 @@ def annotate_midi(
 
     if not windows:
         return []
-    specs = np.asarray(vqt.calculate_vqt_batch_in_db(np.stack(windows)))
+    # pad the batch to a shape bucket so different MIDI lengths share one
+    # compiled executable
+    stack = np.stack(windows)
+    bucket = max(64, 1 << (len(stack) - 1).bit_length())
+    if bucket != len(stack):
+        stack = np.concatenate(
+            [stack, np.zeros((bucket - len(stack), stack.shape[1]), np.float32)]
+        )
+    specs = np.asarray(vqt.calculate_vqt_batch_in_db(stack))[: len(windows)]
     return list(zip(key_snapshots, specs))
 
 
