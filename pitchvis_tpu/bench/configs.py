@@ -24,31 +24,70 @@ import numpy as np
 REFERENCE_VQT_FPS = 6060.0
 
 
+def _sync(out):
+    """Hard execution barrier: fetch one element of one output buffer.
+    (block_until_ready does not reliably wait on the axon tunnel platform;
+    a host transfer of any output requires the execution to have finished.)"""
+    leaves = [a for a in jax.tree.leaves(out) if hasattr(a, "ravel")]
+    if leaves:
+        np.asarray(leaves[0].ravel()[0])
+    return out
+
+
 def _best_time(fn, n_iter=10, repeats=3):
-    fn()  # compile + warm
+    _sync(fn())  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = None
         for _ in range(n_iter):
             out = fn()
-        jax.tree.map(
-            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, out
-        )
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / n_iter)
     return best
 
 
-def bench_offline_vqt(batch: int = 1024, path: str = "time") -> dict:
+def bench_offline_vqt(batch: int = 2048, path: str = "pallas", inner: int = 32) -> dict:
+    """Headline: batched VQT throughput. The timed unit is ONE device
+    program that runs `inner` VQT batches in a lax.scan (input perturbed per
+    iteration to defeat CSE) and reduces the outputs to a scalar — immune to
+    dispatch-pipelining artifacts and impossible to satisfy without doing
+    the work."""
+    import jax.numpy as jnp
+
     from ..core.config import VqtParameters
-    from ..ops.vqt import Vqt
+    from ..kernel.builder import get_kernel
+    from ..ops.vqt import VqtArrays, vqt_db_batch
 
     params = VqtParameters()
-    vqt = Vqt(params, path=path)
+    kernel = get_kernel(params)
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((batch, params.n_fft)).astype(np.float32) * 0.1)
-    dt = _best_time(lambda: vqt.calculate_vqt_batch_in_db(x), n_iter=20)
-    fps = batch / dt
+
+    if path == "pallas":
+        from ..ops.vqt_pallas import PallasVqtArrays, vqt_db_pallas
+
+        arrays = PallasVqtArrays.from_kernel(kernel)
+        compute = lambda a, xi: vqt_db_pallas(a, xi, batch_tile=256)
+    else:
+        arrays = VqtArrays.from_kernel(kernel)
+        compute = lambda a, xi: vqt_db_batch(a, xi, path=path)
+
+    @jax.jit
+    def run(arrays, x):
+        def body(carry, i):
+            out = compute(arrays, x * (1.0 + 1e-6 * i))
+            return carry + jnp.sum(out), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner, dtype=jnp.float32))
+        return total
+
+    float(run(arrays, x))  # warm + hard barrier (see _sync)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(arrays, x))
+        best = min(best, time.perf_counter() - t0)
+    fps = batch * inner / best
     return {
         "metric": "vqt_frames_per_sec_per_chip",
         "value": round(fps, 1),

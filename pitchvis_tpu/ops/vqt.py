@@ -170,12 +170,20 @@ class Vqt:
         self.path = path
         self.precision = precision
         self.delay_secs = self.kernel.delay_secs
-        self._db_batch = functools.partial(
-            _vqt_db_batch_jit, path=path, precision=precision
-        )
-        self._power_batch = functools.partial(
-            _vqt_power_batch_jit, path=path, precision=precision
-        )
+        if path == "pallas":
+            from .vqt_pallas import PallasVqtArrays, vqt_db_pallas, vqt_power_pallas
+
+            parrays = PallasVqtArrays.from_kernel(self.kernel)
+            self.arrays = parrays
+            self._db_batch = jax.jit(vqt_db_pallas)
+            self._power_batch = jax.jit(vqt_power_pallas)
+        else:
+            self._db_batch = functools.partial(
+                _vqt_db_batch_jit, path=path, precision=precision
+            )
+            self._power_batch = functools.partial(
+                _vqt_power_batch_jit, path=path, precision=precision
+            )
 
     @property
     def n_buckets(self) -> int:
