@@ -70,8 +70,15 @@ def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
 
     s = run_start
     e = run_end
-    prev_ok = (s > 0) & (x[jnp.maximum(s - 1, 0)] < x)
-    next_ok = (e < n - 1) & (x[jnp.minimum(e + 1, n - 1)] < x)
+    # x[s-1] < x and x[e+1] < x without data-dependent gathers: masked n^2
+    # any-reductions (j == s-1 / j == e+1 select exactly one column)
+    j = idx[None, :]
+    xj = x[None, :]
+    xi = x[:, None]
+    prev_less = jnp.any((j == (s - 1)[:, None]) & (xj < xi), axis=1)
+    next_less = jnp.any((j == (e + 1)[:, None]) & (xj < xi), axis=1)
+    prev_ok = (s > 0) & prev_less
+    next_ok = (e < n - 1) & next_less
     mid = (s + e) // 2
     return prev_ok & next_ok & (idx == mid)
 

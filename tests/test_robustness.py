@@ -1,0 +1,90 @@
+"""Robustness tests the reference lists as desired-but-missing
+(pitchvis_analysis/src/lib.rs:74-104): noise handling, beat transients,
+bass dropout stability."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pitchvis_tpu.core.config import AnalysisParameters
+from pitchvis_tpu.models.analysis import AnalysisState, analysis_step
+from pitchvis_tpu.utils.signal import create_sines
+
+
+def run_frames(params, vqt, analysis_params, frames, dt=1.0 / 30.0):
+    state = AnalysisState.init(params.n_buckets)
+    outs = []
+    spectra = np.asarray(vqt.calculate_vqt_batch_in_db(np.stack(frames)))
+    for row in spectra:
+        state, out = analysis_step(analysis_params, params.range, state, jnp.asarray(row), dt)
+        outs.append(out)
+    return state, outs
+
+
+class TestNoiseRobustness:
+    def test_tone_detected_in_noise(self, small_params, small_vqt):
+        """lib.rs:75-77: a tone above the noise floor is still detected."""
+        rng = np.random.default_rng(0)
+        k = 40
+        f = small_params.range.min_freq * 2.0 ** (k / small_params.range.buckets_per_octave)
+        frames = []
+        for i in range(8):
+            x = create_sines(small_params, [f], t_diff=i * 0.033)
+            x = x + rng.standard_normal(len(x)).astype(np.float32) * 0.004
+            frames.append(x)
+        _, outs = run_frames(small_params, small_vqt, AnalysisParameters(), frames)
+        peaks = np.where(np.asarray(outs[-1].peaks))[0]
+        assert any(abs(int(p) - k) <= 1 for p in peaks), peaks
+
+    def test_pure_noise_yields_few_peaks(self, small_params, small_vqt):
+        rng = np.random.default_rng(1)
+        frames = [rng.standard_normal(small_params.n_fft).astype(np.float32) * 0.01 for _ in range(6)]
+        _, outs = run_frames(small_params, small_vqt, AnalysisParameters(), frames)
+        # broadband noise has no prominent musical peaks after smoothing
+        assert int(np.asarray(outs[-1].peaks).sum()) <= 6
+
+
+class TestBeatRobustness:
+    def test_beat_burst_does_not_destroy_tone(self, small_params, small_vqt):
+        """lib.rs:79-85: a short broadband burst must not wipe out a
+        sustained tone's detection for long."""
+        rng = np.random.default_rng(2)
+        k = 50
+        f = small_params.range.min_freq * 2.0 ** (k / small_params.range.buckets_per_octave)
+        frames = []
+        for i in range(10):
+            x = create_sines(small_params, [f], t_diff=i * 0.033)
+            if i == 5:  # burst frame: loud broadband click in the recent window
+                burst = np.zeros_like(x)
+                burst[-2048:] = rng.standard_normal(2048).astype(np.float32) * 0.3
+                x = x + burst
+            frames.append(x)
+        _, outs = run_frames(small_params, small_vqt, AnalysisParameters(), frames)
+        final_peaks = np.where(np.asarray(outs[-1].peaks))[0]
+        assert any(abs(int(p) - k) <= 1 for p in final_peaks)
+
+
+class TestBassDropout:
+    def test_smoothing_bridges_short_dropout(self, small_params, small_vqt):
+        """lib.rs:87-93: EMA smoothing keeps a bass note's smoothed energy up
+        across a 1-frame dropout."""
+        k = 8  # bass bin
+        f = small_params.range.min_freq * 2.0 ** (k / small_params.range.buckets_per_octave)
+        frames = []
+        for i in range(8):
+            if i == 5:
+                frames.append(np.zeros(small_params.n_fft, np.float32))
+            else:
+                frames.append(create_sines(small_params, [f], t_diff=i * 0.033))
+        ap = AnalysisParameters()
+        state = AnalysisState.init(small_params.n_buckets)
+        spectra = np.asarray(small_vqt.calculate_vqt_batch_in_db(np.stack(frames)))
+        values = []
+        for row in spectra:
+            state, out = analysis_step(ap, small_params.range, state, jnp.asarray(row), 1.0 / 30.0)
+            values.append(float(out.x_vqt_smoothed[k]))
+        # smoothed energy during the dropout frame decays by the EMA alpha
+        # (~0.65 at 33 ms / ~63 ms horizon) instead of collapsing to zero
+        assert values[5] > 0.25 * values[4]
+        assert values[5] > 0.0
+        # and recovers
+        assert values[-1] > 0.8 * values[4]
