@@ -100,6 +100,7 @@ def _update_calmness(
     calmness: jnp.ndarray,
     released: jnp.ndarray,
     scene: jnp.ndarray,
+    precomputed_raw: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Per-bin + scene calmness (calmness.rs:23-95): bins within ~+-30 ct of
     an *unsmoothed*-VQT peak EMA toward 1, others toward 0; released-note
@@ -112,6 +113,7 @@ def _update_calmness(
         x_vqt,
         params.peak_config,
         rng.buckets_per_octave,
+        precomputed=precomputed_raw,
         suppress_iterations=params.suppress_iterations,
     )
 
@@ -230,12 +232,16 @@ def analysis_step(
     x_smoothed = ema_update(state.x_vqt_smoothed, x_vqt, dt, horizons)
 
     # 2. discrete peaks: bassline config below/at highest_bassnote, general
-    #    config above (analysis.rs:331-349); local maxima and prominences are
-    #    threshold-independent and shared between the two configs
+    #    config above (analysis.rs:331-349). Local maxima and prominences are
+    #    threshold-independent, so they run once per spectrum and are shared
+    #    between the two configs. (Stacking smoothed+raw into one nested-vmap
+    #    batch was measured SLOWER: the extra axis breaks XLA's fusion of the
+    #    n^2 masked reductions and materializes the (2, n, n) intermediates.)
     idx = jnp.arange(n)
     from ..ops.peaks import local_maxima, prominences
 
     pre = (local_maxima(x_smoothed), prominences(x_smoothed))
+    pre_raw = (local_maxima(x_vqt), prominences(x_vqt))
     bass_mask = find_peaks_mask(
         x_smoothed, params.bassline_peak_config, rng.buckets_per_octave,
         precomputed=pre, suppress_iterations=params.suppress_iterations,
@@ -262,6 +268,7 @@ def analysis_step(
     calm, released, scene = _update_calmness(
         params, rng, x_vqt, x_smoothed, dt,
         state.calmness, state.released_note_calmness, state.scene_calmness,
+        precomputed_raw=pre_raw,
     )
 
     # 6. tuning inaccuracy + per-bin pitch accuracy/deviation

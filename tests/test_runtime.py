@@ -148,3 +148,38 @@ class TestStreamServer:
         assert not np.asarray(out.peaks[1]).any()
         assert gains[0] > 1.0
         server.close()
+
+
+class TestPipelineCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path, small_params):
+        import numpy as np
+
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.runtime.checkpoint import (
+            load_pipeline_state,
+            save_pipeline_state,
+        )
+
+        pipe = StreamingPipeline(3, small_params)
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            pipe.step((rng.standard_normal((3, 368)) * 0.05).astype(np.float32), 368 / small_params.sr)
+
+        save_pipeline_state(str(tmp_path), pipe.state, small_params)
+        state, params = load_pipeline_state(str(tmp_path))
+        assert params == small_params
+        np.testing.assert_allclose(
+            np.asarray(state.ring.buffer), np.asarray(pipe.state.ring.buffer)
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.analysis.x_vqt_smoothed),
+            np.asarray(pipe.state.analysis.x_vqt_smoothed),
+        )
+
+        # the restored state continues identically
+        resumed = StreamingPipeline(3, small_params)
+        resumed.state = state
+        chunk = (rng.standard_normal((3, 368)) * 0.05).astype(np.float32)
+        a = pipe.step(chunk, 368 / small_params.sr)
+        b = resumed.step(chunk, 368 / small_params.sr)
+        np.testing.assert_allclose(np.asarray(a.x_vqt), np.asarray(b.x_vqt), atol=1e-6)
