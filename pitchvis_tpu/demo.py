@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=0, help="print at most N frame summaries")
     args = parser.parse_args(argv)
 
-    from .core.config import SERIAL_VQT_PARAMETERS, AnalysisParameters, VqtParameters
+    from .core.config import SERIAL_VQT_PARAMETERS, VqtParameters
     from .io.led import led_frame
     from .io.wav import load_wav
     from .models.pipeline import StreamingPipeline

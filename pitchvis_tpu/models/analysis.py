@@ -15,7 +15,6 @@ Peak sets are per-bin masks (see ops/peaks.py) instead of the reference's
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

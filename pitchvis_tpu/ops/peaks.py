@@ -127,7 +127,10 @@ def _suppress_by_distance(
     """Greedy min-distance selection (scipy _select_by_peak_distance):
     among candidates, iteratively suppress any with an unsuppressed
     strictly-higher-priority candidate strictly within `distance` bins.
-    Priority = (height, index); larger index wins ties.
+    Priority = (height, index); larger index wins ties. (scipy's own tie
+    order is arbitrary — it argsorts priorities with an unstable quicksort —
+    so any deterministic tie-break is equally faithful; exact-tie clusters
+    are the only possible divergence from scipy.)
 
     The greedy solution is the unique Jacobi fixpoint, reached in <= the
     longest decreasing-priority chain of overlapping candidates.

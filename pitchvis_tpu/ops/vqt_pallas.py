@@ -22,7 +22,6 @@ makes the single-tail load valid — asserted at pack time.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax

@@ -23,7 +23,6 @@ import numpy as np
 from ..core.config import TRAIN_VQT_PARAMETERS, VqtParameters
 from ..models.pitch_mlp import N_MIDI
 from ..ops.vqt import Vqt
-from .. import synth as _synth_pkg  # noqa: F401  (package presence)
 from ..synth.midi import MidiFile, load_midi
 from ..synth.synthesizer import MidiFileSequencer, Synthesizer
 

@@ -103,3 +103,27 @@ class TestCache:
             np.testing.assert_array_equal(g1.filter_bank, g2.filter_bank)
             np.testing.assert_array_equal(g1.w_time, g2.w_time)
         b.get_kernel.cache_clear()
+
+
+class TestPresetConfigs:
+    """The reference's per-binary parameter presets build valid kernels
+    (pitchvis_serial/src/main.rs:17-39, pitchvis_train/src/train.rs:30-41)."""
+
+    def test_serial_preset(self):
+        from pitchvis_tpu.core.config import SERIAL_VQT_PARAMETERS
+        from pitchvis_tpu.kernel.builder import get_kernel, kernel_stats
+
+        k = get_kernel(SERIAL_VQT_PARAMETERS)
+        stats = kernel_stats(k)
+        assert sum(stats["group_filters"]) == 5 * 36
+        assert k.delay_secs < 0.100
+
+    def test_train_preset(self):
+        from pitchvis_tpu.core.config import TRAIN_VQT_PARAMETERS
+        from pitchvis_tpu.kernel.builder import get_kernel, kernel_stats
+
+        k = get_kernel(TRAIN_VQT_PARAMETERS)
+        stats = kernel_stats(k)
+        assert sum(stats["group_filters"]) == 7 * 36
+        # Q=10, gamma=5.3Q: longer windows, higher delay than default
+        assert 0.08 < k.delay_secs < 0.5

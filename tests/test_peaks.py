@@ -188,3 +188,36 @@ class TestTopK:
         assert valid.tolist() == [True, True]
         assert c.tolist() == [12.25, 20.25]
         assert s.tolist() == [9.0, 6.0]
+
+
+class TestScipyFuzz:
+    """Broader randomized parity sweep vs scipy.signal.find_peaks."""
+
+    @pytest.mark.parametrize("seed", range(20))
+    def test_full_pipeline_many_seeds(self, seed):
+        rng_np = np.random.default_rng(100 + seed)
+        kind = seed % 4
+        n = [96, 250, 588, 64][kind]
+        if kind == 0:
+            x = np.cumsum(rng_np.standard_normal(n)).astype(np.float32) * 2
+        elif kind == 1:
+            x = (np.sin(np.linspace(0, 31, n)) * 10 + rng_np.standard_normal(n)).astype(np.float32)
+        elif kind == 2:
+            # quantized -> plateaus; tiny per-peak noise breaks exact height
+            # ties (scipy resolves ties via an UNSTABLE argsort, so tied
+            # outcomes are implementation-arbitrary on both sides)
+            x = np.round(np.cumsum(rng_np.standard_normal(n)) * 2).astype(np.float32)
+            x = x + (rng_np.random(n).astype(np.float32) - 0.5) * 1e-3
+        else:
+            x = np.zeros(n, np.float32)  # silence
+        x = x - x.min()
+        for bpo, prom, h in ((84, 10.0, 4.0), (36, 5.0, 3.5), (24, 2.0, 1.0)):
+            cfg = PeakDetectionParameters(min_prominence=prom, min_height=h)
+            got = np.where(np.asarray(find_peaks_mask(jnp.asarray(x), cfg, bpo)))[0]
+            d = min_separation_bins(bpo)
+            kwargs = dict(height=h, prominence=prom)
+            if d >= 2:
+                kwargs["distance"] = d
+            want, _ = scipy.signal.find_peaks(x, **kwargs)
+            want = want[want >= first_allowed_bin(bpo)]
+            np.testing.assert_array_equal(got, want, err_msg=f"seed={seed} bpo={bpo}")
