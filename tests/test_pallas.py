@@ -1,5 +1,6 @@
 """Fused Pallas VQT kernel tests (interpret mode on CPU)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -45,3 +46,35 @@ class TestPallasVqt:
         b = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=4))
         assert a.shape == (3, pallas_arrays.n_buckets)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-10)
+
+
+class TestPeaksPallas:
+    """The alternative fused peaks kernel must match ops/peaks.py exactly."""
+
+    def test_matches_xla_formulation(self):
+        import jax
+        import numpy as np
+
+        from pitchvis_tpu.ops.peaks import local_maxima, prominences
+        from pitchvis_tpu.ops.peaks_pallas import local_maxima_and_prominences_pallas
+
+        rng = np.random.default_rng(0)
+        x = np.cumsum(rng.standard_normal((12, 128)), axis=1).astype(np.float32) * 2
+        mask, prom = local_maxima_and_prominences_pallas(jnp.asarray(x), batch_tile=4)
+        m_ref = np.asarray(jax.vmap(local_maxima)(jnp.asarray(x)))
+        p_ref = np.asarray(jax.vmap(prominences)(jnp.asarray(x)))
+        np.testing.assert_array_equal(np.asarray(mask), m_ref)
+        np.testing.assert_allclose(np.asarray(prom), p_ref, atol=1e-6)
+
+    def test_plateaus(self):
+        import jax
+        import numpy as np
+
+        from pitchvis_tpu.ops.peaks import local_maxima
+        from pitchvis_tpu.ops.peaks_pallas import local_maxima_and_prominences_pallas
+
+        rng = np.random.default_rng(1)
+        x = np.round(np.cumsum(rng.standard_normal((4, 96)), axis=1)).astype(np.float32)
+        mask, _ = local_maxima_and_prominences_pallas(jnp.asarray(x))
+        m_ref = np.asarray(jax.vmap(local_maxima)(jnp.asarray(x)))
+        np.testing.assert_array_equal(np.asarray(mask), m_ref)
