@@ -90,3 +90,16 @@ def save_settings(path: str, settings: SettingsState) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         f.write(settings.to_json())
+
+
+def analysis_params_for_mode(
+    base_params, mode: VqtSmoothingMode
+):
+    """Applies a smoothing mode to AnalysisParameters (the reference's
+    `update_vqt_smoothing_duration`, analysis.rs:243-270: None disables the
+    EMA entirely; Short/Default/Long scale the base horizon)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        base_params, vqt_smoothing_duration_base=mode.base_duration_secs()
+    )

@@ -70,3 +70,31 @@ class TestXtask:
 
         assert main(["nope"]) == 2
         assert main([]) == 2
+
+
+class TestSmoothingModeGlue:
+    def test_mode_applies_to_analysis(self):
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.core.config import AnalysisParameters, VqtRange
+        from pitchvis_tpu.core.settings import VqtSmoothingMode, analysis_params_for_mode
+        from pitchvis_tpu.models.analysis import AnalysisState, analysis_step
+
+        rng = VqtRange(min_freq=110.0, octaves=2, buckets_per_octave=24)
+        n = rng.n_buckets
+        x = jnp.full(n, 10.0)
+
+        # None mode: passthrough (analysis.rs:243-270)
+        ap = analysis_params_for_mode(AnalysisParameters(), VqtSmoothingMode.NONE)
+        state = AnalysisState.init(n)
+        _, out = analysis_step(ap, rng, state, x, 1.0 / 60.0)
+        assert float(out.x_vqt_smoothed[0]) == 10.0
+
+        # Long mode smooths more than Short
+        outs = {}
+        for mode in (VqtSmoothingMode.SHORT, VqtSmoothingMode.LONG):
+            ap = analysis_params_for_mode(AnalysisParameters(), mode)
+            state = AnalysisState.init(n)
+            _, out = analysis_step(ap, rng, state, x, 1.0 / 60.0)
+            outs[mode] = float(out.x_vqt_smoothed[0])
+        assert outs[VqtSmoothingMode.SHORT] > outs[VqtSmoothingMode.LONG] > 0.0
