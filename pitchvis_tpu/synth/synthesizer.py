@@ -105,16 +105,81 @@ class Voice:
         )
 
 
+@dataclass
+class SampleVoice:
+    """SoundFont sample-playback voice: pitch-shifted looped sample with an
+    attack/release envelope from the region's volume-envelope generators."""
+
+    channel: int
+    key: int
+    velocity: int
+    region: object  # sf2.Region
+    font: object  # sf2.SoundFont
+    out_rate: float
+    position: float = 0.0
+    age: float = 0.0
+    released_at: float | None = None
+    current_mix_gain_left: float = 0.0
+    current_mix_gain_right: float = 0.0
+
+    def done(self) -> bool:
+        r = self.region
+        if self.released_at is not None and self.age > self.released_at + r.release_secs:
+            return True
+        if not r.loops and self.position >= (r.sample.end - r.sample.start):
+            return True
+        return False
+
+    def render_into(self, mix: np.ndarray, master_gain: float) -> None:
+        r = self.region
+        s = r.sample
+        n = len(mix)
+        data = self.font.samples
+        step = r.pitch_ratio(self.key) * s.sample_rate / self.out_rate
+        pos = self.position + step * np.arange(n)
+        length = s.end - s.start
+        if r.loops and s.end_loop > s.start_loop:
+            loop_start = s.start_loop - s.start
+            loop_len = s.end_loop - s.start_loop
+            over = pos >= (s.end_loop - s.start)
+            pos = np.where(over, loop_start + np.mod(pos - loop_start, loop_len), pos)
+        pos = np.clip(pos, 0.0, length - 1.001)
+        i0 = pos.astype(np.int64)
+        frac = (pos - i0).astype(np.float32)
+        base = s.start
+        wave = data[base + i0] * (1.0 - frac) + data[base + i0 + 1] * frac
+        if not r.loops:
+            wave = np.where(self.position + step * np.arange(n) < length, wave, 0.0)
+
+        # envelope: linear attack, sustain 1, linear release
+        t = self.age + np.arange(n) / self.out_rate
+        env = np.minimum(t / max(r.attack_secs, 1e-4), 1.0)
+        if self.released_at is not None:
+            tr = t - self.released_at
+            env = np.where(tr > 0, env * np.maximum(1.0 - tr / max(r.release_secs, 1e-4), 0.0), env)
+        atten = 10.0 ** (-r.attenuation_cb / 200.0)  # centibels
+        vel_gain = self.velocity / 127.0
+        mix += (master_gain * vel_gain * atten) * env.astype(np.float32) * wave
+
+        self.position += step * n
+        self.age += n / self.out_rate
+        self.current_mix_gain_left = float(vel_gain * env[-1])
+        self.current_mix_gain_right = self.current_mix_gain_left
+
+
 class Synthesizer:
-    """Real-time polyphonic renderer (synthesizer.rs at capability level)."""
+    """Real-time polyphonic renderer (synthesizer.rs at capability level).
+    With a `sound_font` (synth/sf2.py SoundFont) voices play SF2 samples;
+    without one they use the additive-harmonic timbres."""
 
     MAX_VOICES = 64
 
-    def __init__(self, sample_rate: int = 22050):
+    def __init__(self, sample_rate: int = 22050, sound_font=None):
         self.sample_rate = sample_rate
-        self.voices: list[Voice] = []
+        self.voices: list = []
         self.programs = [0] * 16
         self.master_gain = 0.18
+        self.sound_font = sound_font
 
     def process_program_change(self, channel: int, program: int) -> None:
         self.programs[channel] = program
@@ -124,6 +189,13 @@ class Synthesizer:
             return
         if len(self.voices) >= self.MAX_VOICES:
             self.voices.pop(0)
+        if self.sound_font is not None:
+            bank = 128 if channel == 9 else 0
+            for region in self.sound_font.regions_for(bank, self.programs[channel], key, velocity):
+                self.voices.append(
+                    SampleVoice(channel, key, velocity, region, self.sound_font, self.sample_rate)
+                )
+            return
         timbre = _FAMILY_TIMBRES.get(self.programs[channel] // 8, _DEFAULT_TIMBRE)
         self.voices.append(
             Voice(channel, key, velocity, key_to_freq(key), timbre)
@@ -137,7 +209,16 @@ class Synthesizer:
     def render(self, left: np.ndarray, right: np.ndarray) -> None:
         """Renders len(left) samples into the provided buffers (the
         rustysynth render API shape). Uses the native C++ voice kernel when
-        built; the NumPy path below is the reference implementation."""
+        built (additive voices only); the NumPy path below is the reference
+        implementation."""
+        if self.sound_font is not None:
+            mix32 = np.zeros(len(left), np.float32)
+            for v in self.voices:
+                v.render_into(mix32, self.master_gain)
+            self.voices = [v for v in self.voices if not v.done()]
+            left[:] = mix32
+            right[:] = mix32
+            return
         if self._try_native_render(left, right):
             return
         n = len(left)

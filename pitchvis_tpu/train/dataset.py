@@ -75,17 +75,20 @@ def annotate_midi(
     params: VqtParameters = TRAIN_VQT_PARAMETERS,
     step_size_in_chunks: int = STEP_SIZE_IN_CHUNKS,
     max_seconds: float | None = None,
+    sound_font=None,
 ) -> list[tuple[dict[int, float], np.ndarray]]:
     """Renders one MIDI file and captures (active_keys, vqt_frame) pairs
     (train.rs:252-351). The VQT of all captured windows runs as ONE batched
-    device call."""
+    device call. `sound_font` (synth/sf2.py SoundFont) switches the
+    synthesizer to SF2 sample playback like the reference's
+    MuseScore_General.sf2 (train.rs:139-140)."""
     sr = int(params.sr)
     delay_samples = int(vqt.delay_secs * 1000.0) * sr // 1000
     delay_samples = (delay_samples // 64) * 64
     if delay_samples == 0:
         raise ValueError("vqt delay too small")
 
-    synth = Synthesizer(sr)
+    synth = Synthesizer(sr, sound_font=sound_font)
     seq = MidiFileSequencer(synth)
     seq.play(midi)
     agc = _HostAgc(0.07, 0.001)
@@ -162,11 +165,17 @@ def generate_dataset(
     params: VqtParameters = TRAIN_VQT_PARAMETERS,
     out_path: str | None = None,
     max_seconds_per_file: float | None = None,
+    sound_font_path: str | None = None,
 ) -> np.ndarray:
     """Full dataset over a MIDI corpus (train.rs:112-207). Returns (and
     optionally saves as .npy) the flat f32 array in the reference's data.npy
     layout."""
     vqt = Vqt(params)
+    sound_font = None
+    if sound_font_path:
+        from ..synth.sf2 import SoundFont
+
+        sound_font = SoundFont.from_file(sound_font_path)
     rows: list[np.ndarray] = []
     for p in midi_paths:
         try:
@@ -174,7 +183,9 @@ def generate_dataset(
         except Exception as e:  # mirrors the reference's per-file tolerance
             print(f"failed to parse midi file {p}: {e}")
             continue
-        annotated = annotate_midi(midi, vqt, params, max_seconds=max_seconds_per_file)
+        annotated = annotate_midi(
+            midi, vqt, params, max_seconds=max_seconds_per_file, sound_font=sound_font
+        )
         for active, spec in annotated:
             rows.append(generate_data_row(active, spec, params.n_buckets))
     data = np.concatenate(rows) if rows else np.zeros(0, np.float32)
