@@ -36,7 +36,16 @@ def main(argv=None) -> int:
     parser.add_argument("--fps", type=float, default=30.0)
     parser.add_argument("--led", help="write pitchvis_serial LED frames to this file")
     parser.add_argument("--frames", type=int, default=0, help="print at most N frame summaries")
+    parser.add_argument(
+        "--serve",
+        action="store_true",
+        help="serve live audio: read interleaved f32 mono samples from stdin "
+        "(e.g. `arecord -f FLOAT_LE -r 22050 -c 1 | python -m pitchvis_tpu.demo --serve`)",
+    )
     args = parser.parse_args(argv)
+
+    if args.serve:
+        return serve(args)
 
     from .core.config import SERIAL_VQT_PARAMETERS, VqtParameters
     from .io.led import led_frame
@@ -98,6 +107,80 @@ def main(argv=None) -> int:
     if led_out is not None:
         led_out.close()
         print(f"wrote {n_hops} LED frames to {args.led}", file=sys.stderr)
+    return 0
+
+
+def serve(args) -> int:
+    """Live serving loop: native ring-bank ingest from stdin, batched device
+    analysis at --fps, per-frame note summaries (and LED frames with --led).
+    The multi-stream production shape is runtime.server.StreamServer; this
+    drives one stream end to end."""
+    import time
+
+    from .core.config import SERIAL_VQT_PARAMETERS, VqtParameters
+    from .io.capture import RawPipeDriver
+    from .io.led import led_frame
+
+    params = SERIAL_VQT_PARAMETERS if args.led else VqtParameters()
+    sr = int(params.sr)
+    hop = int(sr / args.fps)
+
+    try:
+        from .runtime.server import StreamServer
+
+        server = StreamServer(1, params)
+        push = server.push
+        step = lambda: server.step()[0]
+    except RuntimeError:  # no native runtime: device-ring pipeline fallback
+        from .models.pipeline import StreamingPipeline
+
+        pipe = StreamingPipeline(1, params)
+        buf = []
+
+        def push(_s, chunk):
+            buf.append(np.asarray(chunk, np.float32))
+
+        def step():
+            data = np.concatenate(buf) if buf else np.zeros(hop, np.float32)
+            buf.clear()
+            n = max(len(data) // hop, 1) * hop
+            data = np.resize(data, n)
+            out = None
+            for i in range(0, n, hop):
+                out = pipe.step(data[i : i + hop][None, :], hop / sr)
+            return out.analysis
+
+        step = step  # noqa
+
+    driver = RawPipeDriver(sys.stdin.buffer, sr, hop)
+    led_out = open(args.led, "wb") if args.led else None
+    print(f"serving: {sr} Hz, hop {hop} ({args.fps:.0f} fps); ctrl-c to stop", file=sys.stderr)
+    try:
+        while True:
+            chunk = driver.read_chunk()
+            if chunk is None:
+                break
+            push(0, chunk)
+            out = step()
+            peaks = np.asarray(out.peaks[0])
+            centers = np.asarray(out.peak_center[0])
+            sizes = np.asarray(out.peak_size[0])
+            notes = ", ".join(
+                note_name(centers[p], params.range.buckets_per_octave, params.range.min_freq)
+                + f"({sizes[p]:.1f}dB)"
+                for p in np.where(peaks)[0]
+            )
+            print(f"{time.strftime('%H:%M:%S')} calm={float(out.scene_calmness[0]):.2f} {notes}")
+            if led_out is not None:
+                led_out.write(
+                    led_frame(params.range, out.peaks[0], out.peak_center[0], out.peak_size[0])
+                )
+                led_out.flush()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if led_out is not None:
+            led_out.close()
     return 0
 
 

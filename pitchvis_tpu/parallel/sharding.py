@@ -26,6 +26,26 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_multihost_mesh(axis_name: str = "dp", dcn_axis: str = "hosts") -> Mesh:
+    """Multi-host mesh: a ("hosts", "dp") grid with the host axis on DCN and
+    the per-host chip axis on ICI. Streams shard over BOTH axes (they are
+    independent, so the layout only determines which host feeds which
+    streams); weights stay replicated, so no collective ever crosses DCN in
+    serving. Call `jax.distributed.initialize()` first on every host.
+
+    On a single host this degenerates to a (1, n_chips) grid and behaves
+    exactly like `make_mesh`."""
+    devices = np.array(jax.devices())
+    n_hosts = max(int(jax.process_count()), 1)
+    per_host = len(devices) // n_hosts
+    return Mesh(devices.reshape(n_hosts, per_host), (dcn_axis, axis_name))
+
+
+def multihost_stream_sharding(mesh: Mesh) -> NamedSharding:
+    """Stream axis sharded over hosts x chips."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def stream_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
     """Leading (stream/batch) axis sharded over the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -68,3 +68,15 @@ class TestSharding:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(4)
+
+
+class TestMultihost:
+    def test_single_host_degenerates(self):
+        from pitchvis_tpu.parallel.sharding import make_multihost_mesh, multihost_stream_sharding
+
+        mesh = make_multihost_mesh()
+        assert mesh.devices.shape[0] == 1  # one host here
+        assert mesh.axis_names == ("hosts", "dp")
+        sh = multihost_stream_sharding(mesh)
+        x = jax.device_put(np.zeros((16, 8), np.float32), sh)
+        assert len(x.sharding.device_set) == len(jax.devices())
