@@ -98,3 +98,68 @@ class TestSmoothingModeGlue:
             _, out = analysis_step(ap, rng, state, x, 1.0 / 60.0)
             outs[mode] = float(out.x_vqt_smoothed[0])
         assert outs[VqtSmoothingMode.SHORT] > outs[VqtSmoothingMode.LONG] > 0.0
+
+
+class TestCapture:
+    def test_wav_stream_driver(self, tmp_path):
+        from pitchvis_tpu.io.capture import WavStreamDriver, dump_input_devices
+        from pitchvis_tpu.io.wav import save_wav
+
+        sr = 22050
+        t = np.arange(sr // 2) / sr
+        x = (0.3 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+        path = str(tmp_path / "in.wav")
+        save_wav(path, x, sr)
+
+        driver = WavStreamDriver(path, target_sr=sr, chunk_size=735)
+        got = {}
+
+        def push(idx, chunk):
+            got.setdefault(idx, []).append(chunk.copy())
+
+        n = driver.stream_to(push, stream_idx=3)
+        assert n == len(x) // 735
+        joined = np.concatenate(got[3])
+        np.testing.assert_allclose(joined, x[: len(joined)], atol=2e-4)
+
+        import io as _io
+        buf = _io.StringIO()
+        dump_input_devices(file=buf)
+        assert "WavStreamDriver" in buf.getvalue()
+
+    def test_wav_driver_resamples(self, tmp_path):
+        from pitchvis_tpu.io.capture import WavStreamDriver
+        from pitchvis_tpu.io.wav import save_wav
+
+        t = np.arange(44100) / 44100
+        x = (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        path = str(tmp_path / "hi.wav")
+        save_wav(path, x, 44100)
+        driver = WavStreamDriver(path, target_sr=22050, chunk_size=512)
+        assert abs(len(driver.audio) - 22050) < 64
+
+    def test_raw_pipe_driver(self):
+        import io as _io
+
+        from pitchvis_tpu.io.capture import RawPipeDriver
+
+        data = np.arange(1000, dtype=np.float32)
+        driver = RawPipeDriver(_io.BytesIO(data.tobytes()), 22050, 256)
+        chunks = []
+        n = driver.stream_to(lambda i, c: chunks.append(c))
+        assert n == 4  # 3 full + 1 partial
+        np.testing.assert_array_equal(np.concatenate(chunks), data)
+
+
+class TestProfiling:
+    def test_debug_report(self, small_params):
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.utils.profiling import StageTimer, debug_report
+
+        pipe = StreamingPipeline(1, small_params)
+        t = StageTimer()
+        t.observe("vqt", 0.002)
+        rep = debug_report(pipe, t)
+        assert rep["vqt_delay_ms"] > 0
+        assert rep["kernel"]["n_groups"] >= 2
+        assert "vqt" in rep["stages"]
