@@ -180,9 +180,14 @@ def bench_serial(n_streams: int = 256) -> dict:
     }
 
 
-def bench_train(seconds: float = 6.0) -> dict:
+def bench_train(seconds: float = 6.0, device_gen: bool = False) -> dict:
     """Config #5: MIDI -> rendered audio -> batched VQT labels -> model
-    inference; measures labeled frames per second end to end."""
+    inference; measures labeled frames per second end to end. Default is the
+    host-synthesis pipeline (native C++ render/AGC — fastest for a single
+    file: the dagc recurrence is sequential and a lone 22 kHz stream can't
+    use the TPU). device_gen=True uses the fully on-device generator
+    (train/device_dataset.py), whose scan-based AGC amortizes when many
+    files run as one batch."""
     import tempfile
 
     from ..core.config import TRAIN_VQT_PARAMETERS
@@ -190,17 +195,19 @@ def bench_train(seconds: float = 6.0) -> dict:
     from ..ops.vqt import Vqt
     from ..synth.midi import write_midi
     from ..train.dataset import annotate_midi
+    from ..train.device_dataset import annotate_midi_device
     from ..synth.midi import load_midi
 
     params = TRAIN_VQT_PARAMETERS
     vqt = Vqt(params)
+    annotate = annotate_midi_device if device_gen else annotate_midi
     with tempfile.NamedTemporaryFile(suffix=".mid") as f:
         notes = [(i * 0.25, 0.4, 0, 40 + (i % 24), 100) for i in range(int(seconds * 4))]
         write_midi(f.name, notes)
         midi = load_midi(f.name)
-        annotate_midi(midi, vqt, params, max_seconds=seconds)  # warm compile
+        annotate(midi, vqt, params, max_seconds=seconds)  # warm compile
         t0 = time.perf_counter()
-        annotated = annotate_midi(midi, vqt, params, max_seconds=seconds)
+        annotated = annotate(midi, vqt, params, max_seconds=seconds)
         gen_dt = time.perf_counter() - t0
 
     model = PitchMLP(input_bins=5 * params.n_buckets)

@@ -1,0 +1,93 @@
+"""On-device dataset generation vs the host pipeline (train/dataset.py)."""
+
+import numpy as np
+import pytest
+
+from pitchvis_tpu.ops.vqt import Vqt
+from pitchvis_tpu.synth.midi import load_midi, write_midi
+from pitchvis_tpu.synth.synthesizer import MidiFileSequencer, Synthesizer
+from pitchvis_tpu.train.dataset import annotate_midi
+from pitchvis_tpu.train.device_dataset import (
+    annotate_midi_device,
+    generate_dataset_device,
+    render_schedule_device,
+    schedule_from_midi,
+)
+from tests.test_synth import SMALL_TRAIN_PARAMS
+
+
+@pytest.fixture(scope="module")
+def midi_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mid") / "t.mid")
+    write_midi(
+        path,
+        [(0.0, 1.23, 0, 57, 110), (0.51, 0.97, 0, 64, 90), (1.83, 0.77, 1, 45, 100)],
+    )
+    return load_midi(path)
+
+
+class TestDeviceRender:
+    def test_matches_host_synth(self, midi_file):
+        """Absolute-time device rendering equals the host synthesizer's
+        phase-accumulated chunked rendering (same voices, f32 tolerance)."""
+        sr = 22050
+        chunk = 441
+        n = int(sr * 2.8) // chunk * chunk
+        # quantize to the host sequencer's chunk-start dispatch grid
+        sched = schedule_from_midi(midi_file, n / sr, quantize_secs=chunk / sr)
+        dev = np.asarray(render_schedule_device(sched, n, float(sr)))
+
+        synth = Synthesizer(sr)
+        seq = MidiFileSequencer(synth)
+        seq.play(midi_file)
+        host = np.zeros(n, np.float32)
+        chunk = 441
+        buf_r = np.zeros(chunk, np.float32)
+        for i in range(n // chunk):
+            seg = host[i * chunk : (i + 1) * chunk]
+            seq.render(seg, buf_r)
+        # correlation-level match (host caps voices / event timing at chunk
+        # granularity; device dispatches events exactly)
+        err = np.abs(dev - host)
+        assert err.mean() < 2e-3
+        assert np.corrcoef(dev, host)[0, 1] > 0.99
+
+    def test_empty_schedule(self):
+        sched = schedule_from_midi(load_midi_empty(), 1.0)
+        out = np.asarray(render_schedule_device(sched, 1024, 22050.0))
+        assert np.all(out == 0.0)
+
+
+def load_midi_empty():
+    from pitchvis_tpu.synth.midi import MidiFile
+
+    return MidiFile(events=[], length=0.0)
+
+
+class TestDeviceAnnotate:
+    def test_matches_host_pipeline(self, midi_file):
+        """Same capture cadence, equivalent labels, close spectra."""
+        vqt = Vqt(SMALL_TRAIN_PARAMS)
+        host = annotate_midi(midi_file, vqt, SMALL_TRAIN_PARAMS, max_seconds=2.8)
+        dev = annotate_midi_device(midi_file, vqt, SMALL_TRAIN_PARAMS, max_seconds=2.8)
+        assert len(dev) == len(host)
+        for (hk, hs), (dk, ds) in zip(host, dev):
+            assert set(hk) == set(dk)
+            # spectra agree where there is signal (dB floor bins may differ)
+            strong = hs > 10.0
+            if strong.any():
+                assert np.abs(hs[strong] - ds[strong]).max() < 3.0
+            # label gains agree on the >0.5 attack threshold used by
+            # generate_data_row (train.rs:455-457)
+            for k in hk:
+                assert (hk[k] > 0.5) == (dk[k] > 0.5), (k, hk[k], dk[k])
+
+    def test_generate_dataset_device(self, midi_file, tmp_path):
+        path = str(tmp_path / "m.mid")
+        write_midi(path, [(0.0, 3.0, 0, 57, 110)])
+        data = generate_dataset_device([path], SMALL_TRAIN_PARAMS, max_seconds_per_file=3.0)
+        row_len = SMALL_TRAIN_PARAMS.n_buckets + 128
+        rows = data.reshape(-1, row_len)
+        labeled = rows[rows[:, SMALL_TRAIN_PARAMS.n_buckets + 57] > 0.5]
+        assert len(labeled) >= 1
+        assert abs(int(np.argmax(labeled[0, : SMALL_TRAIN_PARAMS.n_buckets])) - 36) <= 2
