@@ -180,34 +180,50 @@ def bench_serial(n_streams: int = 256) -> dict:
     }
 
 
-def bench_train(seconds: float = 6.0, device_gen: bool = False) -> dict:
-    """Config #5: MIDI -> rendered audio -> batched VQT labels -> model
-    inference; measures labeled frames per second end to end. Default is the
-    host-synthesis pipeline (native C++ render/AGC — fastest for a single
-    file: the dagc recurrence is sequential and a lone 22 kHz stream can't
-    use the TPU). device_gen=True uses the fully on-device generator
+def bench_train(seconds: float = 12.0, device_gen: bool = False) -> dict:
+    """Config #5: MIDI -> SoundFont-rendered audio -> batched VQT labels ->
+    model inference; measures labeled frames per second end to end. Default
+    mirrors the reference train.rs (rustysynth + SF2 rendering, AGC, voice
+    snapshots): the full engine's render loop runs in native C++
+    (native/synth_engine.cpp) and the VQT labeling is batched on-device.
+    device_gen=True instead uses the fully on-device generator
     (train/device_dataset.py), whose scan-based AGC amortizes when many
     files run as one batch."""
+    import os
     import tempfile
 
     from ..core.config import TRAIN_VQT_PARAMETERS
     from ..models.pitch_mlp import PitchMLP
     from ..ops.vqt import Vqt
-    from ..synth.midi import write_midi
+    from ..synth.midi import load_midi, write_midi
+    from ..synth.sf2 import SoundFont, write_minimal_sf2
     from ..train.dataset import annotate_midi
     from ..train.device_dataset import annotate_midi_device
-    from ..synth.midi import load_midi
 
     params = TRAIN_VQT_PARAMETERS
     vqt = Vqt(params)
-    annotate = annotate_midi_device if device_gen else annotate_midi
-    with tempfile.NamedTemporaryFile(suffix=".mid") as f:
+    with tempfile.TemporaryDirectory() as d:
+        font = None
+        if not device_gen:
+            # a small GM-ish font: looped sine sample, full key range
+            sr = int(params.sr)
+            sf_path = os.path.join(d, "bench.sf2")
+            wave = 0.7 * np.sin(2 * np.pi * np.arange(sr // 2) * 441.0 / sr)
+            write_minimal_sf2(sf_path, wave, sr, root_key=69, loop=True)
+            font = SoundFont.from_file(sf_path)
+
+        def annotate(m, **kw):
+            if device_gen:
+                return annotate_midi_device(m, vqt, params, **kw)
+            return annotate_midi(m, vqt, params, sound_font=font, **kw)
+
+        midi_path = os.path.join(d, "bench.mid")
         notes = [(i * 0.25, 0.4, 0, 40 + (i % 24), 100) for i in range(int(seconds * 4))]
-        write_midi(f.name, notes)
-        midi = load_midi(f.name)
-        annotate(midi, vqt, params, max_seconds=seconds)  # warm compile
+        write_midi(midi_path, notes)
+        midi = load_midi(midi_path)
+        annotate(midi, max_seconds=seconds)  # warm compile
         t0 = time.perf_counter()
-        annotated = annotate(midi, vqt, params, max_seconds=seconds)
+        annotated = annotate(midi, max_seconds=seconds)
         gen_dt = time.perf_counter() - t0
 
     model = PitchMLP(input_bins=5 * params.n_buckets)

@@ -60,7 +60,8 @@ def golden_signals(params: VqtParameters) -> dict[str, np.ndarray]:
     return {k: v.astype(np.float32) for k, v in sigs.items()}
 
 
-def generate(out_dir: str, params: VqtParameters = GOLDEN_PARAMS) -> str:
+def generate(out_dir: str, params: VqtParameters = GOLDEN_PARAMS,
+             filename: str = "vqt_golden.npz") -> str:
     kernel = get_kernel(params)
     sigs = golden_signals(params)
     blobs = {}
@@ -68,8 +69,51 @@ def generate(out_dir: str, params: VqtParameters = GOLDEN_PARAMS) -> str:
         blobs[f"in_{name}"] = x
         blobs[f"out_{name}"] = vqt_frame_db_np(kernel, x)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "vqt_golden.npz")
+    path = os.path.join(out_dir, filename)
     np.savez_compressed(path, **blobs)
+    return path
+
+
+def streaming_signal(params: VqtParameters, seconds: float = 1.5) -> np.ndarray:
+    """Deterministic streaming test signal: A-major arpeggio with onsets and
+    a noise floor (exercises AGC gain motion and EMA state)."""
+    sr = params.sr
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(42)
+    sig = rng.standard_normal(n) * 0.002
+    for i, f in enumerate([220.0, 277.18, 329.63, 440.0]):
+        start = int(i * 0.3 * sr)
+        seg = slice(start, n)
+        tt = t[seg] - t[start]
+        sig[seg] += np.sin(2 * np.pi * f * tt) * 0.1 * np.exp(-tt * 1.5)
+    return sig.astype(np.float32)
+
+
+def generate_streaming(out_dir: str, params: VqtParameters | None = None,
+                       filename: str = "streaming_golden.npz", hop_hz: float = 60.0,
+                       seconds: float = 1.5) -> str:
+    """Streaming golden: a fixed signal through ring+AGC+VQT at 60 Hz hops
+    (the serving pipeline's stateful path), storing every hop's spectrum.
+    A kernel or dB-semantics or AGC regression shifts these spectra."""
+    from ..core.config import VqtParameters as VP
+    from ..models.pipeline import StreamingPipeline
+
+    params = params or VP()
+    sig = streaming_signal(params, seconds)
+    hop = int(params.sr / hop_hz)
+    pipe = StreamingPipeline(1, params)
+    spectra = []
+    gains = []
+    for i in range(len(sig) // hop):
+        out = pipe.step(sig[None, i * hop : (i + 1) * hop], hop / params.sr)
+        spectra.append(np.asarray(out.x_vqt[0]))
+        gains.append(float(np.asarray(out.gain[0])))
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    np.savez_compressed(
+        path, signal=sig, hop=hop, spectra=np.stack(spectra), gains=np.asarray(gains)
+    )
     return path
 
 
@@ -85,3 +129,5 @@ def load(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
 if __name__ == "__main__":
     target = sys.argv[1] if len(sys.argv) > 1 else "tests/golden"
     print(generate(target))
+    print(generate(target, VqtParameters(), "vqt_golden_default.npz"))
+    print(generate_streaming(target))

@@ -71,12 +71,60 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
     ]
+    # --- full SoundFont engine (native/synth_engine.cpp) ---
+    lib.pv_engine_create.restype = ctypes.c_void_p
+    lib.pv_engine_create.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.pv_engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.pv_engine_reset.argtypes = [ctypes.c_void_p]
+    lib.pv_engine_midi.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 4
+    lib.pv_engine_note_on.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 3
+    lib.pv_engine_note_off.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 2
+    lib.pv_engine_render.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.pv_engine_active_voices.restype = ctypes.c_int32
+    lib.pv_engine_active_voices.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+    ]
+    lib.pv_seq_create.restype = ctypes.c_void_p
+    lib.pv_seq_create.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.pv_seq_destroy.argtypes = [ctypes.c_void_p]
+    lib.pv_seq_render.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.pv_train_synthesize.restype = ctypes.c_int64
+    lib.pv_train_synthesize.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def get_lib():
+    """The loaded CDLL (or None): for callers binding additional wrappers."""
+    return _load()
 
 
 def _fptr(a: np.ndarray):

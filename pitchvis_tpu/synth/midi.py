@@ -23,8 +23,22 @@ class MidiEvent:
 
 
 @dataclass
+class Message:
+    """Raw channel message on the absolute-seconds timeline — what the full
+    synthesizer engine dispatches (rustysynth's MidiFile stores these as
+    (channel, command, data1, data2) + times, midifile.rs:247-253)."""
+
+    time: float
+    channel: int
+    command: int  # status high nibble: 0x80/0x90/0xA0/0xB0/0xC0/0xD0/0xE0
+    data1: int
+    data2: int
+
+
+@dataclass
 class MidiFile:
     events: list[MidiEvent] = field(default_factory=list)
+    messages: list[Message] = field(default_factory=list)
     length: float = 0.0  # seconds
 
     def get_length(self) -> float:
@@ -77,15 +91,12 @@ def parse_midi(data: bytes) -> MidiFile:
             if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
                 d1, d2 = data[tpos], data[tpos + 1]
                 tpos += 2
-                if kind == 0x90 and d2 > 0:
-                    raw_events.append((tick, order, MidiEvent(0.0, "on", ch, d1, d2)))
-                elif kind == 0x80 or (kind == 0x90 and d2 == 0):
-                    raw_events.append((tick, order, MidiEvent(0.0, "off", ch, d1, d2)))
+                raw_events.append((tick, order, Message(0.0, ch, kind, d1, d2)))
             elif kind in (0xC0, 0xD0):
                 d1 = data[tpos]
                 tpos += 1
                 if kind == 0xC0:
-                    raw_events.append((tick, order, MidiEvent(0.0, "program", ch, program=d1)))
+                    raw_events.append((tick, order, Message(0.0, ch, kind, d1, 0)))
             elif status == 0xFF:  # meta
                 meta_type = data[tpos]
                 tpos += 1
@@ -104,6 +115,7 @@ def parse_midi(data: bytes) -> MidiFile:
     raw_events.sort(key=lambda e: (e[0], e[1]))
 
     # tick -> seconds with the tempo map
+    messages: list[Message] = []
     events: list[MidiEvent] = []
     tempo = 500_000  # default 120 bpm
     last_tick = 0
@@ -113,12 +125,19 @@ def parse_midi(data: bytes) -> MidiFile:
         last_tick = tick
         if isinstance(ev, tuple):
             tempo = ev[1]
-        else:
-            ev.time = now
-            events.append(ev)
+            continue
+        ev.time = now
+        messages.append(ev)
+        # legacy convenience view used by the additive synthesizer
+        if ev.command == 0x90 and ev.data2 > 0:
+            events.append(MidiEvent(now, "on", ev.channel, ev.data1, ev.data2))
+        elif ev.command == 0x80 or (ev.command == 0x90 and ev.data2 == 0):
+            events.append(MidiEvent(now, "off", ev.channel, ev.data1, ev.data2))
+        elif ev.command == 0xC0:
+            events.append(MidiEvent(now, "program", ev.channel, program=ev.data1))
 
-    length = max((e.time for e in events), default=0.0)
-    return MidiFile(events=events, length=length)
+    length = max((m.time for m in messages), default=0.0)
+    return MidiFile(events=events, messages=messages, length=length)
 
 
 def load_midi(path: str) -> MidiFile:

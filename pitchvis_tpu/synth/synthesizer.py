@@ -1,18 +1,17 @@
-"""Polyphonic MIDI synthesizer for training-data generation.
+"""Additive-harmonic polyphonic synthesizer for training-data generation.
 
-Capability equivalent of the reference's vendored rustysynth fork
-(rustysynth_fork/src/synthesizer.rs, voice.rs, midi_file_sequencer.rs): a
-voice-per-note renderer with per-voice envelopes and introspectable mix
-gains — the fork's deltas vs upstream are exactly `get_active_voices()` and
-public `key` / `current_mix_gain_*` (synthesizer.rs:525-527, voice.rs:38-39),
-which the training pipeline uses for labels (train.rs:318-338).
+Lightweight companion to the full SoundFont engine (synth/engine.py, the
+behavioral equivalent of the reference's vendored rustysynth): when no SF2
+file is available, per-program bandlimited additive voices with ADSR
+envelopes provide realistic harmonic spectra and the same introspectable
+`key` / `current_mix_gain_*` surface the training labeler reads
+(rustysynth_fork/src/voice.rs:38-39, train.rs:318-338). Shares the
+block-grid `MidiFileSequencer` with the engine, so MIDI events dispatch on
+the 64-sample grid (midifile_sequencer.rs:60-76) in both paths.
 
-Instead of SoundFont sample playback this synthesizer uses per-program
-harmonic additive voices (bandlimited) with ADSR envelopes: training only
-needs realistic harmonic spectra + accurate active-voice gains, not
-general-MIDI fidelity. The render core optionally delegates to the native
-C++ kernel (pitchvis_tpu/synth/native.py) when built; the NumPy path is the
-reference implementation.
+The render core optionally delegates to the native C++ voice kernel
+(runtime/native.py) when built; the NumPy path is the reference
+implementation.
 """
 
 from __future__ import annotations
@@ -22,10 +21,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .midi import MidiFile
+from .engine import MidiFileSequencer  # noqa: F401  (re-exported; shared block sequencer)
 
 A4_KEY = 69
 A4_FREQ = 440.0
+BLOCK_SIZE = 64
 
 
 def key_to_freq(key: int) -> float:
@@ -105,81 +105,32 @@ class Voice:
         )
 
 
-@dataclass
-class SampleVoice:
-    """SoundFont sample-playback voice: pitch-shifted looped sample with an
-    attack/release envelope from the region's volume-envelope generators."""
-
-    channel: int
-    key: int
-    velocity: int
-    region: object  # sf2.Region
-    font: object  # sf2.SoundFont
-    out_rate: float
-    position: float = 0.0
-    age: float = 0.0
-    released_at: float | None = None
-    current_mix_gain_left: float = 0.0
-    current_mix_gain_right: float = 0.0
-
-    def done(self) -> bool:
-        r = self.region
-        if self.released_at is not None and self.age > self.released_at + r.release_secs:
-            return True
-        if not r.loops and self.position >= (r.sample.end - r.sample.start):
-            return True
-        return False
-
-    def render_into(self, mix: np.ndarray, master_gain: float) -> None:
-        r = self.region
-        s = r.sample
-        n = len(mix)
-        data = self.font.samples
-        step = r.pitch_ratio(self.key) * s.sample_rate / self.out_rate
-        pos = self.position + step * np.arange(n)
-        length = s.end - s.start
-        if r.loops and s.end_loop > s.start_loop:
-            loop_start = s.start_loop - s.start
-            loop_len = s.end_loop - s.start_loop
-            over = pos >= (s.end_loop - s.start)
-            pos = np.where(over, loop_start + np.mod(pos - loop_start, loop_len), pos)
-        pos = np.clip(pos, 0.0, length - 1.001)
-        i0 = pos.astype(np.int64)
-        frac = (pos - i0).astype(np.float32)
-        base = s.start
-        wave = data[base + i0] * (1.0 - frac) + data[base + i0 + 1] * frac
-        if not r.loops:
-            wave = np.where(self.position + step * np.arange(n) < length, wave, 0.0)
-
-        # envelope: linear attack, sustain 1, linear release
-        t = self.age + np.arange(n) / self.out_rate
-        env = np.minimum(t / max(r.attack_secs, 1e-4), 1.0)
-        if self.released_at is not None:
-            tr = t - self.released_at
-            env = np.where(tr > 0, env * np.maximum(1.0 - tr / max(r.release_secs, 1e-4), 0.0), env)
-        atten = 10.0 ** (-r.attenuation_cb / 200.0)  # centibels
-        vel_gain = self.velocity / 127.0
-        mix += (master_gain * vel_gain * atten) * env.astype(np.float32) * wave
-
-        self.position += step * n
-        self.age += n / self.out_rate
-        self.current_mix_gain_left = float(vel_gain * env[-1])
-        self.current_mix_gain_right = self.current_mix_gain_left
-
-
 class Synthesizer:
-    """Real-time polyphonic renderer (synthesizer.rs at capability level).
-    With a `sound_font` (synth/sf2.py SoundFont) voices play SF2 samples;
-    without one they use the additive-harmonic timbres."""
+    """Real-time polyphonic additive renderer. API-compatible with the full
+    SoundFont engine where the sequencer and labeler need it
+    (process_midi_message/reset/render/get_active_voices)."""
 
     MAX_VOICES = 64
 
-    def __init__(self, sample_rate: int = 22050, sound_font=None):
+    def __init__(self, sample_rate: int = 22050):
         self.sample_rate = sample_rate
-        self.voices: list = []
+        self.block_size = BLOCK_SIZE
+        self.voices: list[Voice] = []
         self.programs = [0] * 16
         self.master_gain = 0.18
-        self.sound_font = sound_font
+
+    def reset(self) -> None:
+        self.voices = []
+        self.programs = [0] * 16
+
+    def process_midi_message(self, channel: int, command: int, data1: int, data2: int) -> None:
+        if command == 0x90 and data2 > 0:
+            self.note_on(channel, data1, data2)
+        elif command == 0x80 or (command == 0x90 and data2 == 0):
+            self.note_off(channel, data1)
+        elif command == 0xC0:
+            self.process_program_change(channel, data1)
+        # controllers/pitch bend: no-op in the additive model
 
     def process_program_change(self, channel: int, program: int) -> None:
         self.programs[channel] = program
@@ -189,13 +140,6 @@ class Synthesizer:
             return
         if len(self.voices) >= self.MAX_VOICES:
             self.voices.pop(0)
-        if self.sound_font is not None:
-            bank = 128 if channel == 9 else 0
-            for region in self.sound_font.regions_for(bank, self.programs[channel], key, velocity):
-                self.voices.append(
-                    SampleVoice(channel, key, velocity, region, self.sound_font, self.sample_rate)
-                )
-            return
         timbre = _FAMILY_TIMBRES.get(self.programs[channel] // 8, _DEFAULT_TIMBRE)
         self.voices.append(
             Voice(channel, key, velocity, key_to_freq(key), timbre)
@@ -209,16 +153,7 @@ class Synthesizer:
     def render(self, left: np.ndarray, right: np.ndarray) -> None:
         """Renders len(left) samples into the provided buffers (the
         rustysynth render API shape). Uses the native C++ voice kernel when
-        built (additive voices only); the NumPy path below is the reference
-        implementation."""
-        if self.sound_font is not None:
-            mix32 = np.zeros(len(left), np.float32)
-            for v in self.voices:
-                v.render_into(mix32, self.master_gain)
-            self.voices = [v for v in self.voices if not v.done()]
-            left[:] = mix32
-            right[:] = mix32
-            return
+        built; the NumPy path below is the reference implementation."""
         if self._try_native_render(left, right):
             return
         n = len(left)
@@ -302,36 +237,11 @@ class Synthesizer:
         return list(self.voices)
 
 
-class MidiFileSequencer:
-    """Plays a MidiFile through a Synthesizer in render-sized chunks
-    (rustysynth_fork/src/midi_file_sequencer.rs)."""
+def make_synthesizer(sample_rate: int = 22050, sound_font=None):
+    """Factory: the full SoundFont engine when a font is given, the additive
+    synthesizer otherwise. Both share MidiFileSequencer."""
+    if sound_font is not None:
+        from .engine import Synthesizer as EngineSynthesizer, SynthesizerSettings
 
-    def __init__(self, synthesizer: Synthesizer):
-        self.synthesizer = synthesizer
-        self._midi: MidiFile | None = None
-        self._cursor = 0
-        self._now = 0.0
-
-    def play(self, midi: MidiFile, loop: bool = False) -> None:
-        del loop
-        self._midi = midi
-        self._cursor = 0
-        self._now = 0.0
-
-    def render(self, left: np.ndarray, right: np.ndarray) -> None:
-        assert self._midi is not None, "call play() first"
-        n = len(left)
-        end = self._now + n / self.synthesizer.sample_rate
-        events = self._midi.events
-        # dispatch all events inside this chunk at chunk granularity
-        while self._cursor < len(events) and events[self._cursor].time < end:
-            ev = events[self._cursor]
-            if ev.kind == "on":
-                self.synthesizer.note_on(ev.channel, ev.key, ev.velocity)
-            elif ev.kind == "off":
-                self.synthesizer.note_off(ev.channel, ev.key)
-            elif ev.kind == "program":
-                self.synthesizer.process_program_change(ev.channel, ev.program)
-            self._cursor += 1
-        self.synthesizer.render(left, right)
-        self._now = end
+        return EngineSynthesizer(sound_font, SynthesizerSettings(sample_rate))
+    return Synthesizer(sample_rate)

@@ -18,13 +18,17 @@ Pipeline per MIDI file (train.rs:252-351):
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import TRAIN_VQT_PARAMETERS, VqtParameters
 from ..models.pitch_mlp import N_MIDI
 from ..ops.vqt import Vqt
 from ..synth.midi import MidiFile, load_midi
-from ..synth.synthesizer import MidiFileSequencer, Synthesizer
+from ..synth.synthesizer import MidiFileSequencer, make_synthesizer
 
 FREQ_A1_MIDI_KEY_ID = 33  # train.rs:34
 STEP_SIZE_IN_CHUNKS = 3  # train.rs:43
@@ -87,8 +91,32 @@ def annotate_midi(
     delay_samples = (delay_samples // 64) * 64
     if delay_samples == 0:
         raise ValueError("vqt delay too small")
+    bufsize = BUFSIZE_FACTOR * sr
 
-    synth = Synthesizer(sr, sound_font=sound_font)
+    if sound_font is not None:
+        # fast path: the whole render->AGC->snapshot loop in one native call
+        # (native/synth_engine.cpp pv_train_synthesize), VQT batched after
+        try:
+            from ..runtime import native
+
+            native_ok = native.available()
+        except Exception:
+            native_ok = False
+        if native_ok:
+            from ..synth.engine_native import synthesize_labeled
+
+            stream, labels = synthesize_labeled(
+                sound_font, midi, sample_rate=sr, chunk=delay_samples,
+                step_chunks=step_size_in_chunks, max_seconds=max_seconds,
+            )
+            if not labels:
+                return []
+            specs = _stream_specs_device(
+                vqt, stream, len(labels), delay_samples, step_size_in_chunks
+            )
+            return list(zip(labels, specs))
+
+    synth = make_synthesizer(sr, sound_font=sound_font)
     seq = MidiFileSequencer(synth)
     seq.play(midi)
     agc = _HostAgc(0.07, 0.001)
@@ -98,7 +126,6 @@ def annotate_midi(
         length = min(length, max_seconds)
     sample_count = int(sr * length)
 
-    bufsize = BUFSIZE_FACTOR * sr
     ring = np.zeros(bufsize, np.float32)
     left = np.zeros(delay_samples, np.float32)
     right = np.zeros(delay_samples, np.float32)
@@ -136,16 +163,44 @@ def annotate_midi(
 
     if not windows:
         return []
-    # pad the batch to a shape bucket so different MIDI lengths share one
-    # compiled executable
-    stack = np.stack(windows)
-    bucket = max(64, 1 << (len(stack) - 1).bit_length())
-    if bucket != len(stack):
-        stack = np.concatenate(
-            [stack, np.zeros((bucket - len(stack), stack.shape[1]), np.float32)]
-        )
-    specs = np.asarray(vqt.calculate_vqt_batch_in_db(stack))[: len(windows)]
-    return list(zip(key_snapshots, specs))
+    return list(zip(key_snapshots, _batched_specs(vqt, np.stack(windows))))
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "n_caps", "n_fft"))
+def _slice_windows(padded, *, stride: int, n_caps: int, n_fft: int):
+    """Capture windows from the AGC'd stream, on device: window c is the
+    n_fft samples ending at (c+1)*stride. Static slices (no gather) — the
+    stream crosses the host->device link once instead of ~5x per window."""
+    return jnp.stack([padded[(c + 1) * stride : (c + 1) * stride + n_fft] for c in range(n_caps)])
+
+
+def _stream_specs_device(
+    vqt: Vqt, stream: np.ndarray, n_caps: int, chunk: int, step: int
+) -> np.ndarray:
+    """VQT spectra of every capture window, slicing the windows on-device
+    from the (much smaller) stream. Capture count padded to a power-of-two
+    bucket so different MIDI lengths share one compiled executable."""
+    n_fft = vqt.params.n_fft
+    stride = step * chunk
+    bucket = max(16, 1 << (n_caps - 1).bit_length())
+    need = n_fft + bucket * stride
+    padded = np.zeros(need, np.float32)
+    padded[n_fft : n_fft + min(len(stream), need - n_fft)] = stream[: need - n_fft]
+    windows = _slice_windows(
+        jax.device_put(padded), stride=stride, n_caps=bucket, n_fft=n_fft
+    )
+    return np.asarray(vqt.calculate_vqt_batch_in_db(windows))[:n_caps]
+
+
+def _batched_specs(vqt: Vqt, stack: np.ndarray) -> np.ndarray:
+    """All captured windows through the VQT as one device call, padded to a
+    power-of-two shape bucket so different MIDI lengths share one compiled
+    executable."""
+    n = len(stack)
+    bucket = max(64, 1 << (n - 1).bit_length())
+    if bucket != n:
+        stack = np.concatenate([stack, np.zeros((bucket - n, stack.shape[1]), np.float32)])
+    return np.asarray(vqt.calculate_vqt_batch_in_db(stack))[:n]
 
 
 def generate_data_row(

@@ -23,6 +23,7 @@ when no native toolchain is available.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -61,14 +62,16 @@ class NoteSchedule:
 def schedule_from_midi(
     midi: MidiFile, length: float, quantize_secs: float | None = None
 ) -> NoteSchedule:
-    """`quantize_secs` floors event times to the chunk grid, mirroring
-    MidiFileSequencer's dispatch-at-chunk-start behavior so device and host
-    renders align sample-exactly."""
+    """`quantize_secs` rounds event times UP to the dispatch grid, mirroring
+    MidiFileSequencer's block-start dispatch (an event inside a block fires
+    at the start of the next block, midifile_sequencer.rs:60-76) so device
+    and host renders align sample-exactly. Pass 64/sr to match the default
+    block size."""
 
     def q(t: float) -> float:
         if quantize_secs is None:
             return t
-        return (t // quantize_secs) * quantize_secs
+        return math.ceil(t / quantize_secs - 1e-9) * quantize_secs
 
     programs = [0] * 16
     open_notes: dict[tuple[int, int], list] = {}
@@ -268,7 +271,7 @@ def annotate_midi_device(
     if n_samples == 0:
         return []
 
-    sched = schedule_from_midi(midi, length, quantize_secs=chunk / sr)
+    sched = schedule_from_midi(midi, length, quantize_secs=64 / sr)
     if len(sched) == 0:
         return []
     # pad the note table to a power-of-two bucket for compile reuse

@@ -33,8 +33,8 @@ class TestDeviceRender:
         sr = 22050
         chunk = 441
         n = int(sr * 2.8) // chunk * chunk
-        # quantize to the host sequencer's chunk-start dispatch grid
-        sched = schedule_from_midi(midi_file, n / sr, quantize_secs=chunk / sr)
+        # quantize (round up) to the host sequencer's 64-sample block grid
+        sched = schedule_from_midi(midi_file, n / sr, quantize_secs=64 / sr)
         dev = np.asarray(render_schedule_device(sched, n, float(sr)))
 
         synth = Synthesizer(sr)

@@ -1,11 +1,16 @@
 """SoundFont (SF2) parsing + sample-playback tests (vs rustysynth_fork's
-SoundFont/voice render path used by pitchvis_train)."""
+SoundFont layer and render path used by pitchvis_train)."""
 
 import numpy as np
 import pytest
 
-from pitchvis_tpu.synth.sf2 import SoundFont, write_minimal_sf2
-from pitchvis_tpu.synth.synthesizer import Synthesizer
+from pitchvis_tpu.synth.engine import MidiFileSequencer, Synthesizer, SynthesizerSettings
+from pitchvis_tpu.synth.sf2 import (
+    GEN_FINE_TUNE,
+    RegionPair,
+    SoundFont,
+    write_minimal_sf2,
+)
 
 
 @pytest.fixture(scope="module")
@@ -21,18 +26,29 @@ def sine_font(tmp_path_factory):
     return SoundFont.from_file(path), path, sr
 
 
+def _make_synth(font, sr, effects=False):
+    return Synthesizer(font, SynthesizerSettings(sr, enable_reverb_and_chorus=effects))
+
+
 class TestParsing:
     def test_structure(self, sine_font):
         font, _, sr = sine_font
-        assert (0, 0) in font.presets
-        preset = font.presets[(0, 0)]
-        assert len(preset.regions) == 1
-        r = preset.regions[0]
-        assert r.sample.sample_rate == sr
-        assert r.sample.original_pitch == 69
-        assert r.loops
-        assert r.contains(60, 100) and r.contains(0, 1) and r.contains(127, 127)
-        assert len(font.samples) > 0
+        preset = font.lookup_preset(0, 0)
+        assert preset is not None and len(preset.regions) == 1
+        pr = preset.regions[0]
+        ir = font.instruments[pr.instrument].regions[0]
+        assert ir.sample.sample_rate == sr
+        assert ir.sample.original_pitch == 69
+        assert ir.root_key == 69
+        assert ir.sample_modes == 1  # continuous loop
+        assert ir.contains(60, 100) and ir.contains(0, 1) and ir.contains(127, 127)
+        assert pr.contains(64, 100)
+        assert len(font.wave_data) > 0
+
+    def test_gm_fallback_lookup(self, sine_font):
+        font, _, _ = sine_font
+        # unknown bank/patch falls back toward bank 0 / default preset
+        assert font.lookup_preset(5, 99) is font.presets[font.default_preset]
 
     def test_rejects_garbage(self):
         with pytest.raises(ValueError):
@@ -40,12 +56,21 @@ class TestParsing:
         with pytest.raises(ValueError):
             SoundFont(b"not even riff")
 
-    def test_pitch_ratio(self, sine_font):
-        font, _, _ = sine_font
-        r = font.presets[(0, 0)].regions[0]
-        assert r.pitch_ratio(69) == pytest.approx(1.0)
-        assert r.pitch_ratio(81) == pytest.approx(2.0)
-        assert r.pitch_ratio(57) == pytest.approx(0.5)
+    def test_region_pair_sums_generators(self, sine_font, tmp_path):
+        """Preset + instrument generator values are summed
+        (region_pair.rs:19-21)."""
+        sr = 22050
+        path = str(tmp_path / "tuned.sf2")
+        wave = 0.5 * np.sin(2 * np.pi * np.arange(400) / 50)
+        write_minimal_sf2(
+            path, wave, sr, root_key=69,
+            instrument_gens=[(GEN_FINE_TUNE, 30)],
+            preset_gens=[(GEN_FINE_TUNE, 20)],
+        )
+        font = SoundFont.from_file(path)
+        pr = font.presets[0].regions[0]
+        ir = font.instruments[pr.instrument].regions[0]
+        assert RegionPair(pr, ir).fine_tune == 50
 
 
 class TestSamplePlayback:
@@ -59,19 +84,17 @@ class TestSamplePlayback:
 
     def test_root_key_frequency(self, sine_font):
         font, _, sr = sine_font
-        synth = Synthesizer(sr, sound_font=font)
-        f = self._dominant_freq(synth, 69, sr)
+        f = self._dominant_freq(_make_synth(font, sr), 69, sr)
         assert abs(f - 441.0) < 6.0  # the sample itself is 441 Hz
 
     def test_pitch_shifted_octave(self, sine_font):
         font, _, sr = sine_font
-        synth = Synthesizer(sr, sound_font=font)
-        f = self._dominant_freq(synth, 81, sr)
+        f = self._dominant_freq(_make_synth(font, sr), 81, sr)
         assert abs(f - 882.0) < 10.0
 
     def test_loop_sustains(self, sine_font):
         font, _, sr = sine_font
-        synth = Synthesizer(sr, sound_font=font)
+        synth = _make_synth(font, sr)
         synth.note_on(0, 69, 100)
         buf = np.zeros(4096, np.float32)
         for _ in range(10):  # well past the 400-sample sample length
@@ -81,7 +104,7 @@ class TestSamplePlayback:
 
     def test_release_ends_voice(self, sine_font):
         font, _, sr = sine_font
-        synth = Synthesizer(sr, sound_font=font)
+        synth = _make_synth(font, sr)  # no reverb: silence must be exact
         synth.note_on(0, 69, 100)
         buf = np.zeros(2048, np.float32)
         synth.render(buf, buf.copy())
@@ -94,13 +117,14 @@ class TestSamplePlayback:
     def test_active_voice_gains_for_labels(self, sine_font):
         """Label extraction (train.rs:318-338) reads current_mix_gain_*."""
         font, _, sr = sine_font
-        synth = Synthesizer(sr, sound_font=font)
+        synth = _make_synth(font, sr)
         synth.note_on(0, 60, 110)
         buf = np.zeros(1024, np.float32)
         synth.render(buf, buf.copy())
         v = synth.get_active_voices()[0]
         assert v.key == 60
-        assert v.current_mix_gain_left > 0.5
+        # stereo pan at center splits the gain cos/sin(45 deg)
+        assert v.current_mix_gain_left + v.current_mix_gain_right > 0.5
 
 
 class TestDatasetWithFont:
@@ -122,3 +146,27 @@ class TestDatasetWithFont:
         assert len(labeled) >= 1
         # A3 via the font lands at bin 36 (min_freq 110, 36 bpo)
         assert abs(int(np.argmax(labeled[0, : SMALL_TRAIN_PARAMS.n_buckets])) - 36) <= 2
+
+
+class TestSequencerWithFont:
+    def test_block_grid_dispatch(self, sine_font, tmp_path):
+        """Events fire on the 64-sample block grid, not the render-chunk
+        grid (midifile_sequencer.rs:60-76): a note at 0.1 s must start
+        within one block of ceil(0.1*sr/64)*64 even when rendering in one
+        huge chunk."""
+        from pitchvis_tpu.synth.midi import load_midi, write_midi
+
+        font, _, sr = sine_font
+        path = str(tmp_path / "late.mid")
+        write_midi(path, [(0.1, 0.5, 0, 69, 127)])
+        synth = _make_synth(font, sr)
+        seq = MidiFileSequencer(synth)
+        seq.play(load_midi(path))
+        n = sr // 2
+        left = np.zeros(n, np.float32)
+        seq.render(left, left.copy())
+        onset = int(np.argmax(np.abs(left) > 1e-5))
+        expected = int(np.ceil(0.1 * sr / 64)) * 64
+        assert abs(onset - expected) <= 64
+        # and definitely NOT quantized to the ~44k-sample render chunk
+        assert onset < 3000
