@@ -237,10 +237,17 @@ def analysis_step(
     #    batch was measured SLOWER: the extra axis breaks XLA's fusion of the
     #    n^2 masked reductions and materializes the (2, n, n) intermediates.)
     idx = jnp.arange(n)
-    from ..ops.peaks import local_maxima, prominences
+    from ..ops.peaks import local_maxima, prominences_compact
 
-    pre = (local_maxima(x_smoothed), prominences(x_smoothed))
-    pre_raw = (local_maxima(x_vqt), prominences(x_vqt))
+    # prominences on the pair-compacted candidate axis (ops/peaks.py):
+    # exact at every local maximum, at half the O(n^2) reduction cost —
+    # the analysis chain's dominant cost at scale.
+    min_h = min(params.peak_config.min_height, params.bassline_peak_config.min_height)
+    lm_s = local_maxima(x_smoothed)
+    lm_r = local_maxima(x_vqt)
+    pre = (lm_s, prominences_compact(x_smoothed, lm_s, min_h))
+    # calmness peaks use only the general config (calmness.rs:30)
+    pre_raw = (lm_r, prominences_compact(x_vqt, lm_r, params.peak_config.min_height))
     bass_mask = find_peaks_mask(
         x_smoothed, params.bassline_peak_config, rng.buckets_per_octave,
         precomputed=pre, suppress_iterations=params.suppress_iterations,

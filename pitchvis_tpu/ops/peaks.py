@@ -10,15 +10,19 @@ anyway, and a fixed top-K extraction is provided for list consumers.
 
 Algorithms (scipy semantics, filter order: height -> distance -> prominence):
 
-* local maxima with plateau handling (plateau midpoint is the peak position)
+* local maxima with plateau handling (plateau midpoint is the peak position),
+  O(n log n): run boundaries + packed-cummax segmented fills, no n^2 pass
 * prominence via "nearest strictly-greater element" + window minima computed
-  as O(n^2) masked broadcast-reductions
+  as masked broadcast-reductions — O(n^2) at every bin (`prominences`, the
+  reference formulation) or O(n^2/2) on a pair-compacted candidate axis
+  covering every local maximum (`prominences_compact`, the hot path)
 * min-distance suppression (priority = peak height, ties to the higher index,
   matching scipy's argsort-from-the-end iteration) computed as a Jacobi
   fixpoint: a candidate is suppressed iff an unsuppressed higher-priority
   candidate lies strictly within `distance`. The greedy solution is the
-  unique fixpoint; iteration converges in <= longest decreasing-priority
-  chain (practically 2-3 rounds).
+  unique fixpoint; the default while_loop iterates to exact convergence
+  (musical spectra: 2-3 rounds; adversarial decreasing-priority chains: up
+  to the chain length, which is why the bounded mode is opt-in).
 
 TPU performance rule observed throughout: NO data-dependent gathers or
 scatters. Batched gathers inside loops/scans lower to serialized
@@ -57,26 +61,40 @@ def first_allowed_bin(buckets_per_octave: int) -> int:
 def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
     """Boolean mask of local maxima with plateau handling: a plateau run
     [s, e] is a peak iff x[s-1] < x[s] and x[e+1] < x[e]; the peak position
-    is the plateau midpoint (s + e) // 2. Edges cannot be peaks."""
+    is the plateau midpoint (s + e) // 2. Edges cannot be peaks.
+
+    O(n log n), gather-free: the neighbor comparisons x[s-1] < x and
+    x[e+1] < x are evaluated once at each run boundary (where the neighbor
+    is just roll(x, +-1)) and propagated along the run by a segmented
+    forward/backward fill, implemented as a cummax over (index, flag) pairs
+    packed into one integer (the index majorizes, so the scan carries the
+    flag of the *latest* run boundary at or before each position)."""
     n = x.shape[0]
     idx = jnp.arange(n)
 
-    # run_start[i]: first index of the equal-value run containing i
+    # run boundaries of equal-value plateaus
     change = jnp.concatenate([jnp.ones(1, bool), x[1:] != x[:-1]])
-    run_start = jax.lax.cummax(jnp.where(change, idx, 0))
-    # run_end[i]: last index of the run
     change_next = jnp.concatenate([x[1:] != x[:-1], jnp.ones(1, bool)])
-    run_end = n - 1 - jax.lax.cummax(jnp.where(change_next, n - 1 - idx, 0)[::-1])[::-1]
 
-    s = run_start
-    e = run_end
-    # x[s-1] < x and x[e+1] < x without data-dependent gathers: masked n^2
-    # any-reductions (j == s-1 / j == e+1 select exactly one column)
-    j = idx[None, :]
-    xj = x[None, :]
-    xi = x[:, None]
-    prev_less = jnp.any((j == (s - 1)[:, None]) & (xj < xi), axis=1)
-    next_less = jnp.any((j == (e + 1)[:, None]) & (xj < xi), axis=1)
+    # Flags at run boundaries. The roll wrap-around only corrupts position 0
+    # (start) / n-1 (end), whose runs are excluded by s > 0 / e < n-1 below.
+    start_flag = change & (jnp.roll(x, 1) < x)
+    end_flag = change_next & (jnp.roll(x, -1) < x)
+
+    # forward-fill (run_start, start_flag) along runs in ONE packed cummax
+    packed = jax.lax.cummax(
+        jnp.where(change, idx * 2 + start_flag.astype(jnp.int32), -1)
+    )
+    s = packed >> 1
+    prev_less = packed % 2 == 1
+    # backward-fill (run_end, end_flag)
+    ridx = n - 1 - idx
+    packed_r = jax.lax.cummax(
+        jnp.where(change_next, ridx * 2 + end_flag.astype(jnp.int32), -1)[::-1]
+    )[::-1]
+    e = n - 1 - (packed_r >> 1)
+    next_less = packed_r % 2 == 1
+
     prev_ok = (s > 0) & prev_less
     next_ok = (e < n - 1) & next_less
     mid = (s + e) // 2
@@ -116,6 +134,56 @@ def prominences(x: jnp.ndarray) -> jnp.ndarray:
         jnp.where((j >= i) & (j < right_bound[:, None]), xj, _POS), axis=1
     )
     return x - jnp.maximum(left_min, right_min)
+
+
+def prominences_compact(
+    x: jnp.ndarray,
+    lmax: jnp.ndarray,
+    min_height: float | None = None,
+) -> jnp.ndarray:
+    """Per-bin prominences, computed only at local maxima (optionally
+    pre-filtered by ``min_height``); all other bins read as -inf-ish.
+    Exactly equal to :func:`prominences` at every local-maximum bin —
+    downstream peak masks only ever read prominence there.
+
+    The trick: consecutive local maxima are always >= 2 bins apart (between
+    two plateau-peaks there must be a strictly lower valley bin), so the
+    bin pair (2k, 2k+1) holds at most one candidate. Compaction to n/2
+    candidate slots and the scatter-back are therefore pure reshapes — no
+    sort, no top-k, no gathers — and the four O(n^2) masked reductions of
+    :func:`prominences` (the dominant analysis-chain cost at scale) become
+    O(n^2/2) with every slot meaningful."""
+    n = x.shape[0]
+    n2 = (n + 1) // 2
+    pad = 2 * n2 - n
+    xp = jnp.pad(x, (0, pad), constant_values=_NEG)
+    lp = jnp.pad(lmax, (0, pad), constant_values=False)
+    if min_height is not None:
+        lp = lp & (xp >= min_height)
+    x2 = xp.reshape(n2, 2)
+    l2 = lp.reshape(n2, 2)
+    first = l2[:, 0]
+    valid = (first | l2[:, 1])[:, None]
+    c = jnp.where(first, jnp.arange(n2) * 2, jnp.arange(n2) * 2 + 1)[:, None]
+    h = jnp.where(first, x2[:, 0], x2[:, 1])[:, None]
+    # invalid slots get h=+inf so the bound reductions terminate immediately
+    hi = jnp.where(valid, h, _POS)
+
+    j = jnp.arange(n)[None, :]
+    xj = x[None, :]
+    # same four reductions as `prominences`, on the compact candidate axis
+    left_bound = jnp.max(jnp.where((j < c) & (xj > hi), j, -1), axis=1, keepdims=True)
+    right_bound = jnp.min(jnp.where((j > c) & (xj > hi), j, n), axis=1, keepdims=True)
+    left_min = jnp.min(jnp.where((j > left_bound) & (j <= c), xj, _POS), axis=1, keepdims=True)
+    right_min = jnp.min(jnp.where((j >= c) & (j < right_bound), xj, _POS), axis=1, keepdims=True)
+    prom_k = jnp.where(valid, h - jnp.maximum(left_min, right_min), _NEG)[:, 0]
+
+    # scatter back to bin space: elementwise selects + reshape
+    out2 = jnp.stack(
+        [jnp.where(first, prom_k, _NEG), jnp.where(~first & l2[:, 1], prom_k, _NEG)],
+        axis=1,
+    )
+    return out2.reshape(-1)[:n]
 
 
 def _suppress_by_distance(
