@@ -38,11 +38,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import PeakDetectionParameters, VqtRange
 
-_NEG = jnp.float32(-3.0e38)
-_POS = jnp.float32(3.0e38)
+# NumPy (not jnp) scalars: a module-level jnp constant would initialize the
+# JAX backend at import time, pinning the platform before user code (or the
+# golden generator / tests) can choose it.
+_NEG = np.float32(-3.0e38)
+_POS = np.float32(3.0e38)
 
 
 def min_separation_bins(buckets_per_octave: int) -> int:
