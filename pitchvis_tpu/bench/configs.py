@@ -96,16 +96,35 @@ def bench_offline_vqt(batch: int = 2048, path: str = "pallas", inner: int = 32) 
     }
 
 
-def bench_streaming(n_streams: int = 512, hops_per_call: int = 8) -> dict:
+def bench_streaming(n_streams: int = 512, hops_per_call: int = 8, fused: bool = False) -> dict:
     """Config #2: 60 Hz hops through ring+AGC+VQT+analysis; measures
     aggregate realtime factor per chip (streams * realtime). Hops are
     micro-batched over time (lax.scan inside one device call) to amortize
-    dispatch, the intended shape for >realtime workloads."""
+    dispatch, the intended shape for >realtime workloads.
+
+    fused=True additionally runs the ML inference and LED color stages in
+    the SAME device program (the reference's single frame update,
+    common.rs:2076-2118) — the overhead vs analysis-only is the fusion
+    cost of the full display-ready serving step."""
     from ..core.config import VqtParameters
     from ..models.pipeline import StreamingPipeline
 
     params = VqtParameters()
-    pipe = StreamingPipeline(n_streams, params)
+    if fused:
+        from ..models.pitch_mlp import PitchMLP
+
+        t_window = 3
+        model = PitchMLP(input_bins=t_window * params.n_buckets)
+        mp = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 1, t_window * params.n_buckets), np.float32),
+        )
+        pipe = StreamingPipeline(
+            n_streams, params, ml_model=model, ml_params=mp,
+            ml_t_window=t_window, with_led=True,
+        )
+    else:
+        pipe = StreamingPipeline(n_streams, params)
     hop = int(params.sr / 60.0)
     rng = np.random.default_rng(0)
     chunks = jax.device_put(
@@ -119,7 +138,9 @@ def bench_streaming(n_streams: int = 512, hops_per_call: int = 8) -> dict:
     dt = _best_time(step, n_iter=5) / hops_per_call
     realtime_factor = n_streams * dt_hop / dt
     return {
-        "metric": "streaming_realtime_factor_per_chip",
+        "metric": "streaming_fused_realtime_factor_per_chip"
+        if fused
+        else "streaming_realtime_factor_per_chip",
         "value": round(realtime_factor, 1),
         "unit": "x realtime (aggregate)",
         "vs_baseline": round(realtime_factor / 100.0, 2),  # ~100x realtime/core ref
@@ -165,7 +186,11 @@ def bench_analysis(n_streams: int = 2048, inner: int = 32) -> dict:
     }
 
 
-def bench_serial(n_streams: int = 256) -> dict:
+def bench_serial(n_streams: int = 2048, inner: int = 32) -> dict:
+    """Config #4: spectrum -> peak splat -> LCh color mapping -> u8 LED
+    values. Scan-amortized inside one device program like the other
+    throughput configs (the stage itself is tiny — per-call dispatch through
+    the tunnel would dominate by 100x otherwise)."""
     from ..core.config import SERIAL_VQT_PARAMETERS
     from ..io.led import led_frame_values
 
@@ -174,15 +199,25 @@ def bench_serial(n_streams: int = 256) -> dict:
     rng = np.random.default_rng(0)
     mask = jnp.asarray(rng.random((n_streams, n)) > 0.9)
     center = jnp.asarray(np.tile(np.arange(n, dtype=np.float32) + 0.3, (n_streams, 1)))
-    size = jnp.asarray((rng.random((n_streams, n)) * 20).astype(np.float32))
+    size = jax.device_put((rng.random((n_streams, n)) * 20).astype(np.float32))
 
-    batched = jax.jit(jax.vmap(lambda m, c, s: led_frame_values(rng_cfg, m, c, s)))
+    batched = jax.vmap(lambda m, c, s: led_frame_values(rng_cfg, m, c, s))
 
-    def step():
-        return batched(mask, center, size)
+    @jax.jit
+    def run(mask, center, size):
+        def body(carry, i):
+            out = batched(mask, center, size * (1.0 + 1e-4 * i))
+            return carry + jnp.sum(out.astype(jnp.float32)), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner, dtype=jnp.float32))
+        return total
 
-    dt = _best_time(step, n_iter=10)
-    fps = n_streams / dt
+    float(run(mask, center, size))  # warm + hard barrier
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(mask, center, size))
+        best = min(best, time.perf_counter() - t0)
+    fps = n_streams * inner / best
     return {
         "metric": "led_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -256,6 +291,7 @@ def bench_train(seconds: float = 12.0, device_gen: bool = False) -> dict:
 ALL_CONFIGS = {
     "offline_vqt": bench_offline_vqt,
     "streaming": bench_streaming,
+    "streaming_fused": lambda: bench_streaming(fused=True),
     "analysis": bench_analysis,
     "serial": bench_serial,
     "train": bench_train,

@@ -32,17 +32,39 @@ def splat_peaks(
 ) -> jnp.ndarray:
     """Splat continuous peaks onto the bin grid (main.rs:130-140): bin
     floor(c) gets size*(1 - fract^1.9), bin floor(c)+1 gets size*fract^1.9.
-    Matching the reference, overlapping peaks overwrite rather than add."""
-    lower = jnp.clip(jnp.floor(center).astype(jnp.int32), 0, n_buckets - 1)
+    Matching the reference, overlapping peaks overwrite rather than add
+    (iteration in ascending center order => the higher peak index wins).
+
+    Gather/scatter-free: continuous centers are within one bin of their peak
+    bin (enhance_peaks_continuous clamps the parabola offset), so the write
+    targets are bounded offsets — a bin t can only receive from peaks at
+    bins t-2..t+1. Each candidate source is a static roll; applying them in
+    ascending source order reproduces the overwrite precedence. The previous
+    `.at[].set` formulation lowered to serialized per-peak dynamic-slices on
+    TPU (the dominant cost of the whole LED stage)."""
+    n = n_buckets
+    idx = jnp.arange(n)
+    lower = jnp.clip(jnp.floor(center).astype(jnp.int32), 0, n - 1)
+    rel = lower - idx  # in {-1, 0, 1} at peak bins
     frac_pow = (center - jnp.floor(center)) ** SPLAT_POW
+    v_lo = size * (1.0 - frac_pow)
+    v_hi = size * frac_pow
+    hi_valid = peak_mask & (lower < n - 1)
 
-    lo_target = jnp.where(peak_mask, lower, n_buckets)
-    hi_valid = peak_mask & (lower < n_buckets - 1)
-    hi_target = jnp.where(hi_valid, lower + 1, n_buckets)
-
-    x = jnp.zeros(n_buckets, jnp.float32)
-    x = x.at[lo_target].set(size * (1.0 - frac_pow), mode="drop")
-    x = x.at[hi_target].set(size * frac_pow, mode="drop")
+    x = jnp.zeros(n, jnp.float32)
+    # source peak at bin i = t + i_rel; ascending i_rel = ascending overwrite
+    # precedence (the last write wins, like the reference's loop)
+    for i_rel in (-2, -1, 0, 1):
+        shift = -i_rel  # roll so position t reads source arrays at t + i_rel
+        valid = (idx + i_rel >= 0) & (idx + i_rel < n)
+        mask_s = jnp.roll(peak_mask, shift) & valid
+        rel_s = jnp.roll(rel, shift)
+        # lo write lands at t when lower(i) = i + rel = t, i.e. rel == -i_rel
+        write_lo = mask_s & (rel_s == -i_rel)
+        x = jnp.where(write_lo, jnp.roll(v_lo, shift), x)
+        # hi write lands at t when lower(i) + 1 = t, i.e. rel == -i_rel - 1
+        write_hi = jnp.roll(hi_valid, shift) & valid & (rel_s == -i_rel - 1)
+        x = jnp.where(write_hi, jnp.roll(v_hi, shift), x)
     return x
 
 

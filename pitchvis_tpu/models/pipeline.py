@@ -25,33 +25,47 @@ from ..kernel.builder import get_kernel
 from ..ops.vqt import VqtArrays, vqt_db_batch
 from ..stream.ring import RingState, ring_push, ring_window
 from .analysis import AnalysisOutputs, AnalysisState, analysis_step, init_state_batch
+from .ml_system import MlState, init_ml_state_batch, ml_step_batch
 
 
 class PipelineState(struct.PyTreeNode):
     ring: RingState
     analysis: AnalysisState
+    # rolling VQT history for the fused ML inference stage; None when the
+    # pipeline runs without ML (a None leaf is an empty pytree under jit)
+    ml: MlState | None = None
 
 
 class PipelineOutputs(struct.PyTreeNode):
     x_vqt: jnp.ndarray  # (B, n_buckets) raw dB spectra
     gain: jnp.ndarray  # (B,) AGC gain (RingBuffer.gain diagnostic)
     analysis: AnalysisOutputs
+    ml_midi: jnp.ndarray | None = None  # (B, 128) MIDI strengths (fused ML)
+    led: jnp.ndarray | None = None  # (B, n_buckets, 3) u8 LED colors
 
 
 def init_pipeline_state(
-    n_streams: int, params: VqtParameters, buffer_len: int | None = None
+    n_streams: int,
+    params: VqtParameters,
+    buffer_len: int | None = None,
+    ml_t_window: int | None = None,
 ) -> PipelineState:
     buffer_len = buffer_len or params.n_fft
     assert buffer_len >= params.n_fft
     return PipelineState(
         ring=RingState.init(n_streams, buffer_len),
         analysis=init_state_batch(n_streams, params.n_buckets),
+        ml=(
+            init_ml_state_batch(n_streams, ml_t_window, params.n_buckets)
+            if ml_t_window
+            else None
+        ),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("vqt_params", "analysis_params", "agc_params", "path"),
+    static_argnames=("vqt_params", "analysis_params", "agc_params", "path", "ml_model", "with_led"),
 )
 def pipeline_step(
     vqt_arrays: VqtArrays,
@@ -63,11 +77,21 @@ def pipeline_step(
     analysis_params: AnalysisParameters = AnalysisParameters(),
     agc_params: AgcParameters = AgcParameters(),
     path: str = "time",
+    ml_model=None,
+    ml_params=None,
+    with_led: bool = False,
 ) -> tuple[PipelineState, PipelineOutputs]:
     """One hop for all streams: push chunk (NaN-guarded, silence-frozen AGC),
-    VQT on the trailing n_fft window, full analysis step.
+    VQT on the trailing n_fft window, full analysis step — and, optionally,
+    the ML inference and LED color stages fused into the SAME device
+    program, mirroring the reference's single frame update
+    (pitchvis_viewer/src/app/common.rs:2076-2118: vqt -> analysis -> display
+    in one Bevy Update pass).
 
     chunk: (B, hop) raw samples; dt: scalar or (B,) seconds per hop.
+    ml_model/ml_params: a PitchMLP + its params; requires state.ml (see
+    init_pipeline_state(ml_t_window=...)). with_led: emit the per-stream
+    (n_buckets, 3) u8 LED color block (io/led.py) alongside the analysis.
     """
     ring = ring_push(state.ring, chunk, agc_params)
     window = ring_window(ring, vqt_params.n_fft)
@@ -78,15 +102,33 @@ def pipeline_step(
         lambda s, x, d: analysis_step(analysis_params, vqt_params.range, s, x, d)
     )(state.analysis, x_vqt, dt_b)
 
+    new_ml = state.ml
+    ml_midi = None
+    if ml_model is not None:
+        # fused ML stage (ml_system.rs:24-38): rolling smoothed-VQT history
+        new_ml, ml_midi = ml_step_batch(
+            ml_model, ml_params, state.ml, outputs.x_vqt_smoothed
+        )
+
+    led = None
+    if with_led:
+        from ..io.led import led_frame_values
+
+        led = jax.vmap(
+            lambda m, c, s: led_frame_values(vqt_params.range, m, c, s)
+        )(outputs.peaks, outputs.peak_center, outputs.peak_size)
+
     return (
-        PipelineState(ring=ring, analysis=new_analysis),
-        PipelineOutputs(x_vqt=x_vqt, gain=ring.gain, analysis=outputs),
+        PipelineState(ring=ring, analysis=new_analysis, ml=new_ml),
+        PipelineOutputs(
+            x_vqt=x_vqt, gain=ring.gain, analysis=outputs, ml_midi=ml_midi, led=led
+        ),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("vqt_params", "analysis_params", "agc_params", "path"),
+    static_argnames=("vqt_params", "analysis_params", "agc_params", "path", "ml_model", "with_led"),
 )
 def pipeline_step_multi(
     vqt_arrays: VqtArrays,
@@ -98,6 +140,9 @@ def pipeline_step_multi(
     analysis_params: AnalysisParameters = AnalysisParameters(),
     agc_params: AgcParameters = AgcParameters(),
     path: str = "time",
+    ml_model=None,
+    ml_params=None,
+    with_led: bool = False,
 ) -> tuple[PipelineState, PipelineOutputs]:
     """K hops in one device call (lax.scan over the hop axis): amortizes the
     per-dispatch overhead for throughput-oriented workloads (offline
@@ -116,6 +161,9 @@ def pipeline_step_multi(
             analysis_params=analysis_params,
             agc_params=agc_params,
             path=path,
+            ml_model=ml_model,
+            ml_params=ml_params,
+            with_led=with_led,
         )
         return s2, out
 
@@ -137,39 +185,47 @@ class StreamingPipeline:
         analysis_params: AnalysisParameters | None = None,
         agc_params: AgcParameters | None = None,
         path: str = "time",
+        ml_model=None,
+        ml_params=None,
+        ml_t_window: int = 3,
+        with_led: bool = False,
     ):
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.agc_params = agc_params or AgcParameters()
         self.path = path
+        self.ml_model = ml_model
+        self.ml_params = ml_params
+        self.with_led = with_led
         self.kernel = get_kernel(self.vqt_params)
         self.arrays = VqtArrays.from_kernel(self.kernel)
-        self.state = init_pipeline_state(n_streams, self.vqt_params)
+        self.state = init_pipeline_state(
+            n_streams,
+            self.vqt_params,
+            ml_t_window=ml_t_window if ml_model is not None else None,
+        )
         self.delay_secs = self.kernel.delay_secs
 
-    def step(self, chunk, dt) -> PipelineOutputs:
-        self.state, out = pipeline_step(
-            self.arrays,
-            self.state,
-            jnp.asarray(chunk, jnp.float32),
-            dt,
+    def _kwargs(self):
+        return dict(
             vqt_params=self.vqt_params,
             analysis_params=self.analysis_params,
             agc_params=self.agc_params,
             path=self.path,
+            ml_model=self.ml_model,
+            ml_params=self.ml_params,
+            with_led=self.with_led,
+        )
+
+    def step(self, chunk, dt) -> PipelineOutputs:
+        self.state, out = pipeline_step(
+            self.arrays, self.state, jnp.asarray(chunk, jnp.float32), dt, **self._kwargs()
         )
         return out
 
     def step_multi(self, chunks, dt) -> PipelineOutputs:
         """(K, B, hop) chunks -> K hops in one device call."""
         self.state, out = pipeline_step_multi(
-            self.arrays,
-            self.state,
-            jnp.asarray(chunks, jnp.float32),
-            dt,
-            vqt_params=self.vqt_params,
-            analysis_params=self.analysis_params,
-            agc_params=self.agc_params,
-            path=self.path,
+            self.arrays, self.state, jnp.asarray(chunks, jnp.float32), dt, **self._kwargs()
         )
         return out

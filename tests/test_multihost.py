@@ -1,0 +1,151 @@
+"""Multi-host execution evidence (VERDICT round-1 item 7).
+
+Two layers:
+
+* A REAL 2-process `jax.distributed` run (each process a 4-device CPU
+  "host") driving the full serving pipeline over the ("hosts", "dp") mesh
+  with host-local stream ingest — see multihost_worker.py.
+* Single-process checks on a fake (2, 4) grid: the serving step's compiled
+  HLO must contain NO collectives (streams are independent; communication
+  would put DCN in the hot path), while the dp-sharded ML training step
+  MUST contain an all-reduce (gradient psum) — proving the detector sees
+  collectives when they exist.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+_COLLECTIVES = (
+    "all-reduce",
+    "all-gather",
+    "all-to-all",
+    "collective-permute",
+    "reduce-scatter",
+)
+
+
+def _hosts_dp_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("hosts", "dp"))
+
+
+class TestFakeGrid:
+    def test_serving_step_has_no_collectives(self, small_params, small_kernel):
+        """pipeline_step over a (hosts, dp) grid compiles to collective-free
+        code: each stream's chain is device-local end to end."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pitchvis_tpu.models.pipeline import init_pipeline_state, pipeline_step
+        from pitchvis_tpu.ops.vqt import VqtArrays
+
+        mesh = _hosts_dp_mesh()
+        sh = NamedSharding(mesh, P(("hosts", "dp")))
+        rep = NamedSharding(mesh, P())
+        arrays = jax.tree.map(
+            lambda a: jax.device_put(a, rep), VqtArrays.from_kernel(small_kernel)
+        )
+        state = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), sh),
+            init_pipeline_state(16, small_params),
+        )
+        chunk = jax.device_put(np.zeros((16, 368), np.float32), sh)
+
+        text = (
+            pipeline_step.lower(arrays, state, chunk, 1.0 / 60.0, vqt_params=small_params)
+            .compile()
+            .as_text()
+        )
+        for op in _COLLECTIVES:
+            assert op not in text, f"collective {op} in the serving hot path"
+
+        # and it actually runs, outputs sharded over all 8 devices
+        state, out = pipeline_step(arrays, state, chunk, 1.0 / 60.0, vqt_params=small_params)
+        assert len(out.x_vqt.sharding.device_set) == 8
+
+    def test_train_step_has_dp_allreduce(self):
+        """Counter-check: replicated params + sharded batch forces a gradient
+        all-reduce — the collective detector is meaningful."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+        from pitchvis_tpu.train.train import bce_loss
+
+        mesh = _hosts_dp_mesh()
+        sh = NamedSharding(mesh, P(("hosts", "dp")))
+        rep = NamedSharding(mesh, P())
+
+        model = PitchMLP(input_bins=48, mlp_size=16, mlp_layers=1)
+        mp = jax.tree.map(
+            lambda a: jax.device_put(a, rep),
+            model.init(jax.random.PRNGKey(0), np.zeros((1, 1, 48), np.float32)),
+        )
+        tx = optax.adam(1e-4)
+        opt = jax.tree.map(lambda a: jax.device_put(a, rep), tx.init(mp))
+        x = jax.device_put(np.zeros((16, 1, 48), np.float32), sh)
+        y = jax.device_put(np.zeros((16, 128), np.float32), sh)
+
+        @jax.jit
+        def train_step(mp, opt, x, y):
+            loss, grads = jax.value_and_grad(lambda p: bce_loss(model.apply(p, x), y))(mp)
+            updates, opt = tx.update(grads, opt, mp)
+            return optax.apply_updates(mp, updates), opt, loss
+
+        text = train_step.lower(mp, opt, x, y).compile().as_text()
+        assert "all-reduce" in text
+
+
+class TestTwoProcessDistributed:
+    def test_two_host_serving_pipeline(self, tmp_path):
+        """Spawns 2 real processes (jax.distributed, 4 CPU devices each) that
+        run the serving pipeline over make_multihost_mesh with host-local
+        ingest and assert a collective-free HLO. See multihost_worker.py."""
+        # pre-warm the worker's kernel cache from ONE process (two workers
+        # racing the same cache entry could collide on first build)
+        from pitchvis_tpu.core.config import VqtParameters, VqtRange
+        from pitchvis_tpu.kernel.builder import get_kernel
+
+        get_kernel(
+            VqtParameters(
+                n_fft=2048,
+                range=VqtRange(min_freq=220.0, octaves=3, buckets_per_octave=12),
+            )
+        )
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            assert f"[{i}] MULTIHOST_OK" in out

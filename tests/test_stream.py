@@ -185,3 +185,86 @@ class TestPipeline:
         assert not np.asarray(out.analysis.peaks[1]).any()  # silent stream
         assert float(out.gain[0]) > 1.0  # AGC pulled quiet tone up
         assert float(out.gain[1]) == 1.0  # silence frozen
+
+
+class TestFusedPipeline:
+    """VERDICT item 8: ML inference + LED color stages fused into the one
+    jitted serving step (mirrors common.rs:2076-2118's single frame update)."""
+
+    def test_fused_matches_separate_stages(self, small_params):
+        import jax
+        from pitchvis_tpu.io.led import led_frame_values
+        from pitchvis_tpu.models.ml_system import init_ml_state_batch, ml_step_batch
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+
+        t_window = 3
+        n = small_params.n_buckets
+        model = PitchMLP(input_bins=t_window * n, mlp_size=32, mlp_layers=1)
+        mp = model.init(jax.random.PRNGKey(0), np.zeros((1, 1, t_window * n), np.float32))
+
+        rng = np.random.default_rng(0)
+        hop = 368
+        chunks = (rng.standard_normal((3, 2, hop)) * 0.05).astype(np.float32)
+        dt = hop / small_params.sr
+
+        fused = StreamingPipeline(
+            2, small_params, ml_model=model, ml_params=mp,
+            ml_t_window=t_window, with_led=True,
+        )
+        plain = StreamingPipeline(2, small_params)
+
+        ml_state = init_ml_state_batch(2, t_window, n)
+        for i in range(3):
+            out_f = fused.step(chunks[i], dt)
+            out_p = plain.step(chunks[i], dt)
+            ml_state, want_ml = ml_step_batch(model, mp, ml_state, out_p.analysis.x_vqt_smoothed)
+
+        # analysis outputs unchanged by fusion
+        np.testing.assert_allclose(
+            np.asarray(out_f.x_vqt), np.asarray(out_p.x_vqt), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_f.analysis.peaks), np.asarray(out_p.analysis.peaks)
+        )
+        # fused ML equals the standalone stage fed with the same spectra
+        assert out_f.ml_midi.shape == (2, 128)
+        np.testing.assert_allclose(np.asarray(out_f.ml_midi), np.asarray(want_ml), atol=1e-4)
+        # fused LED equals the standalone stage on the same analysis outputs
+        want_led = jax.vmap(
+            lambda m, c, s: led_frame_values(small_params.range, m, c, s)
+        )(out_p.analysis.peaks, out_p.analysis.peak_center, out_p.analysis.peak_size)
+        assert out_f.led.dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(out_f.led), np.asarray(want_led))
+
+    def test_fused_multi_hop(self, small_params):
+        """step_multi carries the ML history through the scan."""
+        import jax
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+
+        t_window = 3
+        n = small_params.n_buckets
+        model = PitchMLP(input_bins=t_window * n, mlp_size=32, mlp_layers=1)
+        mp = model.init(jax.random.PRNGKey(0), np.zeros((1, 1, t_window * n), np.float32))
+
+        rng = np.random.default_rng(1)
+        hop = 368
+        chunks = (rng.standard_normal((4, 2, hop)) * 0.05).astype(np.float32)
+        dt = hop / small_params.sr
+
+        multi = StreamingPipeline(
+            2, small_params, ml_model=model, ml_params=mp,
+            ml_t_window=t_window, with_led=True,
+        )
+        seq = StreamingPipeline(
+            2, small_params, ml_model=model, ml_params=mp,
+            ml_t_window=t_window, with_led=True,
+        )
+        m_out = multi.step_multi(chunks, dt)
+        for i in range(4):
+            s_out = seq.step(chunks[i], dt)
+        np.testing.assert_allclose(
+            np.asarray(m_out.ml_midi[-1]), np.asarray(s_out.ml_midi), atol=1e-4
+        )
+        np.testing.assert_array_equal(np.asarray(m_out.led[-1]), np.asarray(s_out.led))
