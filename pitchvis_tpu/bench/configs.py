@@ -47,12 +47,17 @@ def _best_time(fn, n_iter=10, repeats=3):
     return best
 
 
-def bench_offline_vqt(batch: int = 2048, path: str = "pallas", inner: int = 32) -> dict:
+def bench_offline_vqt(
+    batch: int = 2048, path: str = "pallas", inner: int = 32, fast: bool = False
+) -> dict:
     """Headline: batched VQT throughput. The timed unit is ONE device
     program that runs `inner` VQT batches in a lax.scan (input perturbed per
     iteration to defeat CSE) and reduces the outputs to a scalar — immune to
     dispatch-pipelining artifacts and impossible to satisfy without doing
-    the work."""
+    the work.
+
+    fast=True benches the bf16 fast mode (ops/vqt.py: bf16 weights, one MXU
+    pass, f32 accumulation) on the dense time path."""
     import jax.numpy as jnp
 
     from ..core.config import VqtParameters
@@ -64,14 +69,19 @@ def bench_offline_vqt(batch: int = 2048, path: str = "pallas", inner: int = 32) 
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((batch, params.n_fft)).astype(np.float32) * 0.1)
 
+    if fast and path == "pallas":
+        path = "time"  # bf16 mode rides the dense matmul path
     if path == "pallas":
         from ..ops.vqt_pallas import PallasVqtArrays, vqt_db_pallas
 
         arrays = PallasVqtArrays.from_kernel(kernel)
         compute = lambda a, xi: vqt_db_pallas(a, xi, batch_tile=256)
     else:
-        arrays = VqtArrays.from_kernel(kernel)
-        compute = lambda a, xi: vqt_db_batch(a, xi, path=path)
+        arrays = VqtArrays.from_kernel(
+            kernel, dtype=jnp.bfloat16 if fast else jnp.float32
+        )
+        precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+        compute = lambda a, xi: vqt_db_batch(a, xi, path=path, precision=precision)
 
     @jax.jit
     def run(arrays, x):
@@ -89,7 +99,7 @@ def bench_offline_vqt(batch: int = 2048, path: str = "pallas", inner: int = 32) 
         best = min(best, time.perf_counter() - t0)
     fps = batch * inner / best
     return {
-        "metric": "vqt_frames_per_sec_per_chip",
+        "metric": "vqt_bf16_frames_per_sec_per_chip" if fast else "vqt_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_VQT_FPS, 2),
@@ -290,6 +300,7 @@ def bench_train(seconds: float = 12.0, device_gen: bool = False) -> dict:
 
 ALL_CONFIGS = {
     "offline_vqt": bench_offline_vqt,
+    "offline_vqt_bf16": lambda: bench_offline_vqt(fast=True),
     "streaming": bench_streaming,
     "streaming_fused": lambda: bench_streaming(fused=True),
     "analysis": bench_analysis,

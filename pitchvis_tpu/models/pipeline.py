@@ -189,6 +189,7 @@ class StreamingPipeline:
         ml_params=None,
         ml_t_window: int = 3,
         with_led: bool = False,
+        fast: bool = False,
     ):
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
@@ -198,7 +199,12 @@ class StreamingPipeline:
         self.ml_params = ml_params
         self.with_led = with_led
         self.kernel = get_kernel(self.vqt_params)
-        self.arrays = VqtArrays.from_kernel(self.kernel)
+        # fast=True: bf16 VQT weights -> single-pass MXU matmuls with f32
+        # accumulation (error budget documented in ops/vqt.py + test_bf16.py);
+        # everything downstream of |y|^2 stays f32.
+        self.arrays = VqtArrays.from_kernel(
+            self.kernel, dtype=jnp.bfloat16 if fast else jnp.float32
+        )
         self.state = init_pipeline_state(
             n_streams,
             self.vqt_params,

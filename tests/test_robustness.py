@@ -63,7 +63,91 @@ class TestBeatRobustness:
         assert any(abs(int(p) - k) <= 1 for p in final_peaks)
 
 
+class TestAnalysisDelay:
+    def test_signal_to_analysis_delay(self, small_params, small_vqt):
+        """lib.rs:95-101: how long from a note starting to it showing up.
+        The kernel reports its analysis delay (n_fft minus the window-group
+        center, kernel/builder.py:404); a tone must be detected once the
+        stream has advanced past that delay, and must NOT be detected while
+        the window still holds only silence."""
+        from pitchvis_tpu.kernel.builder import get_kernel
+
+        kernel = get_kernel(small_params)
+        k = 40
+        f = small_params.range.min_freq * 2.0 ** (k / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        hop = int(sr / 30.0)
+        n_fft = small_params.n_fft
+
+        # one long signal: silence, then the tone switches on
+        onset = n_fft  # tone starts after one full window of silence
+        total = onset + n_fft + 8 * hop
+        i = np.arange(total, dtype=np.float64)
+        sig = np.where(i >= onset, np.sin(i * 2.0 * np.pi / sr * f) / 12.0, 0.0).astype(
+            np.float32
+        )
+
+        ap = AnalysisParameters()
+        state = AnalysisState.init(small_params.n_buckets)
+        detect_times = []  # seconds since tone onset, for frames that saw it
+        for t_end in range(n_fft, total, hop):
+            window = sig[t_end - n_fft : t_end]
+            db = small_vqt.calculate_vqt_instant_in_db(window)
+            state, out = analysis_step(
+                ap, small_params.range, state, jnp.asarray(db), hop / sr
+            )
+            peaks = np.where(np.asarray(out.peaks))[0]
+            hit = any(abs(int(p) - k) <= 1 for p in peaks)
+            since_onset = (t_end - onset) / sr
+            if since_onset < 0:
+                assert not hit, "tone detected before it started"
+            if hit:
+                detect_times.append(since_onset)
+        assert detect_times, "tone never detected"
+        # detection within the kernel's analysis delay plus a few hops of
+        # EMA/peak-threshold latency
+        assert detect_times[0] <= kernel.delay_secs + 6 * hop / sr, (
+            detect_times[0],
+            kernel.delay_secs,
+        )
+
+
 class TestBassDropout:
+    def test_bass_peak_survives_dropout_with_noise(self, small_params, small_vqt):
+        """lib.rs:87-93 + 103-104 (TODOs): the bass note stays DETECTED (not
+        merely smoothed-energy-positive) when it drops out of the STREAM for
+        two hops, with background noise present. Unlike the whole-window
+        test above, this models the real situation: the n_fft analysis
+        window still mostly contains the note, so the VQT's own windowing
+        (plus EMA smoothing) bridges the gap."""
+        rng = np.random.default_rng(3)
+        sr = small_params.sr
+        n_fft = small_params.n_fft
+        hop = int(sr / 30.0)
+        k = 10  # bass bin
+        f = small_params.range.min_freq * 2.0 ** (k / small_params.range.buckets_per_octave)
+
+        n_hops = 14
+        total = n_fft + n_hops * hop
+        i = np.arange(total, dtype=np.float64)
+        tone = np.sin(i * 2.0 * np.pi / sr * f) / 12.0
+        # dropout: hops 8 and 9 of the stream carry no tone
+        gap_lo = n_fft + 8 * hop
+        gap_hi = n_fft + 10 * hop
+        tone[gap_lo:gap_hi] = 0.0
+        sig = (tone + rng.standard_normal(total) * 0.003).astype(np.float32)
+
+        ap = AnalysisParameters()
+        state = AnalysisState.init(small_params.n_buckets)
+        for h in range(n_hops):
+            t_end = n_fft + (h + 1) * hop
+            db = small_vqt.calculate_vqt_instant_in_db(sig[t_end - n_fft : t_end])
+            state, out = analysis_step(
+                ap, small_params.range, state, jnp.asarray(db), hop / sr
+            )
+            if h >= 2:  # past EMA warmup, detection must never lapse
+                peaks = np.where(np.asarray(out.peaks))[0]
+                assert any(abs(int(p) - k) <= 1 for p in peaks), (h, peaks)
     def test_smoothing_bridges_short_dropout(self, small_params, small_vqt):
         """lib.rs:87-93: EMA smoothing keeps a bass note's smoothed energy up
         across a 1-frame dropout."""
