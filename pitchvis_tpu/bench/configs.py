@@ -69,12 +69,12 @@ def bench_offline_vqt(
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((batch, params.n_fft)).astype(np.float32) * 0.1)
 
-    if fast and path == "pallas":
-        path = "time"  # bf16 mode rides the dense matmul path
     if path == "pallas":
         from ..ops.vqt_pallas import PallasVqtArrays, vqt_db_pallas
 
-        arrays = PallasVqtArrays.from_kernel(kernel)
+        arrays = PallasVqtArrays.from_kernel(
+            kernel, dtype=jnp.bfloat16 if fast else jnp.float32
+        )
         compute = lambda a, xi: vqt_db_pallas(a, xi, batch_tile=256)
     else:
         arrays = VqtArrays.from_kernel(

@@ -197,15 +197,9 @@ class Vqt:
         self.precision = precision
         self.delay_secs = self.kernel.delay_secs
         if path == "pallas":
-            if fast:
-                raise ValueError(
-                    "fast bf16 mode is supported on the 'time'/'freq' paths; "
-                    "the Pallas kernel is f32 (its DMA tiling is layout-bound, "
-                    "not MXU-bound, so bf16 wins little there)"
-                )
             from .vqt_pallas import PallasVqtArrays, vqt_db_pallas, vqt_power_pallas
 
-            parrays = PallasVqtArrays.from_kernel(self.kernel)
+            parrays = PallasVqtArrays.from_kernel(self.kernel, dtype=dtype)
             self.arrays = parrays
             self._db_batch = jax.jit(vqt_db_pallas)
             self._power_batch = jax.jit(vqt_power_pallas)

@@ -71,7 +71,12 @@ class PallasVqtArrays:
         return cls(weights, *aux)
 
     @classmethod
-    def from_kernel(cls, kernel: VqtKernel) -> "PallasVqtArrays":
+    def from_kernel(cls, kernel: VqtKernel, dtype=jnp.float32) -> "PallasVqtArrays":
+        """``dtype=jnp.bfloat16``: fast mode — halves the weight DMA traffic
+        (this kernel is DMA-bound) and each K-tile matmul becomes ONE MXU
+        pass with f32 accumulation instead of HIGHEST's 6-pass f32
+        decomposition. Error budget identical to the dense bf16 path
+        (tests/test_bf16.py)."""
         n_fft = kernel.params.n_fft
         tail_begin = min(g.window[0] for g in kernel.window_groups)
         tail = n_fft - tail_begin
@@ -89,7 +94,7 @@ class PallasVqtArrays:
             padded = np.zeros((w.shape[0], 2 * fp), np.float32)
             padded[:, :f] = w[:, :f]  # re half
             padded[:, fp : fp + f] = w[:, f:]  # im half
-            weights.append(jnp.asarray(padded))
+            weights.append(jnp.asarray(padded, dtype=dtype))
             offsets.append(begin - tail_begin)
             sizes.append(w.shape[0])
             nf.append(f)
@@ -142,11 +147,17 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
                 dma((k + 1) % 2, k + 1).start()
             dma(slot, k).wait()
             x_sub = x_ref[:, pl.ds(off + k * K_TILE, K_TILE)]
+            w_tile = wbuf_ref[slot, :, pl.ds(0, width)]
+            # bf16 weights: one MXU pass, f32 accumulate; f32: exact 6-pass
             acc_ref[:, :width] += jnp.dot(
-                x_sub,
-                wbuf_ref[slot, :, pl.ds(0, width)],
+                x_sub.astype(w_tile.dtype),
+                w_tile,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if w_tile.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST
+                ),
             )
         re = acc_ref[:, pl.ds(0, nfp)]
         im = acc_ref[:, pl.ds(nfp, nfp)]
@@ -199,7 +210,7 @@ def vqt_power_pallas(
         out_shape=jax.ShapeDtypeStruct((b_pad, arrays.n_buckets), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bt, max_width), jnp.float32),  # accumulator
-            pltpu.VMEM((2, K_TILE, max_width), jnp.float32),  # weight double buffer
+            pltpu.VMEM((2, K_TILE, max_width), arrays.weights[0].dtype),  # weight double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
