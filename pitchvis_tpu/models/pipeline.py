@@ -34,6 +34,18 @@ class PipelineState(struct.PyTreeNode):
     # rolling VQT history for the fused ML inference stage; None when the
     # pipeline runs without ML (a None leaf is an empty pytree under jit)
     ml: MlState | None = None
+    # per-stream pitch-ball fade carry for the fused viewer stage
+    balls: "BallState | None" = None
+
+
+class ViewerOutputs(struct.PyTreeNode):
+    """Display-derived quantities of the reference's update_display pass
+    (models/viewer.py), emitted per stream from the fused serving step."""
+
+    balls: "BallOutputs"  # per-bin ball position/rgba/scale/visibility
+    chroma: jnp.ndarray  # (B, 12) C4-referenced pitch-class power
+    bloom: jnp.ndarray  # (B,) bloom intensity = clamp(1.3*scene_calmness)
+    spectrogram_row: jnp.ndarray  # (B, n_buckets, 4) RGBA8 VQT-mode row
 
 
 class PipelineOutputs(struct.PyTreeNode):
@@ -42,6 +54,7 @@ class PipelineOutputs(struct.PyTreeNode):
     analysis: AnalysisOutputs
     ml_midi: jnp.ndarray | None = None  # (B, 128) MIDI strengths (fused ML)
     led: jnp.ndarray | None = None  # (B, n_buckets, 3) u8 LED colors
+    viewer: "ViewerOutputs | None" = None  # fused display-derived outputs
 
 
 def init_pipeline_state(
@@ -49,12 +62,21 @@ def init_pipeline_state(
     params: VqtParameters,
     buffer_len: int | None = None,
     ml_t_window: int | None = None,
+    with_viewer: bool = False,
 ) -> PipelineState:
     buffer_len = buffer_len or params.n_fft
     assert buffer_len >= params.n_fft
+    balls = None
+    if with_viewer:
+        from .viewer import BallState
+
+        balls = jax.vmap(lambda _: BallState.init(params.n_buckets))(
+            jnp.arange(n_streams)
+        )
     return PipelineState(
         ring=RingState.init(n_streams, buffer_len),
         analysis=init_state_batch(n_streams, params.n_buckets),
+        balls=balls,
         ml=(
             init_ml_state_batch(n_streams, ml_t_window, params.n_buckets)
             if ml_t_window
@@ -65,7 +87,10 @@ def init_pipeline_state(
 
 @partial(
     jax.jit,
-    static_argnames=("vqt_params", "analysis_params", "agc_params", "path", "ml_model", "with_led"),
+    static_argnames=(
+        "vqt_params", "analysis_params", "agc_params", "path", "ml_model",
+        "with_led", "with_viewer",
+    ),
 )
 def pipeline_step(
     vqt_arrays: VqtArrays,
@@ -80,11 +105,12 @@ def pipeline_step(
     ml_model=None,
     ml_params=None,
     with_led: bool = False,
+    with_viewer: bool = False,
 ) -> tuple[PipelineState, PipelineOutputs]:
     """One hop for all streams: push chunk (NaN-guarded, silence-frozen AGC),
     VQT on the trailing n_fft window, full analysis step — and, optionally,
-    the ML inference and LED color stages fused into the SAME device
-    program, mirroring the reference's single frame update
+    the ML inference, LED color, and viewer-display stages fused into the
+    SAME device program, mirroring the reference's single frame update
     (pitchvis_viewer/src/app/common.rs:2076-2118: vqt -> analysis -> display
     in one Bevy Update pass).
 
@@ -92,6 +118,9 @@ def pipeline_step(
     ml_model/ml_params: a PitchMLP + its params; requires state.ml (see
     init_pipeline_state(ml_t_window=...)). with_led: emit the per-stream
     (n_buckets, 3) u8 LED color block (io/led.py) alongside the analysis.
+    with_viewer: emit every display-derived quantity of update_display
+    (pitch balls with fade carry, chroma, bloom, spectrogram row); requires
+    state.balls (init_pipeline_state(with_viewer=True)).
     """
     ring = ring_push(state.ring, chunk, agc_params)
     window = ring_window(ring, vqt_params.n_fft)
@@ -118,17 +147,52 @@ def pipeline_step(
             lambda m, c, s: led_frame_values(vqt_params.range, m, c, s)
         )(outputs.peaks, outputs.peak_center, outputs.peak_size)
 
+    new_balls = state.balls
+    viewer = None
+    if with_viewer:
+        from .viewer import (
+            bloom_intensity,
+            chroma_vector,
+            spectrogram_row_vqt,
+            update_balls,
+        )
+
+        rng_cfg = vqt_params.range
+        new_balls, ball_out = jax.vmap(
+            lambda bs, p, c, s, cal, acc, dev, d: update_balls(
+                rng_cfg, bs, p, c, s, cal, acc, dev, d
+            )
+        )(
+            state.balls, outputs.peaks, outputs.peak_center, outputs.peak_size,
+            outputs.calmness, outputs.pitch_accuracy, outputs.pitch_deviation,
+            dt_b,
+        )
+        viewer = ViewerOutputs(
+            balls=ball_out,
+            chroma=jax.vmap(lambda xs: chroma_vector(xs, rng_cfg))(
+                outputs.x_vqt_smoothed
+            ),
+            bloom=bloom_intensity(outputs.scene_calmness),
+            spectrogram_row=jax.vmap(
+                lambda xs: spectrogram_row_vqt(rng_cfg, xs)
+            )(outputs.x_vqt_smoothed),
+        )
+
     return (
-        PipelineState(ring=ring, analysis=new_analysis, ml=new_ml),
+        PipelineState(ring=ring, analysis=new_analysis, ml=new_ml, balls=new_balls),
         PipelineOutputs(
-            x_vqt=x_vqt, gain=ring.gain, analysis=outputs, ml_midi=ml_midi, led=led
+            x_vqt=x_vqt, gain=ring.gain, analysis=outputs, ml_midi=ml_midi,
+            led=led, viewer=viewer,
         ),
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("vqt_params", "analysis_params", "agc_params", "path", "ml_model", "with_led"),
+    static_argnames=(
+        "vqt_params", "analysis_params", "agc_params", "path", "ml_model",
+        "with_led", "with_viewer",
+    ),
 )
 def pipeline_step_multi(
     vqt_arrays: VqtArrays,
@@ -143,6 +207,7 @@ def pipeline_step_multi(
     ml_model=None,
     ml_params=None,
     with_led: bool = False,
+    with_viewer: bool = False,
 ) -> tuple[PipelineState, PipelineOutputs]:
     """K hops in one device call (lax.scan over the hop axis): amortizes the
     per-dispatch overhead for throughput-oriented workloads (offline
@@ -164,6 +229,7 @@ def pipeline_step_multi(
             ml_model=ml_model,
             ml_params=ml_params,
             with_led=with_led,
+            with_viewer=with_viewer,
         )
         return s2, out
 
@@ -189,6 +255,7 @@ class StreamingPipeline:
         ml_params=None,
         ml_t_window: int = 3,
         with_led: bool = False,
+        with_viewer: bool = False,
         fast: bool = False,
     ):
         self.vqt_params = vqt_params or VqtParameters()
@@ -198,6 +265,7 @@ class StreamingPipeline:
         self.ml_model = ml_model
         self.ml_params = ml_params
         self.with_led = with_led
+        self.with_viewer = with_viewer
         self.kernel = get_kernel(self.vqt_params)
         # fast=True: bf16 VQT weights -> single-pass MXU matmuls with f32
         # accumulation (error budget documented in ops/vqt.py + test_bf16.py);
@@ -209,6 +277,7 @@ class StreamingPipeline:
             n_streams,
             self.vqt_params,
             ml_t_window=ml_t_window if ml_model is not None else None,
+            with_viewer=with_viewer,
         )
         self.delay_secs = self.kernel.delay_secs
 
@@ -221,6 +290,7 @@ class StreamingPipeline:
             ml_model=self.ml_model,
             ml_params=self.ml_params,
             with_led=self.with_led,
+            with_viewer=self.with_viewer,
         )
 
     def step(self, chunk, dt) -> PipelineOutputs:

@@ -237,6 +237,69 @@ class TestFusedPipeline:
         assert out_f.led.dtype == np.uint8
         np.testing.assert_array_equal(np.asarray(out_f.led), np.asarray(want_led))
 
+    def test_fused_viewer_stage(self, small_params):
+        """with_viewer=True emits every display-derived quantity of the
+        reference's update_display pass, equal to the standalone viewer
+        functions fed with the same analysis outputs, with the ball fade
+        carry threaded through the pipeline state."""
+        import jax
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.models.viewer import (
+            BallState,
+            bloom_intensity,
+            chroma_vector,
+            spectrogram_row_vqt,
+            update_balls,
+        )
+
+        rng = np.random.default_rng(2)
+        hop = 368
+        chunks = (rng.standard_normal((3, 2, hop)) * 0.05).astype(np.float32)
+        dt = hop / small_params.sr
+
+        fused = StreamingPipeline(2, small_params, with_viewer=True)
+        plain = StreamingPipeline(2, small_params)
+
+        ball_state = jax.vmap(lambda _: BallState.init(small_params.n_buckets))(
+            np.arange(2)
+        )
+        for i in range(3):
+            out_f = fused.step(chunks[i], dt)
+            out_p = plain.step(chunks[i], dt)
+            a = out_p.analysis
+            ball_state, want_balls = jax.vmap(
+                lambda bs, p, c, s, cal, acc, dev: update_balls(
+                    small_params.range, bs, p, c, s, cal, acc, dev, dt
+                )
+            )(
+                ball_state, a.peaks, a.peak_center, a.peak_size,
+                a.calmness, a.pitch_accuracy, a.pitch_deviation,
+            )
+
+        v = out_f.viewer
+        assert v is not None
+        np.testing.assert_allclose(
+            np.asarray(v.balls.position), np.asarray(want_balls.position), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v.balls.scale), np.asarray(want_balls.scale), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v.balls.visible), np.asarray(want_balls.visible)
+        )
+        want_chroma = jax.vmap(lambda xs: chroma_vector(xs, small_params.range))(
+            a.x_vqt_smoothed
+        )
+        np.testing.assert_allclose(np.asarray(v.chroma), np.asarray(want_chroma), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(v.bloom), np.asarray(bloom_intensity(a.scene_calmness)), atol=1e-6
+        )
+        want_row = jax.vmap(lambda xs: spectrogram_row_vqt(small_params.range, xs))(
+            a.x_vqt_smoothed
+        )
+        assert v.spectrogram_row.dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(v.spectrogram_row), np.asarray(want_row))
+
     def test_fused_multi_hop(self, small_params):
         """step_multi carries the ML history through the scan."""
         import jax
