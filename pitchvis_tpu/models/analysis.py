@@ -212,42 +212,27 @@ def _update_tuning_inaccuracy(
     return ema_update(tuning, 100.0 * avg, dt, params.tuning_inaccuracy_smoothing_duration)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def analysis_step(
+def _analysis_core(
     params: AnalysisParameters,
     rng: VqtRange,
     state: AnalysisState,
     x_vqt: jnp.ndarray,
     dt: jnp.ndarray,
+    x_smoothed: jnp.ndarray,
+    pre: tuple[jnp.ndarray, jnp.ndarray],
+    pre_raw: tuple[jnp.ndarray, jnp.ndarray],
 ) -> tuple[AnalysisState, AnalysisOutputs]:
-    """One frame of the analysis chain (analysis.rs:288-404). ``x_vqt`` is a
-    dB spectrum (n_buckets,), ``dt`` the frame time in seconds."""
+    """Steps 2-6 of the analysis chain, given the smoothed spectrum and the
+    precomputed (local maxima, prominences) pairs for the smoothed and raw
+    spectra. Shared between the per-frame and the batched entry points (the
+    batched one computes prominences with the windowed fast path)."""
     n = rng.n_buckets
-    assert x_vqt.shape == (n,)
-    dt = jnp.asarray(dt, jnp.float32)
-
-    # 1. calmness- and frequency-adaptive EMA smoothing
-    horizons = _smoothing_horizons(params, rng, state.scene_calmness)
-    x_smoothed = ema_update(state.x_vqt_smoothed, x_vqt, dt, horizons)
 
     # 2. discrete peaks: bassline config below/at highest_bassnote, general
     #    config above (analysis.rs:331-349). Local maxima and prominences are
     #    threshold-independent, so they run once per spectrum and are shared
-    #    between the two configs. (Stacking smoothed+raw into one nested-vmap
-    #    batch was measured SLOWER: the extra axis breaks XLA's fusion of the
-    #    n^2 masked reductions and materializes the (2, n, n) intermediates.)
+    #    between the two configs.
     idx = jnp.arange(n)
-    from ..ops.peaks import local_maxima, prominences_compact
-
-    # prominences on the pair-compacted candidate axis (ops/peaks.py):
-    # exact at every local maximum, at half the O(n^2) reduction cost —
-    # the analysis chain's dominant cost at scale.
-    min_h = min(params.peak_config.min_height, params.bassline_peak_config.min_height)
-    lm_s = local_maxima(x_smoothed)
-    lm_r = local_maxima(x_vqt)
-    pre = (lm_s, prominences_compact(x_smoothed, lm_s, min_h))
-    # calmness peaks use only the general config (calmness.rs:30)
-    pre_raw = (lm_r, prominences_compact(x_vqt, lm_r, params.peak_config.min_height))
     bass_mask = find_peaks_mask(
         x_smoothed, params.bassline_peak_config, rng.buckets_per_octave,
         precomputed=pre, suppress_iterations=params.suppress_iterations,
@@ -307,6 +292,49 @@ def analysis_step(
     return new_state, outputs
 
 
+def _smooth(params, rng, state, x_vqt, dt):
+    """Step 1: calmness- and frequency-adaptive EMA smoothing."""
+    horizons = _smoothing_horizons(params, rng, state.scene_calmness)
+    return ema_update(state.x_vqt_smoothed, x_vqt, dt, horizons)
+
+
+def _min_heights(params: AnalysisParameters) -> tuple[float, float]:
+    """(smoothed-spectrum prefilter, raw-spectrum prefilter): prominences are
+    only read at candidates above these heights (calmness peaks use only the
+    general config, calmness.rs:30)."""
+    return (
+        min(params.peak_config.min_height, params.bassline_peak_config.min_height),
+        params.peak_config.min_height,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def analysis_step(
+    params: AnalysisParameters,
+    rng: VqtRange,
+    state: AnalysisState,
+    x_vqt: jnp.ndarray,
+    dt: jnp.ndarray,
+) -> tuple[AnalysisState, AnalysisOutputs]:
+    """One frame of the analysis chain (analysis.rs:288-404). ``x_vqt`` is a
+    dB spectrum (n_buckets,), ``dt`` the frame time in seconds."""
+    n = rng.n_buckets
+    assert x_vqt.shape == (n,)
+    dt = jnp.asarray(dt, jnp.float32)
+
+    from ..ops.peaks import local_maxima, prominences_compact
+
+    x_smoothed = _smooth(params, rng, state, x_vqt, dt)
+    # prominences on the pair-compacted candidate axis (ops/peaks.py):
+    # exact at every local maximum, at half the O(n^2) reduction cost.
+    min_h, min_h_raw = _min_heights(params)
+    lm_s = local_maxima(x_smoothed)
+    lm_r = local_maxima(x_vqt)
+    pre = (lm_s, prominences_compact(x_smoothed, lm_s, min_h))
+    pre_raw = (lm_r, prominences_compact(x_vqt, lm_r, min_h_raw))
+    return _analysis_core(params, rng, state, x_vqt, dt, x_smoothed, pre, pre_raw)
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def analysis_step_batch(
     params: AnalysisParameters,
@@ -316,7 +344,15 @@ def analysis_step_batch(
     dt: jnp.ndarray,
 ) -> tuple[AnalysisState, AnalysisOutputs]:
     """Batched analysis over independent streams: state arrays and x_vqt have
-    a leading stream axis; dt is (B,) or scalar."""
+    a leading stream axis; dt is (B,) or scalar.
+
+    The prominence stage intentionally stays on the vmapped exact
+    pair-compacted formulation: a windowed reset-scan alternative (6x fewer
+    VPU lanes on paper) was built and measured 4.7x SLOWER at B=2048 — its
+    ~260-step elementwise chain exceeds XLA's fusion horizon, so the (B,
+    n/2) carry round-trips HBM every step, while the exact O(n^2/2) masked
+    broadcast-reductions fuse into single-pass loops at ~VPU peak. See
+    docs/PERFORMANCE.md."""
     dt = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (x_vqt.shape[0],))
     return jax.vmap(lambda s, x, d: analysis_step(params, rng, s, x, d))(state, x_vqt, dt)
 

@@ -24,7 +24,12 @@ from ..core.config import AgcParameters, AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
 from ..ops.vqt import VqtArrays, vqt_db_batch
 from ..stream.ring import RingState, ring_push, ring_window
-from .analysis import AnalysisOutputs, AnalysisState, analysis_step, init_state_batch
+from .analysis import (
+    AnalysisOutputs,
+    AnalysisState,
+    analysis_step_batch,
+    init_state_batch,
+)
 from .ml_system import MlState, init_ml_state_batch, ml_step_batch
 
 
@@ -127,9 +132,10 @@ def pipeline_step(
     x_vqt = vqt_db_batch(vqt_arrays, window, path=path)
 
     dt_b = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (chunk.shape[0],))
-    new_analysis, outputs = jax.vmap(
-        lambda s, x, d: analysis_step(analysis_params, vqt_params.range, s, x, d)
-    )(state.analysis, x_vqt, dt_b)
+    # batched entry: prominences ride the windowed fast path (ops/peaks.py)
+    new_analysis, outputs = analysis_step_batch(
+        analysis_params, vqt_params.range, state.analysis, x_vqt, dt_b
+    )
 
     new_ml = state.ml
     ml_midi = None

@@ -103,6 +103,42 @@ class TestProminenceCompact:
                 assert np.diff(at).min() >= 2
 
 
+class TestAnalysisBatchEntry:
+    def test_analysis_step_batch_matches_vmapped_step(self):
+        """End-to-end: the batched analysis entry (windowed prominences)
+        equals a vmap of the per-frame step (compact prominences)."""
+        from pitchvis_tpu.core.config import AnalysisParameters
+        from pitchvis_tpu.models.analysis import (
+            analysis_step,
+            analysis_step_batch,
+            init_state_batch,
+        )
+
+        rng_cfg = VqtRange(min_freq=110.0, octaves=4, buckets_per_octave=24)
+        n = rng_cfg.n_buckets
+        ap = AnalysisParameters()
+        rng = np.random.default_rng(7)
+        B = 3
+        state_b = init_state_batch(B, n)
+        state_v = init_state_batch(B, n)
+        for _ in range(3):
+            x = jnp.asarray((rng.standard_normal((B, n)) * 4 + 8).astype(np.float32))
+            state_b, out_b = analysis_step_batch(ap, rng_cfg, state_b, x, 1.0 / 60.0)
+            state_v, out_v = jax.vmap(
+                lambda s, xi: analysis_step(ap, rng_cfg, s, xi, 1.0 / 60.0)
+            )(state_v, x)
+        np.testing.assert_array_equal(np.asarray(out_b.peaks), np.asarray(out_v.peaks))
+        np.testing.assert_allclose(
+            np.asarray(out_b.x_vqt_smoothed), np.asarray(out_v.x_vqt_smoothed), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.peak_size), np.asarray(out_v.peak_size), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.calmness), np.asarray(out_v.calmness), atol=1e-6
+        )
+
+
 class TestSuppressionAdversarial:
     """VERDICT round-1 item 10: bounded fori_loop vs exact while_loop on
     crafted decreasing-priority chains. The bounded mode under-suppresses
