@@ -105,8 +105,8 @@ class TestProminenceCompact:
 
 class TestAnalysisBatchEntry:
     def test_analysis_step_batch_matches_vmapped_step(self):
-        """End-to-end: the batched analysis entry (windowed prominences)
-        equals a vmap of the per-frame step (compact prominences)."""
+        """End-to-end: the batched analysis entry equals a vmap of the
+        per-frame step (guards any future batched-path divergence)."""
         from pitchvis_tpu.core.config import AnalysisParameters
         from pitchvis_tpu.models.analysis import (
             analysis_step,
