@@ -180,6 +180,12 @@ def vqt_power_pallas(
     if x.shape[1] == arrays.n_fft:
         x = jax.lax.slice_in_dim(x, arrays.n_fft - arrays.tail, arrays.n_fft, axis=1)
     assert x.shape[1] == arrays.tail, f"expected tail {arrays.tail}, got {x.shape[1]}"
+    w_dtype = arrays.weights[0].dtype
+    if w_dtype == jnp.bfloat16:
+        # fast mode: the kernel multiplies in bf16 anyway (x_sub is cast to
+        # the weight dtype inside), so casting BEFORE the pallas_call halves
+        # the input-tail DMA into VMEM at identical numerics (~3-5% on chip)
+        x = x.astype(w_dtype)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
