@@ -75,7 +75,8 @@ def bench_offline_vqt(
         arrays = PallasVqtArrays.from_kernel(
             kernel, dtype=jnp.bfloat16 if fast else jnp.float32
         )
-        compute = lambda a, xi: vqt_db_pallas(a, xi, batch_tile=256)
+        # bt=512 measured ~5% over 256 (fewer weight re-streams per batch)
+        compute = lambda a, xi: vqt_db_pallas(a, xi, batch_tile=512)
     else:
         arrays = VqtArrays.from_kernel(
             kernel, dtype=jnp.bfloat16 if fast else jnp.float32
