@@ -296,11 +296,21 @@ struct Oscillator {
     pitch_change_scale = 0.01 * scale;
     sample_rate_ratio = static_cast<double>(sr) / synth_rate;
     looping = lm != 0;  // fork quirk: all LoopMode constants are 0
+    // malformed/adversarial SF2 guard: a degenerate loop (length < 1, via
+    // loop-offset generators) would divide by zero in process — fall back
+    // to one-shot playback. Mirrored in engine.py.
+    if (looping && el - sl < 1) looping = false;
     position = static_cast<double>(s);
   }
   bool process(const int16_t* data, int64_t n_data, float* block, int n, double pitch) {
     double pitch_change = pitch_change_scale * (pitch - root_key) + tune;
     double ratio = sample_rate_ratio * std::pow(2.0, pitch_change / 12.0);
+    // sample addresses come from untrusted SF2 generators: every index is
+    // clamped to the wave data so malformed offsets repeat edge samples
+    // instead of reading out of bounds (identical in engine.py)
+    auto clampi = [n_data](int64_t i, int64_t hi) {
+      return std::min(std::max(i, static_cast<int64_t>(0)), hi);
+    };
     if (looping) {
       double loop_len = static_cast<double>(end_loop - start_loop);
       double pos = position;
@@ -310,6 +320,8 @@ struct Oscillator {
         int64_t i2 = i1 + 1;
         if (i2 >= end_loop) i2 -= static_cast<int64_t>(loop_len);
         double frac = pos - static_cast<double>(i1);
+        i1 = clampi(i1, n_data - 1);
+        i2 = clampi(i2, n_data - 1);
         double x1 = data[i1], x2 = data[i2];
         block[t] = static_cast<float>((x1 + frac * (x2 - x1)) / 32768.0);
         pos += ratio;
@@ -318,15 +330,16 @@ struct Oscillator {
       return true;
     }
     double pos = position;
-    if (static_cast<int64_t>(pos) >= end) return false;
+    const int64_t end_eff = std::min(static_cast<int64_t>(end), n_data);
+    if (static_cast<int64_t>(pos) >= end_eff) return false;
     for (int t = 0; t < n; ++t) {
       int64_t i1 = static_cast<int64_t>(pos);
-      if (i1 >= end) {
+      if (i1 >= end_eff) {
         for (int u = t; u < n; ++u) block[u] = 0.0f;
         position = pos;
         return true;
       }
-      int64_t i1c = std::min(i1, n_data - 2);
+      int64_t i1c = clampi(i1, n_data - 2);
       double frac = pos - static_cast<double>(i1);
       double x1 = data[i1c], x2 = data[i1c + 1];
       block[t] = static_cast<float>((x1 + frac * (x2 - x1)) / 32768.0);
@@ -763,12 +776,17 @@ struct Engine {
 
   const Preset* lookup_preset(int bank, int patch) {
     if (presets.empty()) return nullptr;
+    // LAST duplicate (bank, patch) wins, matching the Python reference's
+    // dict build (sf2.py preset_lookup) and rustysynth's HashMap inserts
     int32_t id = (bank << 16) | patch;
+    const Preset* found = nullptr;
     for (const auto& p : presets)
-      if (p.preset_id == id) return &p;
+      if (p.preset_id == id) found = &p;
+    if (found) return found;
     int32_t gm = bank < 128 ? patch : (128 << 16);
     for (const auto& p : presets)
-      if (p.preset_id == gm) return &p;
+      if (p.preset_id == gm) found = &p;
+    if (found) return found;
     return &presets[default_preset];
   }
 

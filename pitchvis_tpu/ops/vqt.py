@@ -191,7 +191,6 @@ class Vqt:
         self.params = params or VqtParameters()
         self.kernel = get_kernel(self.params)
         dtype = jnp.bfloat16 if fast else jnp.float32
-        self.arrays = VqtArrays.from_kernel(self.kernel, dtype=dtype)
         self.path = path
         self.fast = fast
         self.precision = precision
@@ -199,11 +198,13 @@ class Vqt:
         if path == "pallas":
             from .vqt_pallas import PallasVqtArrays, vqt_db_pallas, vqt_power_pallas
 
-            parrays = PallasVqtArrays.from_kernel(self.kernel, dtype=dtype)
-            self.arrays = parrays
+            # only the packed Pallas weights — ALSO uploading the dense
+            # w_time + w_freq sets would double the weight HBM footprint
+            self.arrays = PallasVqtArrays.from_kernel(self.kernel, dtype=dtype)
             self._db_batch = jax.jit(vqt_db_pallas)
             self._power_batch = jax.jit(vqt_power_pallas)
         else:
+            self.arrays = VqtArrays.from_kernel(self.kernel, dtype=dtype)
             self._db_batch = functools.partial(
                 _vqt_db_batch_jit, path=path, precision=precision
             )

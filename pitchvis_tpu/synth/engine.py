@@ -308,6 +308,11 @@ class Oscillator:
         self.pitch_change_scale = 0.01 * scale_tuning
         self.sample_rate_ratio = sample_rate / self.synthesizer_sample_rate
         self.looping = loop_mode != 0
+        # malformed/adversarial SF2 guard: a degenerate loop (length < 1,
+        # possible via loop-offset generators) would divide by zero below —
+        # fall back to one-shot playback. Mirrored in synth_engine.cpp.
+        if self.looping and end_loop - start_loop < 1:
+            self.looping = False
         self.position = float(start)
 
     def release(self):
@@ -320,6 +325,10 @@ class Oscillator:
         pitch_ratio = self.sample_rate_ratio * 2.0 ** (pitch_change / 12.0)
         n = len(block)
         pos = self.position + pitch_ratio * np.arange(n, dtype=np.float64)
+        # sample addresses come from untrusted SF2 generators: every index is
+        # clamped to the wave data so malformed offsets repeat edge samples
+        # instead of reading out of bounds (identical in synth_engine.cpp)
+        n_data = len(data)
         if self.looping:
             loop_len = float(self.end_loop - self.start_loop)
             wrapped = np.where(
@@ -329,6 +338,8 @@ class Oscillator:
             i2 = i1 + 1
             i2 = np.where(i2 >= self.end_loop, i2 - int(loop_len), i2)
             frac = wrapped - i1
+            i1 = np.clip(i1, 0, n_data - 1)
+            i2 = np.clip(i2, 0, n_data - 1)
             x1 = data[i1].astype(np.float64)
             x2 = data[i2].astype(np.float64)
             block[:] = ((x1 + frac * (x2 - x1)) / 32768.0).astype(np.float32)
@@ -336,10 +347,10 @@ class Oscillator:
             return True
         # no-loop
         i1 = pos.astype(np.int64)
-        alive = i1 < self.end
+        alive = i1 < min(self.end, n_data)
         if not alive[0]:
             return False
-        i1c = np.minimum(i1, len(data) - 2)
+        i1c = np.clip(i1, 0, n_data - 2)
         frac = pos - i1
         x1 = data[i1c].astype(np.float64)
         x2 = data[i1c + 1].astype(np.float64)

@@ -523,3 +523,88 @@ class TestNativeEngine:
             assert set(lab) == set(plab)
             for k in lab:
                 assert lab[k] == pytest.approx(plab[k], rel=1e-2, abs=1e-4)
+
+
+class TestMalformedSf2:
+    """Round-2 review findings: sample addresses and loop bounds come from
+    untrusted SF2 generators; both engines must stay memory-safe, produce
+    finite audio, and agree with each other on malformed input (the native
+    engine previously read out of bounds where the Python engine raised)."""
+
+    def _make_font(self, tmp_path, name, **kwargs):
+        t = np.arange(400)
+        wave = 0.8 * np.sin(2 * np.pi * t / 50)  # 441 Hz at 22050
+        path = str(tmp_path / f"{name}.sf2")
+        write_minimal_sf2(path, wave, SR, root_key=69, loop=True, **kwargs)
+        return SoundFont.from_file(path)
+
+    def _render(self, synth, n=4096):
+        synth.note_on(0, 69, 100)
+        left = np.zeros(n, np.float32)
+        right = np.zeros(n, np.float32)
+        synth.render(left, right)
+        return left
+
+    def _check_both(self, font):
+        py = self._render(Synthesizer(font, SynthesizerSettings(SR)))
+        assert np.isfinite(py).all()
+        if _native_available():
+            from pitchvis_tpu.synth.engine_native import NativeSynthesizer
+
+            nat = self._render(NativeSynthesizer(font, SR))
+            assert np.isfinite(nat).all()
+            assert np.abs(py - nat).max() < 1e-4
+        return py
+
+    def test_out_of_bounds_end_loop_offset(self, tmp_path):
+        """end_loop pushed far past the wave data (the reproduced native
+        heap-overread): indices clamp to the wave instead."""
+        from pitchvis_tpu.synth.sf2 import GEN_ENDLOOP_OFFSET
+
+        font = self._make_font(
+            tmp_path, "oob", instrument_gens=[(GEN_ENDLOOP_OFFSET, 30000)]
+        )
+        self._check_both(font)
+
+    def test_zero_length_loop(self, tmp_path):
+        """start_loop == end_loop (division by zero in the wrap): the voice
+        falls back to one-shot playback instead of emitting NaNs."""
+        from pitchvis_tpu.synth.sf2 import GEN_STARTLOOP_OFFSET
+
+        font = self._make_font(
+            tmp_path, "zloop", instrument_gens=[(GEN_STARTLOOP_OFFSET, 400)]
+        )
+        py = self._check_both(font)
+        assert np.abs(py[:256]).max() > 0.0  # the one-shot pass still sounds
+
+    def test_negative_start_offset(self, tmp_path):
+        """start pushed before the wave data: indices clamp at 0."""
+        from pitchvis_tpu.synth.sf2 import GEN_START_ADDRS_OFFSET
+
+        font = self._make_font(
+            tmp_path, "negstart", instrument_gens=[(GEN_START_ADDRS_OFFSET, -32000)]
+        )
+        self._check_both(font)
+
+    def test_duplicate_preset_last_wins(self, tmp_path):
+        """Fonts with duplicate (bank, patch) ids: both engines must pick the
+        LAST one (rustysynth's HashMap insert order), distinguished here by a
+        +12 semitone preset-zone coarse tune on the duplicate."""
+        import copy
+
+        from pitchvis_tpu.synth.sf2 import GEN_COARSE_TUNE
+
+        font = self._make_font(tmp_path, "dup")
+        dup = copy.deepcopy(font.presets[0])
+        for r in dup.regions:
+            r.gs[GEN_COARSE_TUNE] += 12
+        font.presets.append(dup)
+        font.preset_lookup = {
+            (p.bank_number << 16) | p.patch_number: i for i, p in enumerate(font.presets)
+        }
+
+        py = self._check_both(font)
+        # dominant frequency must be an octave up (882 Hz, the duplicate)
+        spec = np.abs(np.fft.rfft(py * np.hanning(len(py))))
+        f_peak = np.argmax(spec) * SR / len(py)
+        assert abs(f_peak - 882.0) < 40.0, f_peak
