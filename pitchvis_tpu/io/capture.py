@@ -74,10 +74,26 @@ class RawPipeDriver:
         self.chunk_size = chunk_size
 
     def read_chunk(self) -> np.ndarray | None:
-        raw = self.fileobj.read(self.chunk_size * 4)
-        if not raw or len(raw) < 4:
+        """Reads one full chunk, looping over short pipe reads (an unbuffered
+        producer can return partial sample frames mid-stream). The EOF tail
+        is truncated to whole float32 samples and zero-padded to chunk_size
+        so jitted consumers always see a static shape."""
+        want = self.chunk_size * 4
+        raw = b""
+        while len(raw) < want:
+            part = self.fileobj.read(want - len(raw))
+            if not part:
+                break
+            raw += part
+        raw = raw[: len(raw) - (len(raw) % 4)]
+        if len(raw) < 4:
             return None
-        return np.frombuffer(raw, np.float32)
+        chunk = np.frombuffer(raw, np.float32)
+        if len(chunk) < self.chunk_size:
+            chunk = np.concatenate(
+                [chunk, np.zeros(self.chunk_size - len(chunk), np.float32)]
+            )
+        return chunk
 
     def stream_to(self, push, stream_idx: int = 0) -> int:
         n = 0

@@ -84,8 +84,10 @@ def streaming_signal(params: VqtParameters, seconds: float = 1.5) -> np.ndarray:
     sig = rng.standard_normal(n) * 0.002
     for i, f in enumerate([220.0, 277.18, 329.63, 440.0]):
         start = int(i * 0.3 * sr)
+        if start >= n:  # short signals: skip notes past the end
+            continue
         seg = slice(start, n)
-        tt = t[seg] - t[start]
+        tt = t[seg] - start / sr
         sig[seg] += np.sin(2 * np.pi * f * tt) * 0.1 * np.exp(-tt * 1.5)
     return sig.astype(np.float32)
 

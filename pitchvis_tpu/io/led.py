@@ -126,6 +126,12 @@ class SerialWriter:
             except ImportError:
                 self._port = open(port_or_file, "wb")
                 self._own = True
+            except Exception:
+                # pyserial present but the target is a plain file path (or
+                # otherwise not a serial port): fall back to file output as
+                # the docstring promises
+                self._port = open(port_or_file, "wb")
+                self._own = True
 
     def write_frame(self, frame: bytes) -> None:
         self._port.write(frame)

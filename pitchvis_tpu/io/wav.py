@@ -47,5 +47,6 @@ def frames_from_signal(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     padded = np.concatenate([np.zeros(n_fft, np.float32), x])
     n_frames = max(0, len(x) // hop)
     idx = np.arange(n_fft)[None, :] + (np.arange(n_frames)[:, None] + 1) * hop
-    idx = np.minimum(idx, len(padded) - 1)
+    # max index = n_frames*hop + n_fft - 1 <= len(padded) - 1 by construction
+    assert n_frames == 0 or idx[-1, -1] < len(padded)
     return padded[idx]

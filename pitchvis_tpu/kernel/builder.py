@@ -158,8 +158,11 @@ def filter_bank_params(params: VqtParameters) -> list[FilterParams]:
         window_length = np.float32(params.quality) * sr / (alpha * freq + np.float32(params.gamma))
 
         # Keep the downsampled Nyquist 15% above the theoretically needed one.
+        # Top frequencies in (sr/2.3, sr/2] pass the Nyquist check but make
+        # the log negative — saturate to no downscaling like the Rust `as`
+        # cast (a bare 1 << k_down would raise on the negative shift).
         minimum_scaled_sr = np.ceil(freq * np.float32(2.0) * GRACE_FACTOR)
-        k_down = int(np.floor(np.log2(sr / minimum_scaled_sr)))
+        k_down = max(0, int(np.floor(np.log2(sr / minimum_scaled_sr))))
         sr_downscaling_factor = 1 << k_down
 
         # Largest power-of-two reduction of n_fft still containing the window.

@@ -116,7 +116,9 @@ def lab_to_srgb_u8(lab: jnp.ndarray) -> jnp.ndarray:
     xyz = jnp.stack([finv(fx), y, finv(fz)], axis=-1) * jnp.asarray(_WHITE, jnp.float32)
     lin = _mat3(xyz, _XYZ2RGB)
     c = jnp.where(lin > 0.0031308, 1.055 * lin ** (1.0 / 2.4) - 0.055, 12.92 * lin)
-    return jnp.clip(jnp.round(c * 255.0), 0.0, 255.0)
+    # floor(x + 0.5): Rust f32::round (half AWAY from zero, the lab crate's
+    # quantization) — jnp.round is half-to-even and differs at exact .5
+    return jnp.clip(jnp.floor(c * 255.0 + 0.5), 0.0, 255.0)
 
 
 def lab_to_lch(lab: jnp.ndarray) -> jnp.ndarray:

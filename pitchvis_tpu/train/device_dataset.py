@@ -85,9 +85,14 @@ def schedule_from_midi(
             open_notes.setdefault((ev.channel, ev.key), []).append(row)
             rows.append(row)
         elif ev.kind == "off":
-            stack = open_notes.get((ev.channel, ev.key))
+            # the host synthesizer's note_off releases ALL unreleased voices
+            # for (channel, key) (synth/synthesizer.py note_off), so close
+            # every open note here too — popping only the oldest would keep a
+            # second overlapping same-key note sounding on the device path
+            stack = open_notes.pop((ev.channel, ev.key), None)
             if stack:
-                stack.pop(0)[1] = q(ev.time)
+                for row in stack:
+                    row[1] = q(ev.time)
 
     k = len(rows)
     sched = NoteSchedule(
@@ -124,38 +129,52 @@ def _envelope(t_rel, released_rel, attack, decay, sustain, release):
     return jnp.where(t_rel >= 0.0, env, 0.0)
 
 
+DEFAULT_MASTER_GAIN = 0.18
+
+
+def _render_core(
+    t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release,
+    n_samples: int, sr: float, master_gain: float,
+) -> jax.Array:
+    """Shared synthesis body ((K,) note arrays -> (n_samples,) f32 mono):
+    ADSR envelope x band-limited harmonic stack x velocity, summed over
+    notes. The single implementation behind both render_schedule_device and
+    the fused _render_agc_jit (previously duplicated; a fix in one copy
+    would silently not apply to the other)."""
+    t = jnp.arange(n_samples, dtype=jnp.float32) / sr  # (T,)
+    t_rel = t[None, :] - t_on[:, None]  # (K, T)
+    env = _envelope(
+        t_rel, (t_off - t_on)[:, None], attack[:, None], decay[:, None],
+        sustain[:, None], release[:, None],
+    )
+    nyq = sr / 2.0
+    wave = jnp.zeros_like(t_rel)
+    for h in range(MAX_HARMONICS):
+        fh = freq[:, None] * (h + 1)
+        amp_h = jnp.where(fh < nyq, harmonics[:, h : h + 1], 0.0)
+        wave = wave + amp_h * jnp.sin(2.0 * jnp.pi * fh * t_rel)
+    sig = jnp.sum(master_gain * (vel[:, None] / 127.0) * env * wave, axis=0)
+    return sig.astype(jnp.float32)
+
+
 def render_schedule_device(
-    sched: NoteSchedule, n_samples: int, sr: float, master_gain: float = 0.18
+    sched: NoteSchedule, n_samples: int, sr: float, master_gain: float = DEFAULT_MASTER_GAIN
 ) -> jax.Array:
     """Renders the full mono signal on device: (n_samples,) f32."""
     if len(sched) == 0:
         return jnp.zeros(n_samples, jnp.float32)
-    t = jnp.arange(n_samples, dtype=jnp.float32) / sr  # (T,)
-    t_on = jnp.asarray(sched.t_on)[:, None]  # (K, 1)
-    released_rel = jnp.asarray(sched.t_off - sched.t_on)[:, None]
-    freq = jnp.asarray(key_to_freq_array(sched.key))[:, None]
-    vel = jnp.asarray(sched.velocity)[:, None] / 127.0
-
-    t_rel = t[None, :] - t_on  # (K, T)
-    env = _envelope(
-        t_rel,
-        released_rel,
-        jnp.asarray(sched.attack)[:, None],
-        jnp.asarray(sched.decay)[:, None],
-        jnp.asarray(sched.sustain)[:, None],
-        jnp.asarray(sched.release)[:, None],
+    return _render_core(
+        jnp.asarray(sched.t_on),
+        jnp.asarray(sched.t_off),
+        jnp.asarray(key_to_freq_array(sched.key)),
+        jnp.asarray(sched.velocity),
+        jnp.asarray(sched.harmonics),
+        jnp.asarray(sched.attack),
+        jnp.asarray(sched.decay),
+        jnp.asarray(sched.sustain),
+        jnp.asarray(sched.release),
+        n_samples, sr, master_gain,
     )
-
-    nyq = sr / 2.0
-    wave = jnp.zeros_like(t_rel)
-    harmonics = jnp.asarray(sched.harmonics)  # (K, H)
-    for h in range(MAX_HARMONICS):
-        fh = freq * (h + 1)
-        amp_h = jnp.where(fh < nyq, harmonics[:, h : h + 1], 0.0)
-        wave = wave + amp_h * jnp.sin(2.0 * jnp.pi * fh * t_rel)
-
-    sig = jnp.sum(master_gain * vel * env * wave, axis=0)
-    return sig.astype(jnp.float32)
 
 
 def key_to_freq_array(keys: np.ndarray) -> np.ndarray:
@@ -226,19 +245,10 @@ def _render_agc_jit(
 ):
     """One compiled program: render the full signal + AGC it + per-chunk
     gains. Note arrays are padded to a static bucket (vel=0 rows silent)."""
-    t = jnp.arange(n_samples, dtype=jnp.float32) / sr
-    t_rel = t[None, :] - t_on[:, None]
-    env = _envelope(
-        t_rel, (t_off - t_on)[:, None], attack[:, None], decay[:, None],
-        sustain[:, None], release[:, None],
+    sig = _render_core(
+        t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release,
+        n_samples, sr, DEFAULT_MASTER_GAIN,
     )
-    nyq = sr / 2.0
-    wave = jnp.zeros_like(t_rel)
-    for h in range(MAX_HARMONICS):
-        fh = freq[:, None] * (h + 1)
-        amp_h = jnp.where(fh < nyq, harmonics[:, h : h + 1], 0.0)
-        wave = wave + amp_h * jnp.sin(2.0 * jnp.pi * fh * t_rel)
-    sig = jnp.sum(0.18 * (vel[:, None] / 127.0) * env * wave, axis=0).astype(jnp.float32)
 
     def step(gain, c):
         g, out = agc_chunk(gain, c, TRAIN_AGC, frozen=None)
@@ -267,7 +277,10 @@ def annotate_midi_device(
     length = midi.get_length()
     if max_seconds is not None:
         length = min(length, max_seconds)
-    n_samples = int(sr * length) // chunk * chunk
+    # ROUND UP to whole chunks: the host loop (dataset.py annotate_midi)
+    # renders full chunks until written >= sample_count, so flooring here
+    # would emit one fewer capture row for partial-chunk file lengths
+    n_samples = -(-int(sr * length) // chunk) * chunk
     if n_samples == 0:
         return []
 

@@ -91,3 +91,22 @@ class TestDeviceAnnotate:
         labeled = rows[rows[:, SMALL_TRAIN_PARAMS.n_buckets + 57] > 0.5]
         assert len(labeled) >= 1
         assert abs(int(np.argmax(labeled[0, : SMALL_TRAIN_PARAMS.n_buckets])) - 36) <= 2
+
+
+class TestOverlappingNotes:
+    def test_note_off_releases_all_matching(self, tmp_path):
+        """The host synthesizer's note_off releases ALL unreleased voices of
+        (channel, key); the device schedule must close every open note too
+        (round-2 review: it popped only the oldest, leaving the second
+        overlapping same-key note sounding to end-of-file)."""
+        path = str(tmp_path / "ov.mid")
+        # two overlapping notes on the same key; one off event at 0.6s
+        write_midi(path, [(0.0, 0.6, 0, 60, 100), (0.3, 0.6, 0, 60, 90)])
+        midi = load_midi(path)
+        sched = schedule_from_midi(midi, 2.0)
+        on_key = np.where(np.asarray(sched.key) == 60)[0]
+        assert len(on_key) == 2
+        # write_midi emits offs at on+duration: 0.6 and 0.9; the FIRST off
+        # (0.6) releases both open voices, like Synthesizer.note_off
+        offs = np.asarray(sched.t_off)[on_key]
+        assert np.allclose(offs, 0.6, atol=1e-6), offs

@@ -147,8 +147,11 @@ class TestCapture:
         driver = RawPipeDriver(_io.BytesIO(data.tobytes()), 22050, 256)
         chunks = []
         n = driver.stream_to(lambda i, c: chunks.append(c))
-        assert n == 4  # 3 full + 1 partial
-        np.testing.assert_array_equal(np.concatenate(chunks), data)
+        assert n == 4  # 3 full + 1 partial (zero-padded to the chunk size)
+        assert all(c.shape == (256,) for c in chunks)  # static shapes for jit
+        joined = np.concatenate(chunks)
+        np.testing.assert_array_equal(joined[:1000], data)
+        assert np.all(joined[1000:] == 0.0)
 
 
 class TestProfiling:
@@ -163,3 +166,68 @@ class TestProfiling:
         assert rep["vqt_delay_ms"] > 0
         assert rep["kernel"]["n_groups"] >= 2
         assert "vqt" in rep["stages"]
+
+
+class TestRawPipeShortReads:
+    """Round-2 review: unbuffered pipe producers return partial sample
+    frames; the driver must loop to fill whole chunks, truncate the EOF tail
+    to whole float32 samples, and zero-pad so shapes stay static."""
+
+    class _Dribble:
+        """File object that returns at most `step` bytes per read."""
+
+        def __init__(self, data: bytes, step: int):
+            self.data = data
+            self.pos = 0
+            self.step = step
+
+        def read(self, n: int) -> bytes:
+            take = min(n, self.step, len(self.data) - self.pos)
+            out = self.data[self.pos : self.pos + take]
+            self.pos += take
+            return out
+
+    def test_partial_reads_fill_whole_chunks(self):
+        from pitchvis_tpu.io.capture import RawPipeDriver
+
+        x = np.arange(100, dtype=np.float32)
+        drv = RawPipeDriver(self._Dribble(x.tobytes(), step=7), 22050, chunk_size=32)
+        chunks = []
+        while (c := drv.read_chunk()) is not None:
+            assert c.shape == (32,)
+            chunks.append(c)
+        joined = np.concatenate(chunks)
+        np.testing.assert_array_equal(joined[:100], x)
+        assert np.all(joined[100:] == 0.0)  # EOF tail zero-padded
+
+    def test_unaligned_byte_tail(self):
+        from pitchvis_tpu.io.capture import RawPipeDriver
+
+        x = np.arange(10, dtype=np.float32)
+        raw = x.tobytes() + b"\x01\x02"  # producer killed mid-sample
+        drv = RawPipeDriver(self._Dribble(raw, step=5), 22050, chunk_size=8)
+        chunks = []
+        while (c := drv.read_chunk()) is not None:
+            chunks.append(c)
+        joined = np.concatenate(chunks)
+        np.testing.assert_array_equal(joined[:10], x)  # partial sample dropped
+
+    def test_serial_writer_file_fallback(self, tmp_path):
+        """A plain file path must open as a file whether or not pyserial is
+        installed (previously only the ImportError branch fell back)."""
+        from pitchvis_tpu.io.led import SerialWriter
+
+        path = str(tmp_path / "frames.bin")
+        w = SerialWriter(path)
+        w.write_frame(b"\xff\x00\x01abc")
+        w.close()
+        assert open(path, "rb").read() == b"\xff\x00\x01abc"
+
+    def test_streaming_signal_short(self):
+        """seconds shorter than the arpeggio schedule must not index past
+        the buffer (round-2 review: IndexError at seconds <= 1.2)."""
+        from pitchvis_tpu.core.config import VqtParameters
+        from pitchvis_tpu.io.golden import streaming_signal
+
+        sig = streaming_signal(VqtParameters(), seconds=0.8)
+        assert np.isfinite(sig).all() and len(sig) == int(22050 * 0.8)

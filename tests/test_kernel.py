@@ -127,3 +127,22 @@ class TestPresetConfigs:
         assert sum(stats["group_filters"]) == 7 * 36
         # Q=10, gamma=5.3Q: longer windows, higher delay than default
         assert 0.08 < k.delay_secs < 0.5
+
+
+class TestNearNyquistTop:
+    def test_top_frequency_just_below_nyquist_builds(self):
+        """Top frequencies in (sr/2.3, sr/2] pass the Nyquist check but make
+        the downscaling exponent negative; it must saturate to factor 1
+        (round-2 review: `1 << -1` crashed the builder)."""
+        from pitchvis_tpu.core.config import VqtParameters, VqtRange
+        from pitchvis_tpu.kernel.builder import filter_bank_params
+
+        params = VqtParameters(
+            sr=22050.0,
+            n_fft=8192,
+            range=VqtRange(min_freq=160.0, octaves=6, buckets_per_octave=12),
+        )
+        # highest bin ~10.2 kHz: inside (sr/2.3, sr/2]
+        filters = filter_bank_params(params)
+        assert min(f.sr_downscaling_factor for f in filters) == 1
+        assert all(f.sr_downscaling_factor >= 1 for f in filters)
