@@ -94,10 +94,14 @@ class ParameterTuner:
         return new
 
     def reset(self) -> None:
-        """Reset everything to defaults (the viewer's reset combo)."""
-        self.vqt_params, self.analysis_params = self._defaults
-        self._pending_vqt = None
-        self._last_vqt_change = self._clock()
+        """Reset everything to defaults (the viewer's reset combo). The VQT
+        side goes through the rebuild handshake: a caller that rebuilds its
+        kernel only when take_rebuilt() returns would otherwise keep serving
+        the old tuned kernel while vqt_params claimed defaults."""
+        default_vqt, self.analysis_params = self._defaults
+        if self.vqt_params != default_vqt or self._pending_vqt is not None:
+            self._pending_vqt = default_vqt
+            self._last_vqt_change = self._clock()
 
     # -- rebuild handshake -----------------------------------------------------
     def pending_rebuild(self) -> bool:
@@ -106,20 +110,24 @@ class ParameterTuner:
     def take_rebuilt(self) -> VqtParameters | None:
         """Returns the new VqtParameters once the debounce has elapsed (and
         commits them); None while still debouncing or if nothing changed.
-        Invalid parameter combinations roll back to the previous good set
-        with the error attached (common.rs:1137-1161 semantics)."""
+        Invalid parameter combinations RESET to construction defaults with
+        the error attached, mirroring the reference's rebuild failure path
+        (common.rs:1137-1161: log + reset params to defaults)."""
         if self._pending_vqt is None:
             return None
         if self._clock() - (self._last_vqt_change or 0.0) < REBUILD_DEBOUNCE_SECS:
             return None
         candidate = self._pending_vqt
         self._pending_vqt = None
-        from ..kernel.builder import build_kernel  # validates
+        # validate through get_kernel so the successful build lands in the
+        # lru + disk caches the caller's own get_kernel will hit (build_kernel
+        # would validate, throw the kernel away, and pay the ~15 s twice)
+        from ..kernel.builder import get_kernel
 
         try:
-            build_kernel(candidate)
+            get_kernel(candidate)
         except Exception:
-            # revert to defaults like the reference's failure path
+            # reset to defaults like the reference's failure path
             self.vqt_params = self._defaults[0]
             raise
         self.vqt_params = candidate

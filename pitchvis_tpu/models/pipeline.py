@@ -259,11 +259,18 @@ class StreamingPipeline:
         path: str = "time",
         ml_model=None,
         ml_params=None,
-        ml_t_window: int = 3,
+        ml_t_window: int | None = None,
         with_led: bool = False,
         with_viewer: bool = False,
         fast: bool = False,
     ):
+        # default ml_t_window to the model's training default (T=5,
+        # models/pitch_mlp.py DEFAULT_T) — a mismatched history window makes
+        # the flattened Dense input shape fail against trained params
+        if ml_t_window is None:
+            from .pitch_mlp import DEFAULT_T
+
+            ml_t_window = DEFAULT_T
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.agc_params = agc_params or AgcParameters()

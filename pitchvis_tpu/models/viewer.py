@@ -77,14 +77,22 @@ def chroma_vector(x_vqt_smoothed: jnp.ndarray, rng: VqtRange) -> jnp.ndarray:
 
 class BallState(struct.PyTreeNode):
     """Per-bin "pitch ball" carry (scale decays exponentially when the bin's
-    peak disappears; update.rs:136-184)."""
+    peak disappears; update.rs:136-184). `center` keeps the last placed
+    fractional position so a fading ball stays where its peak was instead of
+    snapping to the integer bin (the reference's ball entities keep their
+    Transform while fading)."""
 
     scale: jnp.ndarray  # (n,)
     z_offset: jnp.ndarray  # (n,) background drift of fading balls
+    center: jnp.ndarray  # (n,) last placed fractional bin position
 
     @classmethod
     def init(cls, n_buckets: int) -> "BallState":
-        return cls(scale=jnp.zeros(n_buckets), z_offset=jnp.zeros(n_buckets))
+        return cls(
+            scale=jnp.zeros(n_buckets),
+            z_offset=jnp.zeros(n_buckets),
+            center=jnp.arange(n_buckets, dtype=jnp.float32),
+        )
 
 
 class BallOutputs(struct.PyTreeNode):
@@ -144,31 +152,32 @@ def update_balls(
     z_order = jnp.where(active, (size_at / max_size - 1.01) * 12.5, z_offset)
     z_offset = jnp.where(active, jnp.zeros_like(z_offset), z_offset)
 
-    x, y = bin_to_spiral(rng.buckets_per_octave, jnp.where(active, center_at, idx.astype(jnp.float32)))
+    # fading balls keep the position their peak last had (update.rs keeps
+    # the entity Transform); only active bins move to the new center
+    new_center = jnp.where(active, center_at, state.center)
+    x, y = bin_to_spiral(rng.buckets_per_octave, new_center)
     position = jnp.stack([x, y, z_order], axis=-1)
 
     visible = new_scale >= VISIBILITY_CUTOFF * PITCH_BALL_SCALE_FACTOR
     visible = jnp.where(active & (new_scale >= 0.002), True, visible)
 
     # hide balls within 0.23 semitones of a peak, except the peaks themselves
-    # (update.rs:305-327)
+    # (update.rs:305-327). Inactive bins DROP instead of clipping into the
+    # edge bins: a clipped scatter would collide with real edge peaks and
+    # resolve the duplicate writes in undefined order.
     radius = rng.buckets_per_octave / 12.0 * 0.23
     hide = jnp.zeros(n, bool)
     span = int(math.ceil(radius)) + 1
     for off in range(-span, span + 1):
-        near = jnp.zeros(n, bool).at[
-            jnp.clip(jnp.round(center_at + off).astype(jnp.int32), 0, n - 1)
-        ].set(active, mode="drop")
-        shift_ok = jnp.abs(jnp.round(center_at + off) - center_at) <= radius
-        near = near & jnp.zeros(n, bool).at[
-            jnp.clip(jnp.round(center_at + off).astype(jnp.int32), 0, n - 1)
-        ].set(active & shift_ok, mode="drop")
-        hide = hide | near
+        t = jnp.round(center_at + off)
+        shift_ok = jnp.abs(t - center_at) <= radius
+        target = jnp.where(active & shift_ok, t.astype(jnp.int32), n)
+        hide = hide | jnp.zeros(n, bool).at[target].set(True, mode="drop")
     hide = hide & ~active
     visible = visible & ~hide
 
     rgba = jnp.concatenate([rgb, color_coefficient[:, None]], axis=-1)
-    new_state = BallState(scale=new_scale, z_offset=z_offset)
+    new_state = BallState(scale=new_scale, z_offset=z_offset, center=new_center)
     return new_state, BallOutputs(
         position=position,
         rgba=rgba,
@@ -218,8 +227,10 @@ def spectrogram_row_peaks(
         bucket = jnp.mod(peak_center + rotation, rng.buckets_per_octave)
         rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
         px = jnp.concatenate([rgb * 1.2, (brightness * falloff)[:, None] * 1.2], axis=-1)
-        write = jnp.where(peaks, target, n)
-        rgba = rgba.at[write].set(jnp.where(in_radius[:, None], px, 0.0), mode="drop")
+        # out-of-radius offsets DROP: writing 0 there would clobber pixels a
+        # nearer peak already wrote (peaks can sit ~2.5-3 bins apart)
+        write = jnp.where(peaks & in_radius, target, n)
+        rgba = rgba.at[write].set(px, mode="drop")
     return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 

@@ -35,7 +35,11 @@ def make_multihost_mesh(axis_name: str = "dp", dcn_axis: str = "hosts") -> Mesh:
 
     On a single host this degenerates to a (1, n_chips) grid and behaves
     exactly like `make_mesh`."""
-    devices = np.array(jax.devices())
+    # jax.devices() global order is NOT guaranteed process-contiguous on
+    # real multi-host topologies — sort by owning process first so each
+    # "hosts" row holds exactly one process's chips (otherwise the dp axis
+    # would silently span DCN and the layout guarantee above would be false)
+    devices = np.array(sorted(jax.devices(), key=lambda d: (d.process_index, d.id)))
     n_hosts = max(int(jax.process_count()), 1)
     per_host = len(devices) // n_hosts
     return Mesh(devices.reshape(n_hosts, per_host), (dcn_axis, axis_name))

@@ -31,6 +31,11 @@ def save_pipeline_state(path: str, state: PipelineState, params: VqtParameters) 
         "params": dataclasses.asdict(params),
         "n_streams": int(state.ring.buffer.shape[0]),
         "buffer_len": int(state.ring.buffer.shape[1]),
+        # record the optional fused-stage carries so the restore template's
+        # pytree structure matches (a template without them fails to restore
+        # checkpoints saved from ML/viewer-fused pipelines)
+        "ml_t_window": int(state.ml.history.shape[1]) if state.ml is not None else None,
+        "with_viewer": state.balls is not None,
     }
     with open(os.path.join(path, "pipeline_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -47,6 +52,12 @@ def load_pipeline_state(path: str) -> tuple[PipelineState, VqtParameters]:
     params = VqtParameters(range=VqtRange(**rng), **pd)
 
     ckpt = ocp.StandardCheckpointer()
-    template = init_pipeline_state(meta["n_streams"], params, meta["buffer_len"])
+    template = init_pipeline_state(
+        meta["n_streams"],
+        params,
+        meta["buffer_len"],
+        ml_t_window=meta.get("ml_t_window"),
+        with_viewer=meta.get("with_viewer", False),
+    )
     state = ckpt.restore(os.path.join(path, "pipeline_state"), template)
     return state, params

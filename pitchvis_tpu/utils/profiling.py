@@ -30,6 +30,7 @@ class StageTimer:
         self.horizon = horizon
         self._ema: dict[str, float] = {}
         self._last: dict[str, float] = {}
+        self._seen: dict[str, float] = {}  # wall time of the last observation
         self._count: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
@@ -44,14 +45,21 @@ class StageTimer:
     def observe(self, name: str, dt: float) -> None:
         self._last[name] = dt
         self._count[name] += 1
+        now = time.perf_counter()
         prev = self._ema.get(name)
         if prev is None:
             self._ema[name] = dt
         else:
             import math
 
-            alpha = 1.0 - math.exp(-2.0 * dt / self.horizon)
+            # the EMA timestep is the WALL time since this stage was last
+            # observed, not the stage's own duration — using dt would make a
+            # fast stage's EMA converge arbitrarily slowly (a 1 ms stage at
+            # 60 fps would need ~33 s of wall time for a 2 s horizon)
+            step = now - self._seen.get(name, now - dt)
+            alpha = 1.0 - math.exp(-2.0 * max(step, 1e-9) / self.horizon)
             self._ema[name] = prev + alpha * (dt - prev)
+        self._seen[name] = now
 
     def ema(self, name: str) -> float:
         return self._ema.get(name, 0.0)

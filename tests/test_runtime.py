@@ -183,3 +183,47 @@ class TestPipelineCheckpoint:
         a = pipe.step(chunk, 368 / small_params.sr)
         b = resumed.step(chunk, 368 / small_params.sr)
         np.testing.assert_allclose(np.asarray(a.x_vqt), np.asarray(b.x_vqt), atol=1e-6)
+
+    def test_save_restore_fused_state(self, tmp_path, small_params):
+        """Round-2 review: checkpoints saved from ML/viewer-fused pipelines
+        must restore — the template has to carry the same optional subtrees
+        (ml history, ball state) as the saved pytree."""
+        import jax
+        import numpy as np
+
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+        from pitchvis_tpu.runtime.checkpoint import (
+            load_pipeline_state,
+            save_pipeline_state,
+        )
+
+        n = small_params.n_buckets
+        t_window = 3
+        model = PitchMLP(input_bins=t_window * n, mlp_size=16, mlp_layers=1)
+        mp = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 1, t_window * n), np.float32)
+        )
+        pipe = StreamingPipeline(
+            2, small_params, ml_model=model, ml_params=mp,
+            ml_t_window=t_window, with_led=True, with_viewer=True,
+        )
+        rng = np.random.default_rng(1)
+        for _ in range(2):
+            pipe.step(
+                (rng.standard_normal((2, 368)) * 0.05).astype(np.float32),
+                368 / small_params.sr,
+            )
+
+        save_pipeline_state(str(tmp_path), pipe.state, small_params)
+        state, _ = load_pipeline_state(str(tmp_path))
+        assert state.ml is not None and state.balls is not None
+        np.testing.assert_allclose(
+            np.asarray(state.ml.history), np.asarray(pipe.state.ml.history)
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.balls.scale), np.asarray(pipe.state.balls.scale)
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.balls.center), np.asarray(pipe.state.balls.center)
+        )

@@ -60,11 +60,22 @@ class TestTuner:
         assert tuner.take_rebuilt().gamma == 11.0
 
     def test_reset(self):
+        """reset() routes the VQT revert through the rebuild handshake: a
+        caller that only rebuilds when take_rebuilt() returns must receive
+        the default parameters (previously reset cleared the pending state,
+        leaving the old tuned kernel serving forever)."""
         tuner, clock = self._tuner()
         tuner.adjust_analysis("harmonic_threshold", value=0.7)
         tuner.adjust_vqt("quality", value=3.0)
+        defaults = tuner._defaults[0]
         tuner.reset()
         assert tuner.analysis_params.harmonic_threshold == pytest.approx(0.3)
+        assert tuner.pending_rebuild()  # the revert must be emitted
+        clock.t += 3.0
+        assert tuner.take_rebuilt() == defaults
+        assert tuner.vqt_params == defaults
+        # a second reset with nothing tuned is a no-op
+        tuner.reset()
         assert not tuner.pending_rebuild()
 
 
