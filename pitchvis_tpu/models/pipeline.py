@@ -284,7 +284,7 @@ class StreamingPipeline:
         # accumulation (error budget documented in ops/vqt.py + test_bf16.py);
         # everything downstream of |y|^2 stays f32.
         self.arrays = VqtArrays.from_kernel(
-            self.kernel, dtype=jnp.bfloat16 if fast else jnp.float32
+            self.kernel, dtype=jnp.bfloat16 if fast else jnp.float32, path=path
         )
         self.state = init_pipeline_state(
             n_streams,

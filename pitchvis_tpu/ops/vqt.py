@@ -81,12 +81,27 @@ class VqtArrays:
         return cls(w_freq, w_time, windows, n_filters, n_fft, n_buckets)
 
     @classmethod
-    def from_kernel(cls, kernel: VqtKernel, dtype=jnp.float32) -> "VqtArrays":
+    def from_kernel(
+        cls, kernel: VqtKernel, dtype=jnp.float32, path: str | None = None
+    ) -> "VqtArrays":
+        """``path``: upload only the weight set that path uses ("time" or
+        "freq"); None uploads both (a Vqt instance uses exactly one, so
+        callers with a fixed path should pass it — the sets are comparable
+        in size and the unused one would double the weight HBM footprint)."""
+        groups = kernel.window_groups
         return cls(
-            w_freq=tuple(jnp.asarray(g.w_freq, dtype=dtype) for g in kernel.window_groups),
-            w_time=tuple(jnp.asarray(g.w_time, dtype=dtype) for g in kernel.window_groups),
-            windows=tuple(g.window for g in kernel.window_groups),
-            n_filters=tuple(g.n_filters for g in kernel.window_groups),
+            w_freq=(
+                tuple(jnp.asarray(g.w_freq, dtype=dtype) for g in groups)
+                if path in (None, "freq")
+                else ()
+            ),
+            w_time=(
+                tuple(jnp.asarray(g.w_time, dtype=dtype) for g in groups)
+                if path in (None, "time")
+                else ()
+            ),
+            windows=tuple(g.window for g in groups),
+            n_filters=tuple(g.n_filters for g in groups),
             n_fft=kernel.params.n_fft,
             n_buckets=kernel.n_buckets,
         )
@@ -204,7 +219,7 @@ class Vqt:
             self._db_batch = jax.jit(vqt_db_pallas)
             self._power_batch = jax.jit(vqt_power_pallas)
         else:
-            self.arrays = VqtArrays.from_kernel(self.kernel, dtype=dtype)
+            self.arrays = VqtArrays.from_kernel(self.kernel, dtype=dtype, path=path)
             self._db_batch = functools.partial(
                 _vqt_db_batch_jit, path=path, precision=precision
             )

@@ -130,12 +130,17 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
         nf = nfs[g]
         nfp = nf_pads[g]
         width = 2 * nfp
-        n_k = size // K_TILE
+        # groups SMALLER than K_TILE (reachable at e.g. 36 bpo + quality 1.8,
+        # which yields a 512-sample group) use their own size as the tile —
+        # size//K_TILE would truncate to 0 and the unconditional first DMA
+        # would read out of bounds while the group output stayed zero
+        kt = min(K_TILE, size)
+        n_k = size // kt
 
         def dma(slot, k_idx):
             return pltpu.make_async_copy(
-                w_g.at[pl.ds(k_idx * K_TILE, K_TILE), :],
-                wbuf_ref.at[slot, :, pl.ds(0, width)],
+                w_g.at[pl.ds(k_idx * kt, kt), :],
+                wbuf_ref.at[slot, pl.ds(0, kt), pl.ds(0, width)],
                 sem.at[slot],
             )
 
@@ -146,8 +151,8 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
             if k + 1 < n_k:
                 dma((k + 1) % 2, k + 1).start()
             dma(slot, k).wait()
-            x_sub = x_ref[:, pl.ds(off + k * K_TILE, K_TILE)]
-            w_tile = wbuf_ref[slot, :, pl.ds(0, width)]
+            x_sub = x_ref[:, pl.ds(off + k * kt, kt)]
+            w_tile = wbuf_ref[slot, pl.ds(0, kt), pl.ds(0, width)]
             # bf16 weights: one MXU pass, f32 accumulate; f32: exact 6-pass
             acc_ref[:, :width] += jnp.dot(
                 x_sub.astype(w_tile.dtype),

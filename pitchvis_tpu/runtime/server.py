@@ -47,7 +47,7 @@ class StreamServer:
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
         self.kernel = get_kernel(self.vqt_params)
-        self.arrays = VqtArrays.from_kernel(self.kernel)
+        self.arrays = VqtArrays.from_kernel(self.kernel, path=path)
         capacity = max(int(self.vqt_params.sr * buffer_seconds), self.vqt_params.n_fft)
         self.rings = NativeRingBank(n_streams, capacity)
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)

@@ -83,7 +83,13 @@ def parse_midi(data: bytes) -> MidiFile:
             status = data[tpos]
             if status & 0x80:
                 tpos += 1
-                running = status
+                # meta/sysex do NOT become running status: a channel event
+                # encoded with running status after e.g. a text meta would
+                # otherwise be swallowed as bogus meta data (SMF 1.0 says
+                # meta/sysex "cancel" running status; real files rely on the
+                # channel status surviving across interleaved meta events)
+                if status < 0xF0:
+                    running = status
             else:
                 status = running
             kind = status & 0xF0

@@ -411,10 +411,15 @@ def _build_regions(bag, gen, zone_lo, zone_hi, terminal_gen, make_region):
     the first zone is global unless its last generator is the terminal type
     (SAMPLE_ID / INSTRUMENT) (instrument_region.rs:94-121)."""
     zones = []
+    # bag/gen indices come from the (untrusted) file: clamp them so a
+    # malformed header degrades to empty/truncated zones (skipped below)
+    # instead of an IndexError aborting the whole font
+    zone_lo = max(0, min(zone_lo, len(bag)))
+    zone_hi = max(zone_lo, min(zone_hi, len(bag)))
     for z in range(zone_lo, zone_hi):
-        g_start = bag[z][0]
-        g_end = bag[z + 1][0] if z + 1 < len(bag) else len(gen)
-        zones.append(gen[g_start:g_end])
+        g_start = min(bag[z][0], len(gen))
+        g_end = min(bag[z + 1][0], len(gen)) if z + 1 < len(bag) else len(gen)
+        zones.append(gen[g_start:g_end] if g_end > g_start else [])
     if not zones:
         return []
     first_is_global = not zones[0] or zones[0][-1][0] != terminal_gen
@@ -481,8 +486,8 @@ class SoundFont:
             name = inst[off : off + 20].split(b"\0")[0].decode("ascii", "replace")
             (bag_idx,) = struct.unpack_from("<H", inst, off + 20)
             headers.append((name, bag_idx))
-        ibag = [struct.unpack_from("<HH", c["ibag"], off) for off in range(0, len(c["ibag"]), 4)]
-        igen = [struct.unpack_from("<Hh", c["igen"], off) for off in range(0, len(c["igen"]), 4)]
+        ibag = [struct.unpack_from("<HH", c["ibag"], off) for off in range(0, len(c["ibag"]) - 3, 4)]
+        igen = [struct.unpack_from("<Hh", c["igen"], off) for off in range(0, len(c["igen"]) - 3, 4)]
 
         def make_region(global_zone, local):
             gs = _instrument_gs_defaults()
@@ -509,8 +514,8 @@ class SoundFont:
             name = phdr[off : off + 20].split(b"\0")[0].decode("ascii", "replace")
             patch, bank, bag_idx = struct.unpack_from("<HHH", phdr, off + 20)
             headers.append((name, patch, bank, bag_idx))
-        pbag = [struct.unpack_from("<HH", c["pbag"], off) for off in range(0, len(c["pbag"]), 4)]
-        pgen = [struct.unpack_from("<Hh", c["pgen"], off) for off in range(0, len(c["pgen"]), 4)]
+        pbag = [struct.unpack_from("<HH", c["pbag"], off) for off in range(0, len(c["pbag"]) - 3, 4)]
+        pgen = [struct.unpack_from("<Hh", c["pgen"], off) for off in range(0, len(c["pgen"]) - 3, 4)]
 
         def make_region(global_zone, local):
             gs = _preset_gs_defaults()

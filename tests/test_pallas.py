@@ -78,3 +78,34 @@ class TestPeaksPallas:
         mask, _ = local_maxima_and_prominences_pallas(jnp.asarray(x))
         m_ref = np.asarray(jax.vmap(local_maxima)(jnp.asarray(x)))
         np.testing.assert_array_equal(np.asarray(mask), m_ref)
+
+
+class TestSmallWindowGroups:
+    def test_group_smaller_than_k_tile(self):
+        """Round-2 review: configs whose smallest window group is below
+        K_TILE (e.g. 36 bpo at quality 1.8 -> a 512-sample group) truncated
+        n_k to 0 — the group DMA'd out of bounds and output zero power. The
+        tile now shrinks to the group size."""
+        import numpy as np
+
+        from pitchvis_tpu.core.config import VqtParameters, VqtRange
+        from pitchvis_tpu.kernel.builder import get_kernel
+        from pitchvis_tpu.ops.vqt import VqtArrays, vqt_db_batch
+        from pitchvis_tpu.ops.vqt_pallas import PallasVqtArrays, vqt_db_pallas
+
+        params = VqtParameters(
+            sr=22050.0,
+            n_fft=16384,
+            quality=1.8,
+            gamma=4.8 * 1.8,
+            range=VqtRange(min_freq=110.0, octaves=6, buckets_per_octave=36),
+        )
+        kernel = get_kernel(params)
+        assert min(g.w_time.shape[0] for g in kernel.window_groups) < 1024, (
+            "config no longer produces a sub-K_TILE group; pick another"
+        )
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((4, params.n_fft)) * 0.1).astype(np.float32)
+        want = np.asarray(vqt_db_batch(VqtArrays.from_kernel(kernel), x))
+        got = np.asarray(vqt_db_pallas(PallasVqtArrays.from_kernel(kernel), x))
+        np.testing.assert_allclose(got, want, atol=2e-3)

@@ -170,3 +170,40 @@ class TestSequencerWithFont:
         assert abs(onset - expected) <= 64
         # and definitely NOT quantized to the ~44k-sample render chunk
         assert onset < 3000
+
+
+class TestMidiRunningStatus:
+    def test_running_status_survives_meta_events(self, tmp_path):
+        """Round-2 review: a meta event must not become running status — a
+        channel event encoded with running status after a text meta was
+        swallowed as bogus meta data, leaving the note hanging."""
+        import struct
+
+        from pitchvis_tpu.synth.midi import load_midi
+
+        def varlen(v):
+            return bytes([v])  # enough for < 128
+
+        track = b""
+        track += varlen(0) + bytes([0x90, 60, 100])          # note on (status)
+        track += varlen(0) + bytes([0xFF, 0x01, 4]) + b"text"  # text meta
+        track += varlen(96) + bytes([60, 0])                  # running-status note off
+        track += varlen(0) + bytes([0xFF, 0x2F, 0x00])        # end of track
+        data = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+        data += b"MTrk" + struct.pack(">I", len(track)) + track
+        path = tmp_path / "run.mid"
+        path.write_bytes(data)
+
+        midi = load_midi(str(path))
+        kinds = [(e.kind, e.key) for e in midi.events if e.kind in ("on", "off")]
+        assert ("on", 60) in kinds and ("off", 60) in kinds, kinds
+
+    def test_malformed_zone_indices_skip(self, tmp_path):
+        """Out-of-range bag indices degrade to skipped zones, not crashes."""
+        from pitchvis_tpu.synth.sf2 import _build_regions
+
+        bag = [(0, 0), (2, 0)]
+        gen = [(43, 0x7F00), (53, 0)]
+        # zone_hi far past the bag table: clamped, not IndexError
+        regions = _build_regions(bag, gen, 0, 1000, 53, lambda g, l: (g, l))
+        assert isinstance(regions, list)
