@@ -553,7 +553,9 @@ def _parse_riff(data: bytes) -> tuple[np.ndarray, dict]:
     pos = 12
     wave = np.zeros(0, np.int16)
     chunks: dict[str, bytes] = {}
-    end = 8 + struct.unpack_from("<I", data, 4)[0]
+    # the declared RIFF size is untrusted: clamp to the actual buffer so a
+    # corrupted header can't walk struct.unpack_from past the end
+    end = min(8 + struct.unpack_from("<I", data, 4)[0], len(data))
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)

@@ -207,3 +207,27 @@ class TestMidiRunningStatus:
         # zone_hi far past the bag table: clamped, not IndexError
         regions = _build_regions(bag, gen, 0, 1000, 53, lambda g, l: (g, l))
         assert isinstance(regions, list)
+
+    def test_fuzzed_fonts_never_crash_untyped(self, tmp_path):
+        """3k random byte corruptions of a valid font: the parser either
+        succeeds or raises ValueError/KeyError — never IndexError or
+        struct.error (round-2 fuzz findings)."""
+        import random
+
+        import numpy as np
+
+        from pitchvis_tpu.synth.sf2 import SoundFont, write_minimal_sf2
+
+        path = str(tmp_path / "fz.sf2")
+        t = np.arange(400)
+        write_minimal_sf2(path, 0.5 * np.sin(2 * np.pi * t / 50), 22050, root_key=69)
+        base = open(path, "rb").read()
+        rng = random.Random(0)
+        for _ in range(3000):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            try:
+                SoundFont(bytes(data))
+            except (ValueError, KeyError):
+                pass
