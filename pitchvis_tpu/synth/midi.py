@@ -56,6 +56,15 @@ def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def parse_midi(data: bytes) -> MidiFile:
+    try:
+        return _parse_midi(data)
+    except (IndexError, struct.error) as e:
+        # corrupted deltas/lengths walk reads past the buffer; surface them
+        # as the same typed rejection as structural errors
+        raise ValueError(f"malformed SMF: {e}") from e
+
+
+def _parse_midi(data: bytes) -> MidiFile:
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file")
     hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])

@@ -231,3 +231,25 @@ class TestMidiRunningStatus:
                 SoundFont(bytes(data))
             except (ValueError, KeyError):
                 pass
+
+    def test_fuzzed_midi_never_crashes_untyped(self, tmp_path):
+        """Same contract for the SMF parser: typed ValueError, never
+        IndexError/struct.error, across 3k random corruptions."""
+        import random
+
+        from pitchvis_tpu.synth.midi import load_midi, write_midi
+
+        path = str(tmp_path / "fz.mid")
+        write_midi(path, [(0.0, 0.5, 0, 60, 100), (0.3, 0.4, 1, 64, 90)])
+        base = open(path, "rb").read()
+        rng = random.Random(1)
+        cpath = str(tmp_path / "c.mid")
+        for _ in range(3000):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            open(cpath, "wb").write(bytes(data))
+            try:
+                load_midi(cpath)
+            except ValueError:
+                pass
