@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import TRAIN_VQT_PARAMETERS, AgcParameters, VqtParameters
-from ..models.pitch_mlp import N_MIDI
 from ..ops.agc import agc_chunk
 from ..ops.vqt import Vqt
 from ..synth.midi import MidiFile
