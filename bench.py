@@ -1,7 +1,16 @@
 """Headline benchmark: batched VQT throughput on one chip.
 
-Prints ONE JSON line:
+Default run prints TWO JSON lines of the form
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+the exact f32 fused-Pallas number first (round-over-round continuity), then
+the flagship bf16 fast mode LAST — the driver records the final line. The
+bf16 mode's error budget is pinned by tests/test_bf16.py (<=0.016 dB at
+default parameters on musical signals).
+
+`--config all` additionally persists the full five-config sweep to
+BENCH_SWEEP.json with per-config medians over --repeats runs (default 3),
+so round-over-round regressions are detectable despite the host's 2x
+throttle-window variance (docs/PERFORMANCE.md).
 
 Baseline: the Rust reference computes one default-parameter VQT frame in
 0.165 ms on a desktop CPU core (VQT_REVIEW.md:12-15) ~= 6,060 frames/s.
@@ -11,10 +20,30 @@ vs_baseline = our frames/s / 6060.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 
+def _run_sweep(repeats: int) -> None:
+    from pitchvis_tpu.bench.configs import ALL_CONFIGS
 
+    sweep = {}
+    for key, fn in ALL_CONFIGS.items():
+        runs = []
+        for _ in range(repeats):
+            runs.append(fn())
+        values = [r["value"] for r in runs]
+        result = dict(runs[0])
+        result["value"] = round(statistics.median(values), 1)
+        result["vs_baseline"] = round(
+            result["value"] * runs[0]["vs_baseline"] / max(runs[0]["value"], 1e-9), 2
+        )
+        result["config"] = key
+        result["runs"] = values
+        sweep[key] = result
+        print(json.dumps(result))
+    with open("BENCH_SWEEP.json", "w") as f:
+        json.dump(sweep, f, indent=1)
 
 
 def main() -> None:
@@ -23,20 +52,31 @@ def main() -> None:
     if "--config" in sys.argv:
         name = sys.argv[sys.argv.index("--config") + 1]
         if name == "all":
-            for key, fn in ALL_CONFIGS.items():
-                result = fn()
-                result["config"] = key
-                print(json.dumps(result))
+            repeats = (
+                int(sys.argv[sys.argv.index("--repeats") + 1])
+                if "--repeats" in sys.argv
+                else 3
+            )
+            _run_sweep(repeats)
             return
         result = ALL_CONFIGS[name]()
-    else:
-        kwargs = {}
-        if "--path" in sys.argv:
-            kwargs["path"] = sys.argv[sys.argv.index("--path") + 1]
-        if "--batch" in sys.argv:
-            kwargs["batch"] = int(sys.argv[sys.argv.index("--batch") + 1])
-        result = bench_offline_vqt(**kwargs)
-    print(json.dumps(result))
+        print(json.dumps(result))
+        return
+
+    kwargs = {}
+    if "--path" in sys.argv:
+        kwargs["path"] = sys.argv[sys.argv.index("--path") + 1]
+    if "--batch" in sys.argv:
+        kwargs["batch"] = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--fast" in sys.argv:
+        print(json.dumps(bench_offline_vqt(fast=True, **kwargs)))
+        return
+    if kwargs:
+        print(json.dumps(bench_offline_vqt(**kwargs)))
+        return
+    # default: exact f32 line for continuity, flagship bf16 fast mode LAST
+    print(json.dumps(bench_offline_vqt()))
+    print(json.dumps(bench_offline_vqt(fast=True)))
 
 
 if __name__ == "__main__":

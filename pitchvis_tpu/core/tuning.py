@@ -127,8 +127,15 @@ class ParameterTuner:
         try:
             get_kernel(candidate)
         except Exception:
-            # reset to defaults like the reference's failure path
-            self.vqt_params = self._defaults[0]
+            # Rebuild failure resets to defaults (common.rs:1137-1161) — but
+            # through the normal handshake: vqt_params keeps matching the
+            # still-served kernel, and the NEXT take_rebuilt() (debounce
+            # pre-elapsed) delivers the defaults for the caller to swap in.
+            # Committing defaults directly here would leave a caller that
+            # only swaps kernels on successful take_rebuilt() serving the old
+            # tuned kernel while vqt_params claimed defaults.
+            self._pending_vqt = self._defaults[0]
+            self._last_vqt_change = self._clock() - REBUILD_DEBOUNCE_SECS
             raise
         self.vqt_params = candidate
         return candidate

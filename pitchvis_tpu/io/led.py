@@ -117,21 +117,41 @@ class SerialWriter:
         self._own = False
         if hasattr(port_or_file, "write"):
             self._port = port_or_file
+            return
+        try:
+            import serial  # type: ignore
+        except ImportError:
+            self._port = open(port_or_file, "wb")
+            self._own = True
+            return
+        import os
+        import stat
+
+        try:
+            mode = os.stat(port_or_file).st_mode
+        except OSError:
+            mode = None
+        if mode is not None and not stat.S_ISCHR(mode):
+            # existing non-device target (regular file, FIFO): file output as
+            # the docstring promises — don't even try pyserial on it
+            self._port = open(port_or_file, "wb")
         else:
             try:
-                import serial  # type: ignore
-
                 self._port = serial.Serial(port_or_file, baud_rate, timeout=10)
-                self._own = True
-            except ImportError:
+            except serial.SerialException:
+                if mode is not None:
+                    # a real character device that failed to open (busy,
+                    # permissions, bad baud) is a genuine serial error —
+                    # silently writing frames to a plain file would mask it
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"serial port {port_or_file!r} does not exist; "
+                    "writing LED frames to a new plain file instead"
+                )
                 self._port = open(port_or_file, "wb")
-                self._own = True
-            except Exception:
-                # pyserial present but the target is a plain file path (or
-                # otherwise not a serial port): fall back to file output as
-                # the docstring promises
-                self._port = open(port_or_file, "wb")
-                self._own = True
+        self._own = True
 
     def write_frame(self, frame: bytes) -> None:
         self._port.write(frame)

@@ -22,7 +22,7 @@ from flax import struct
 
 from ..core.config import AgcParameters, AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
-from ..ops.vqt import VqtArrays, vqt_db_batch
+from ..ops.vqt import make_vqt_arrays, vqt_db_auto
 from ..stream.ring import RingState, ring_push, ring_window
 from .analysis import (
     AnalysisOutputs,
@@ -98,7 +98,7 @@ def init_pipeline_state(
     ),
 )
 def pipeline_step(
-    vqt_arrays: VqtArrays,
+    vqt_arrays,  # VqtArrays, or PallasVqtArrays when path="pallas"
     state: PipelineState,
     chunk: jnp.ndarray,
     dt: jnp.ndarray,
@@ -129,10 +129,13 @@ def pipeline_step(
     """
     ring = ring_push(state.ring, chunk, agc_params)
     window = ring_window(ring, vqt_params.n_fft)
-    x_vqt = vqt_db_batch(vqt_arrays, window, path=path)
+    # path="pallas" dispatches to the fused kernel (ops/vqt_pallas.py);
+    # vqt_arrays must then be PallasVqtArrays (make_vqt_arrays handles both)
+    x_vqt = vqt_db_auto(vqt_arrays, window, path=path)
 
     dt_b = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (chunk.shape[0],))
-    # batched entry: prominences ride the windowed fast path (ops/peaks.py)
+    # batched entry: prominences use the pair-compacted exact fast path
+    # (ops/peaks.py prominences_compact)
     new_analysis, outputs = analysis_step_batch(
         analysis_params, vqt_params.range, state.analysis, x_vqt, dt_b
     )
@@ -201,7 +204,7 @@ def pipeline_step(
     ),
 )
 def pipeline_step_multi(
-    vqt_arrays: VqtArrays,
+    vqt_arrays,  # VqtArrays, or PallasVqtArrays when path="pallas"
     state: PipelineState,
     chunks: jnp.ndarray,
     dt: jnp.ndarray,
@@ -282,10 +285,9 @@ class StreamingPipeline:
         self.kernel = get_kernel(self.vqt_params)
         # fast=True: bf16 VQT weights -> single-pass MXU matmuls with f32
         # accumulation (error budget documented in ops/vqt.py + test_bf16.py);
-        # everything downstream of |y|^2 stays f32.
-        self.arrays = VqtArrays.from_kernel(
-            self.kernel, dtype=jnp.bfloat16 if fast else jnp.float32, path=path
-        )
+        # everything downstream of |y|^2 stays f32. path="pallas" uploads the
+        # packed fused-kernel weights instead of the dense sets.
+        self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
         self.state = init_pipeline_state(
             n_streams,
             self.vqt_params,

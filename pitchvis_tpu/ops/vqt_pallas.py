@@ -216,7 +216,7 @@ def vqt_power_pallas(
         in_specs=[
             pl.BlockSpec((bt, arrays.tail), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in arrays.weights],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in arrays.weights],
         out_specs=pl.BlockSpec((bt, arrays.n_buckets), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, arrays.n_buckets), jnp.float32),
         scratch_shapes=[

@@ -24,7 +24,7 @@ import numpy as np
 from ..core.config import AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
 from ..models.analysis import analysis_step_batch, init_state_batch
-from ..ops.vqt import VqtArrays, vqt_db_batch
+from ..ops.vqt import make_vqt_arrays, vqt_db_auto
 from .native import NativeRingBank, available as native_available
 
 
@@ -38,7 +38,12 @@ class StreamServer:
         analysis_params: AnalysisParameters | None = None,
         buffer_seconds: float = 4.0,
         path: str = "time",
+        fast: bool = False,
     ):
+        """``path="pallas"`` serves the fused Pallas VQT kernel (the repo's
+        fastest); ``fast=True`` additionally stores the weights in bf16
+        (error budget: tests/test_bf16.py). Reference analog: the viewer's
+        one VQT in its frame loop (pitchvis_viewer/src/vqt_system.rs:40-68)."""
         if not native_available():
             raise RuntimeError(
                 "native runtime unavailable — use models.pipeline.StreamingPipeline"
@@ -47,14 +52,14 @@ class StreamServer:
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
         self.kernel = get_kernel(self.vqt_params)
-        self.arrays = VqtArrays.from_kernel(self.kernel, path=path)
+        self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
         capacity = max(int(self.vqt_params.sr * buffer_seconds), self.vqt_params.n_fft)
         self.rings = NativeRingBank(n_streams, capacity)
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
         self.n_streams = n_streams
         self._last_step = None
 
-        self._vqt = jax.jit(lambda a, x: vqt_db_batch(a, x, path=path))
+        self._vqt = jax.jit(lambda a, x: vqt_db_auto(a, x, path=path))
 
     # -- ingest side (any thread) -------------------------------------------
     def push(self, stream: int, samples: np.ndarray) -> bool:

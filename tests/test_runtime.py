@@ -149,6 +149,33 @@ class TestStreamServer:
         assert gains[0] > 1.0
         server.close()
 
+    def test_pallas_path_matches_time(self, small_params):
+        """path="pallas" serves the fused kernel through StreamServer (round-2
+        verdict item 1); analysis outputs agree with the dense time path."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        outs = {}
+        for path in ("time", "pallas"):
+            server = StreamServer(2, small_params, buffer_seconds=1.0, path=path)
+            server.push(0, tone)
+            for _ in range(3):
+                server._last_step = None  # pin dt to 1/60 (wall-clock differs per path)
+                out, _ = server.step()
+            outs[path] = out
+            server.close()
+        np.testing.assert_array_equal(
+            np.asarray(outs["pallas"].peaks), np.asarray(outs["time"].peaks)
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas"].x_vqt_smoothed),
+            np.asarray(outs["time"].x_vqt_smoothed),
+            atol=2e-2,
+        )
+
 
 class TestPipelineCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path, small_params):

@@ -232,6 +232,70 @@ class TestMidiRunningStatus:
             except (ValueError, KeyError):
                 pass
 
+    def test_structured_smf_fuzz(self, tmp_path):
+        """Round-2 verdict item 8: targeted SMF malformations beyond random
+        byte flips — truncations at EVERY offset, bogus VLQs (continuation
+        runs, VLQ bombs, continuation-to-EOF), and running-status edge cases
+        (no status established, status stripped, meta interleaving). The
+        contract is the same: parse_midi returns a MidiFile or raises
+        ValueError — never IndexError/struct.error/hang. The a0ed9f7
+        running-status bug would have been caught here."""
+        import struct as _struct
+
+        from pitchvis_tpu.synth.midi import parse_midi, write_midi
+
+        path = str(tmp_path / "s.mid")
+        write_midi(path, [(0.0, 0.5, 0, 60, 100), (0.2, 0.4, 3, 64, 90)])
+        base = open(path, "rb").read()
+
+        def check(data: bytes):
+            try:
+                parse_midi(data)
+            except ValueError:
+                pass
+
+        # 1) truncation at every byte offset (torn writes / short reads)
+        for cut in range(len(base)):
+            check(base[:cut])
+
+        def track(body: bytes, ntrks: int = 1) -> bytes:
+            return (
+                b"MThd" + _struct.pack(">IHHH", 6, 0, ntrks, 480)
+                + b"MTrk" + _struct.pack(">I", len(body)) + body
+            )
+
+        # 2) bogus VLQs
+        check(track(b"\x80" * 64))  # continuation run, no terminator, ends at tend
+        check(track(b"\x80" * 64 + b"\x00"))  # 64-byte VLQ "bomb" delta
+        check(track(b"\xff\x7f" * 8 + b"\x00" + bytes([0x90, 60, 100])))  # huge delta
+        check(track(b"\x00\xff\x51" + b"\x80" * 32))  # meta length VLQ to EOF
+        check(track(b"\x00\xf0" + b"\x87" * 12 + b"\x00"))  # sysex VLQ bomb length
+        # declared track length beyond the file
+        check(b"MThd" + _struct.pack(">IHHH", 6, 0, 1, 480)
+              + b"MTrk" + _struct.pack(">I", 10_000) + b"\x00\x90\x3c\x64")
+
+        # 3) running-status edge cases
+        check(track(b"\x00\x3c\x64"))  # data bytes with NO status established
+        check(track(b"\x00\x90\x3c\x64\x00\x3c"))  # running-status event truncated mid-data
+        check(track(b"\x00\xc0\x05\x00\x3c\x64"))  # running status after 1-byte command
+        # status byte as the very last byte (data bytes missing entirely)
+        check(track(b"\x00\x90"))
+        # zero-division header (division=0 falls back to 480, must not ZeroDivisionError)
+        check(b"MThd" + _struct.pack(">IHHH", 6, 0, 1, 0)
+              + b"MTrk" + _struct.pack(">I", 4) + b"\x00\x90\x3c\x64")
+
+        # 4) semantic: running status survives interleaved meta events
+        body = (
+            b"\x00\x90\x3c\x64"          # note on ch0 key 60
+            + b"\x00\xff\x01\x03abc"     # text meta (must NOT cancel running status)
+            + b"\x10\x3e\x50"            # running-status note on key 62
+            + b"\x10\x3c\x00"            # running-status note off (vel 0)
+            + b"\x00\xff\x2f\x00"        # end of track
+        )
+        mf = parse_midi(track(body))
+        kinds = [(e.kind, e.key) for e in mf.events]
+        assert kinds == [("on", 60), ("on", 62), ("off", 60)], kinds
+
     def test_fuzzed_midi_never_crashes_untyped(self, tmp_path):
         """Same contract for the SMF parser: typed ValueError, never
         IndexError/struct.error, across 3k random corruptions."""

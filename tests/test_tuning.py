@@ -78,6 +78,33 @@ class TestTuner:
         tuner.reset()
         assert not tuner.pending_rebuild()
 
+    def test_rebuild_failure_resets_through_handshake(self):
+        """A failed rebuild reverts to defaults THROUGH the handshake
+        (common.rs:1137-1161's log+reset): vqt_params keeps matching the
+        still-served kernel, and the next take_rebuilt() — debounce
+        pre-elapsed — delivers the defaults for the caller to swap in."""
+        import dataclasses
+
+        from pitchvis_tpu.core.errors import VqtError
+
+        tuner, clock = self._tuner()
+        defaults = tuner._defaults[0]
+        tuner.adjust_vqt("quality", value=2.0)
+        clock.t += REBUILD_DEBOUNCE_SECS + 0.1
+        # inject an unbuildable combination (window exceeds n_fft)
+        tuner._pending_vqt = dataclasses.replace(
+            tuner._pending_vqt, quality=5.0, gamma=0.01, n_fft=2048
+        )
+        with pytest.raises(VqtError):
+            tuner.take_rebuilt()
+        # vqt_params still matches the kernel actually being served (the
+        # construction params here — nothing was ever committed)
+        assert tuner.vqt_params == defaults
+        assert tuner.pending_rebuild()
+        got = tuner.take_rebuilt()  # immediately available, no extra debounce
+        assert got == defaults
+        assert tuner.vqt_params == defaults
+
 
 class TestStageTimer:
     def test_stage_timing_and_report(self):
