@@ -299,6 +299,64 @@ def bench_train(seconds: float = 12.0, device_gen: bool = False) -> dict:
     }
 
 
+def bench_train_corpus(
+    n_files: int = 6, seconds: float = 8.0, n_workers: int = 4
+) -> dict:
+    """Config #5b: multi-file corpus generation (the reference's rayon
+    par_iter over MIDI files, train.rs:146-153) through the GIL-releasing
+    native thread pool (train/dataset.py n_workers). Reports the parallel
+    labeled-frames/s; the extra "speedup_vs_serial" key records the measured
+    gain over n_workers=1 on THIS host — on a multi-core host the native
+    render scales near-linearly, on a single-core host (this VM: nproc=1)
+    only the render/device-VQT overlap remains."""
+    import os
+    import tempfile
+
+    from ..core.config import TRAIN_VQT_PARAMETERS
+    from ..synth.midi import write_midi
+    from ..synth.sf2 import write_minimal_sf2
+    from ..train.dataset import generate_dataset
+
+    params = TRAIN_VQT_PARAMETERS
+    sr = int(params.sr)
+    with tempfile.TemporaryDirectory() as d:
+        sf_path = os.path.join(d, "bench.sf2")
+        wave = 0.7 * np.sin(2 * np.pi * np.arange(sr // 2) * 441.0 / sr)
+        write_minimal_sf2(sf_path, wave, sr, root_key=69, loop=True)
+        paths = []
+        for i in range(n_files):
+            p = os.path.join(d, f"{i}.mid")
+            notes = [
+                (j * 0.25, 0.4, 0, 36 + ((j + 5 * i) % 36), 100)
+                for j in range(int(seconds * 4))
+            ]
+            write_midi(p, notes)
+            paths.append(p)
+        kw = dict(
+            params=params, sound_font_path=sf_path, max_seconds_per_file=seconds
+        )
+        generate_dataset(paths[:1], n_workers=1, **kw)  # warm compile caches
+
+        t0 = time.perf_counter()
+        serial = generate_dataset(paths, n_workers=1, **kw)
+        dt_serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        parallel = generate_dataset(paths, n_workers=n_workers, **kw)
+        dt_parallel = time.perf_counter() - t0
+    row = params.n_buckets + 128
+    frames = len(parallel) // row
+    assert len(serial) == len(parallel)
+    fps = frames / dt_parallel
+    return {
+        "metric": "train_corpus_labeled_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),  # same scale as bench_train
+        "speedup_vs_serial": round(dt_serial / dt_parallel, 2),
+        "n_workers": n_workers,
+    }
+
+
 ALL_CONFIGS = {
     "offline_vqt": bench_offline_vqt,
     "offline_vqt_bf16": lambda: bench_offline_vqt(fast=True),
@@ -307,4 +365,5 @@ ALL_CONFIGS = {
     "analysis": bench_analysis,
     "serial": bench_serial,
     "train": bench_train,
+    "train_corpus": bench_train_corpus,
 }

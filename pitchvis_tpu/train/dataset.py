@@ -73,6 +73,16 @@ class _HostAgc:
         self.gain = g
 
 
+def _chunk_samples(vqt: Vqt, sr: int) -> int:
+    """Render-chunk size: the VQT delay in ms, floored to the 64-sample
+    block grid (train.rs:243-247)."""
+    delay_samples = int(vqt.delay_secs * 1000.0) * sr // 1000
+    delay_samples = (delay_samples // 64) * 64
+    if delay_samples == 0:
+        raise ValueError("vqt delay too small")
+    return delay_samples
+
+
 def annotate_midi(
     midi: MidiFile,
     vqt: Vqt,
@@ -87,10 +97,7 @@ def annotate_midi(
     synthesizer to SF2 sample playback like the reference's
     MuseScore_General.sf2 (train.rs:139-140)."""
     sr = int(params.sr)
-    delay_samples = int(vqt.delay_secs * 1000.0) * sr // 1000
-    delay_samples = (delay_samples // 64) * 64
-    if delay_samples == 0:
-        raise ValueError("vqt delay too small")
+    delay_samples = _chunk_samples(vqt, sr)
     bufsize = BUFSIZE_FACTOR * sr
 
     if sound_font is not None:
@@ -221,16 +228,41 @@ def generate_dataset(
     out_path: str | None = None,
     max_seconds_per_file: float | None = None,
     sound_font_path: str | None = None,
+    n_workers: int = 1,
 ) -> np.ndarray:
     """Full dataset over a MIDI corpus (train.rs:112-207). Returns (and
     optionally saves as .npy) the flat f32 array in the reference's data.npy
-    layout."""
+    layout.
+
+    ``n_workers > 1`` parallelizes the host-side render→AGC→snapshot loop
+    over MIDI files on a thread pool — the structure of the reference's
+    rayon par_iter over files with per-thread synthesizer instances
+    (train.rs:146-153). The native C++ loop (pv_train_synthesize) releases
+    the GIL for its whole duration, so threads scale near-linearly; the
+    batched device VQT calls stay serialized on the calling thread. Requires
+    a sound font + the built native library; otherwise (pure-Python render,
+    GIL-bound) it falls back to the serial loop. Row order matches the
+    serial path (corpus order) regardless of completion order."""
     vqt = Vqt(params)
     sound_font = None
     if sound_font_path:
         from ..synth.sf2 import SoundFont
 
         sound_font = SoundFont.from_file(sound_font_path)
+
+    if n_workers > 1 and sound_font is not None:
+        try:
+            from ..runtime import native
+
+            native_ok = native.available()
+        except Exception:
+            native_ok = False
+        if native_ok:
+            return _generate_dataset_parallel(
+                midi_paths, vqt, params, out_path, max_seconds_per_file,
+                sound_font, n_workers,
+            )
+
     rows: list[np.ndarray] = []
     for p in midi_paths:
         try:
@@ -243,6 +275,59 @@ def generate_dataset(
         )
         for active, spec in annotated:
             rows.append(generate_data_row(active, spec, params.n_buckets))
+    data = np.concatenate(rows) if rows else np.zeros(0, np.float32)
+    if out_path:
+        np.save(out_path, data)
+    return data
+
+
+def _generate_dataset_parallel(
+    midi_paths: list[str],
+    vqt: Vqt,
+    params: VqtParameters,
+    out_path: str | None,
+    max_seconds_per_file: float | None,
+    sound_font,
+    n_workers: int,
+) -> np.ndarray:
+    """Thread-pool corpus generation (see generate_dataset). Each worker owns
+    its own native synthesizer+sequencer per file (created inside
+    synthesize_labeled); the device VQT runs from this thread only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..synth.engine_native import synthesize_labeled
+
+    sr = int(params.sr)
+    chunk = _chunk_samples(vqt, sr)
+
+    def host_work(path: str):
+        try:
+            midi = load_midi(path)
+        except Exception as e:  # per-file tolerance, as in the serial loop
+            print(f"failed to parse midi file {path}: {e}")
+            return None
+        return synthesize_labeled(
+            sound_font, midi, sample_rate=sr, chunk=chunk,
+            step_chunks=STEP_SIZE_IN_CHUNKS, max_seconds=max_seconds_per_file,
+        )
+
+    rows: list[np.ndarray] = []
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures = [pool.submit(host_work, p) for p in midi_paths]
+        # consume in submission order: deterministic row order, while later
+        # files keep rendering on the pool behind the device calls
+        for fut in futures:
+            res = fut.result()
+            if res is None:
+                continue
+            stream, labels = res
+            if not labels:
+                continue
+            specs = _stream_specs_device(
+                vqt, stream, len(labels), chunk, STEP_SIZE_IN_CHUNKS
+            )
+            for active, spec in zip(labels, specs):
+                rows.append(generate_data_row(active, spec, params.n_buckets))
     data = np.concatenate(rows) if rows else np.zeros(0, np.float32)
     if out_path:
         np.save(out_path, data)

@@ -1,20 +1,24 @@
-"""Worker process for the 2-process multi-host test (test_multihost.py).
+"""Worker process for the real multi-process multi-host tests
+(test_multihost.py).
 
-Each worker is one "host" of a 2-host x 4-chip virtual cluster: it
-initializes jax.distributed, builds the ("hosts", "dp") mesh via
-make_multihost_mesh, ingests its process-LOCAL half of the stream batch
+Each worker is one "host" of an n_procs x devices_per_host virtual cluster:
+it initializes jax.distributed, builds the ("hosts", "dp") mesh via
+make_multihost_mesh, ingests its process-LOCAL slice of the stream batch
 (multi-host serving ingest: each host feeds its own streams), and runs one
 fused pipeline step on the global sharded arrays. Usage:
 
-    python multihost_worker.py <process_id> <coordinator_port>
+    python multihost_worker.py <process_id> <coordinator_port> \
+        [n_processes=2] [devices_per_host=4]
 """
 
 import os
 import sys
 
-# must happen before any jax import: each worker is a 4-device CPU "host"
+# must happen before any jax import: each worker is a CPU "host" with
+# devices_per_host virtual devices
+_N_DEV = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={_N_DEV}"
 
 import jax  # noqa: E402
 
@@ -24,12 +28,13 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    n_procs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=n_procs, process_id=pid
     )
-    assert jax.process_count() == 2
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 8
+    assert jax.process_count() == n_procs
+    assert jax.local_device_count() == _N_DEV
+    assert jax.device_count() == n_procs * _N_DEV
 
     import numpy as np
 
@@ -50,7 +55,7 @@ def main() -> None:
     kernel = get_kernel(params)  # cache pre-warmed by the parent test
 
     mesh = make_multihost_mesh()
-    assert mesh.devices.shape == (2, 4), mesh.devices.shape
+    assert mesh.devices.shape == (n_procs, _N_DEV), mesh.devices.shape
     assert mesh.axis_names == ("hosts", "dp")
 
     sh_stream = multihost_stream_sharding(mesh)

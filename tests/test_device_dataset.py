@@ -26,6 +26,35 @@ def midi_file(tmp_path_factory):
     return load_midi(path)
 
 
+class TestParallelCorpus:
+    def test_parallel_matches_serial(self, tmp_path):
+        """n_workers>1 (the reference's rayon-over-files structure,
+        train.rs:146-153, as a GIL-releasing native thread pool) produces
+        byte-identical rows in corpus order."""
+        native = pytest.importorskip("pitchvis_tpu.runtime.native")
+        if not native.available():
+            pytest.skip("native library not built")
+        from pitchvis_tpu.synth.sf2 import write_minimal_sf2
+        from pitchvis_tpu.train.dataset import generate_dataset
+
+        sr = int(SMALL_TRAIN_PARAMS.sr)
+        t = np.arange(400)
+        sf = str(tmp_path / "f.sf2")
+        write_minimal_sf2(sf, 0.7 * np.sin(2 * np.pi * t / 50), sr, root_key=69, loop=True)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"{i}.mid")
+            write_midi(p, [(0.0, 0.4, 0, 50 + 3 * i, 100), (0.3, 0.5, 0, 62 + i, 90)])
+            paths.append(p)
+        kw = dict(
+            params=SMALL_TRAIN_PARAMS, sound_font_path=sf, max_seconds_per_file=1.5
+        )
+        serial = generate_dataset(paths, n_workers=1, **kw)
+        parallel = generate_dataset(paths, n_workers=3, **kw)
+        assert serial.size > 0
+        np.testing.assert_array_equal(serial, parallel)
+
+
 class TestDeviceRender:
     def test_matches_host_synth(self, midi_file):
         """Absolute-time device rendering equals the host synthesizer's

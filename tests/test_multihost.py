@@ -107,11 +107,18 @@ class TestFakeGrid:
         assert "all-reduce" in text
 
 
-class TestTwoProcessDistributed:
-    def test_two_host_serving_pipeline(self, tmp_path):
-        """Spawns 2 real processes (jax.distributed, 4 CPU devices each) that
-        run the serving pipeline over make_multihost_mesh with host-local
-        ingest and assert a collective-free HLO. See multihost_worker.py."""
+class TestMultiProcessDistributed:
+    @pytest.mark.parametrize(
+        "n_procs,n_dev",
+        [(2, 4), (4, 2)],
+        ids=["2hosts_x4", "4hosts_x2"],
+    )
+    def test_multi_host_serving_pipeline(self, tmp_path, n_procs, n_dev):
+        """Spawns REAL jax.distributed processes (each an n_dev-device CPU
+        "host") that run the serving pipeline over make_multihost_mesh with
+        host-local ingest and assert a collective-free HLO — at both the
+        2-host and the 4-host grid (round-2 verdict item 7). See
+        multihost_worker.py."""
         # pre-warm the worker's kernel cache from ONE process (two workers
         # racing the same cache entry could collide on first build)
         from pitchvis_tpu.core.config import VqtParameters, VqtRange
@@ -134,13 +141,13 @@ class TestTwoProcessDistributed:
         env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
         procs = [
             subprocess.Popen(
-                [sys.executable, worker, str(i), str(port)],
+                [sys.executable, worker, str(i), str(port), str(n_procs), str(n_dev)],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
                 env=env,
             )
-            for i in range(2)
+            for i in range(n_procs)
         ]
         outs = []
         for p in procs:
@@ -149,3 +156,41 @@ class TestTwoProcessDistributed:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"worker {i} failed:\n{out}"
             assert f"[{i}] MULTIHOST_OK" in out
+
+    def test_deployment_recipe_script(self):
+        """The runnable deployment recipe (runtime/multihost_serve.py:
+        per-host native ring banks, host-local ingest, collective-free
+        serving assertion, aggregated bench line) completes on 2 virtual
+        hosts and prints the cluster JSON line."""
+        import json
+
+        # same cache pre-warm rationale as above
+        from pitchvis_tpu.core.config import VqtParameters, VqtRange
+        from pitchvis_tpu.kernel.builder import get_kernel
+
+        get_kernel(
+            VqtParameters(
+                n_fft=2048,
+                range=VqtRange(min_freq=220.0, octaves=3, buckets_per_octave=12),
+            )
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pitchvis_tpu.runtime.multihost_serve",
+                "--spawn", "2", "--devices-per-host", "2",
+                "--streams-per-host", "8", "--seconds", "1.5", "--small",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=480,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(__file__)),
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        result = json.loads(line)
+        assert result["metric"] == "multihost_streams_realtime_factor"
+        assert result["hosts"] == 2 and result["streams"] == 16
+        assert result["steps_per_host"] > 0 and result["value"] > 0
