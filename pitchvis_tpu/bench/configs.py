@@ -107,7 +107,13 @@ def bench_offline_vqt(
     }
 
 
-def bench_streaming(n_streams: int = 512, hops_per_call: int = 8, fused: bool = False) -> dict:
+def bench_streaming(
+    n_streams: int = 512,
+    hops_per_call: int = 8,
+    fused: bool = False,
+    path: str = "time",
+    fast: bool = False,
+) -> dict:
     """Config #2: 60 Hz hops through ring+AGC+VQT+analysis; measures
     aggregate realtime factor per chip (streams * realtime). Hops are
     micro-batched over time (lax.scan inside one device call) to amortize
@@ -116,7 +122,9 @@ def bench_streaming(n_streams: int = 512, hops_per_call: int = 8, fused: bool = 
     fused=True additionally runs the ML inference and LED color stages in
     the SAME device program (the reference's single frame update,
     common.rs:2076-2118) — the overhead vs analysis-only is the fusion
-    cost of the full display-ready serving step."""
+    cost of the full display-ready serving step. path="pallas" + fast=True
+    serve the flagship bf16 fused-Pallas VQT (round-3: the fastest kernel
+    now rides the serving pipeline)."""
     from ..core.config import VqtParameters
     from ..models.pipeline import StreamingPipeline
 
@@ -132,10 +140,10 @@ def bench_streaming(n_streams: int = 512, hops_per_call: int = 8, fused: bool = 
         )
         pipe = StreamingPipeline(
             n_streams, params, ml_model=model, ml_params=mp,
-            ml_t_window=t_window, with_led=True,
+            ml_t_window=t_window, with_led=True, path=path, fast=fast,
         )
     else:
-        pipe = StreamingPipeline(n_streams, params)
+        pipe = StreamingPipeline(n_streams, params, path=path, fast=fast)
     hop = int(params.sr / 60.0)
     rng = np.random.default_rng(0)
     chunks = jax.device_put(
@@ -148,10 +156,11 @@ def bench_streaming(n_streams: int = 512, hops_per_call: int = 8, fused: bool = 
 
     dt = _best_time(step, n_iter=5) / hops_per_call
     realtime_factor = n_streams * dt_hop / dt
+    name = "streaming_fused" if fused else "streaming"
+    if path == "pallas":
+        name += "_pallas_bf16" if fast else "_pallas"
     return {
-        "metric": "streaming_fused_realtime_factor_per_chip"
-        if fused
-        else "streaming_realtime_factor_per_chip",
+        "metric": f"{name}_realtime_factor_per_chip",
         "value": round(realtime_factor, 1),
         "unit": "x realtime (aggregate)",
         "vs_baseline": round(realtime_factor / 100.0, 2),  # ~100x realtime/core ref
@@ -361,6 +370,9 @@ ALL_CONFIGS = {
     "offline_vqt": bench_offline_vqt,
     "offline_vqt_bf16": lambda: bench_offline_vqt(fast=True),
     "streaming": bench_streaming,
+    "streaming_pallas_bf16": lambda: bench_streaming(
+        n_streams=2048, path="pallas", fast=True
+    ),
     "streaming_fused": lambda: bench_streaming(fused=True),
     "analysis": bench_analysis,
     "serial": bench_serial,
