@@ -171,6 +171,62 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
         col += nf
 
 
+# VMEM budget for the resident-weights kernel: the v5e scoped limit is
+# 16 MB; leave ~1.5 MB headroom for Mosaic's own temporaries.
+_VMEM_RESIDENT_BUDGET = 14 * 1024 * 1024
+# Resident mode prefers a SMALL batch tile: the weights occupy most of
+# VMEM, and the MXU is indifferent to M=128 vs M=512 at these K (measured
+# within 1% on the streaming kernel).
+_RESIDENT_BATCH_TILE = 128
+
+
+def _vqt_resident_kernel_body(x_ref, *rest, geometry):
+    """Resident-weights variant: every group's FULL padded weight matrix
+    lives in VMEM for the whole grid (constant index_map -> fetched once),
+    so each group is ONE un-tiled MXU dot — no split-K accumulator traffic,
+    no DMA double-buffering. Only reachable in bf16 fast mode at default-
+    class configs (all weights ~10.5 MB); f32 falls back to the streaming
+    kernel below. Measured: ~1.9x the streaming kernel's throughput at
+    B=2048 (docs/PERFORMANCE.md round-3 section)."""
+    offsets, sizes, nfs, nf_pads, out_cols = geometry
+    n_groups = len(offsets)
+    w_refs = rest[:n_groups]
+    out_ref = rest[n_groups]
+
+    col = 0
+    for g in range(n_groups):
+        w = w_refs[g][...]
+        off = offsets[g]
+        size = sizes[g]
+        nf = nfs[g]
+        nfp = nf_pads[g]
+        x_sub = x_ref[:, pl.ds(off, size)]
+        y = jnp.dot(
+            x_sub.astype(w.dtype),
+            w,
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.DEFAULT
+                if w.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            ),
+        )
+        re = y[:, :nfp]
+        im = y[:, nfp : 2 * nfp]
+        power = re * re + im * im
+        out_ref[:, pl.ds(col, nf)] = power[:, :nf]
+        col += nf
+
+
+def _resident_feasible(arrays: "PallasVqtArrays", batch_tile: int) -> bool:
+    w_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in arrays.weights)
+    x_bytes = batch_tile * arrays.tail * arrays.weights[0].dtype.itemsize
+    # live per-group intermediates: the (bt, 2*nfp) f32 dot result + power
+    acc_bytes = 2 * batch_tile * 2 * max(arrays.nf_pad) * 4
+    out_bytes = batch_tile * arrays.n_buckets * 4
+    return w_bytes + x_bytes + acc_bytes + out_bytes <= _VMEM_RESIDENT_BUDGET
+
+
 def vqt_power_pallas(
     arrays: PallasVqtArrays,
     x: jax.Array,
@@ -209,6 +265,32 @@ def vqt_power_pallas(
 
     max_width = 2 * max(arrays.nf_pad)
     geometry = (arrays.offsets, arrays.window_sizes, arrays.nf, arrays.nf_pad, arrays.n_buckets)
+
+    # Resident-weights fast path: shrink the batch tile so the full weight
+    # set stays VMEM-resident across the grid (bf16 default-class configs).
+    bt_res = bt if b <= _RESIDENT_BATCH_TILE else min(bt, _RESIDENT_BATCH_TILE)
+    if _resident_feasible(arrays, bt_res):
+        b_res = -(-b // bt_res) * bt_res
+        x_res = jnp.pad(x[:b], ((0, b_res - b), (0, 0))) if b_res != b else x[:b]
+        out = pl.pallas_call(
+            functools.partial(_vqt_resident_kernel_body, geometry=geometry),
+            grid=(b_res // bt_res,),
+            in_specs=[
+                pl.BlockSpec(
+                    (bt_res, arrays.tail), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + [
+                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                for w in arrays.weights
+            ],
+            out_specs=pl.BlockSpec(
+                (bt_res, arrays.n_buckets), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_res, arrays.n_buckets), jnp.float32),
+            interpret=interpret,
+        )(x_res, *arrays.weights)
+        return out[:b]
 
     out = pl.pallas_call(
         functools.partial(_vqt_kernel_body, geometry=geometry),

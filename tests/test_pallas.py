@@ -80,6 +80,44 @@ class TestPeaksPallas:
         np.testing.assert_array_equal(np.asarray(mask), m_ref)
 
 
+class TestResidentKernel:
+    """Round-3 fast path: when the full padded weight set fits the VMEM
+    budget, vqt_power_pallas switches to the resident-weights kernel (one
+    un-tiled MXU dot per group, no split-K accumulator). Both kernels must
+    agree with the dense time path; the selection must be budget-driven."""
+
+    def test_resident_and_streaming_agree(self, pallas_arrays, small_params, small_vqt, monkeypatch):
+        from pitchvis_tpu.ops import vqt_pallas as vp
+
+        x = create_sines_batch(small_params, [[220.0], [440.0, 1000.0], [330.0]])
+        ref = np.asarray(small_vqt.calculate_vqt_batch_in_db(x))
+
+        assert vp._resident_feasible(pallas_arrays, 4)  # small config fits
+        got_res = np.asarray(vqt_db_pallas(pallas_arrays, x, batch_tile=2))
+        monkeypatch.setattr(vp, "_resident_feasible", lambda *a: False)
+        got_str = np.asarray(vqt_db_pallas(pallas_arrays, x, batch_tile=2))
+
+        assert np.abs(got_res - ref).max() < 2e-2
+        assert np.abs(got_str - ref).max() < 2e-2
+        # the resident path is a single dot per group: at least as accurate
+        # as the split-K streaming accumulation
+        assert np.abs(got_res - ref).max() <= np.abs(got_str - ref).max() + 1e-6
+
+    def test_budget_rejects_oversized(self, pallas_arrays):
+        from pitchvis_tpu.ops import vqt_pallas as vp
+
+        huge_tile = vp._VMEM_RESIDENT_BUDGET  # forces x_bytes over budget
+        assert not vp._resident_feasible(pallas_arrays, huge_tile)
+
+    def test_resident_batch_padding(self, pallas_arrays, small_params):
+        """Batch not divisible by the resident tile pads and unpads."""
+        x = create_sines_batch(small_params, [[220.0], [440.0], [660.0]])
+        a = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=2))
+        b = np.asarray(vqt_power_pallas(pallas_arrays, x, batch_tile=8))
+        assert a.shape == (3, pallas_arrays.n_buckets)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-10)
+
+
 class TestSmallWindowGroups:
     def test_group_smaller_than_k_tile(self):
         """Round-2 review: configs whose smallest window group is below
