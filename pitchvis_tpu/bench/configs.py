@@ -167,6 +167,46 @@ def bench_streaming(
     }
 
 
+def bench_latency(
+    n_streams: int = 512, iters: int = 60, path: str = "pallas", fast: bool = True
+) -> dict:
+    """Config #2b: per-hop serving LATENCY of the realtime loop — dispatch
+    through the tunnel + device compute + host fetch for ONE 60 Hz hop, the
+    number an interactive deployment actually feels (the reference's frame
+    budget is 16.7 ms at 60 FPS). Unlike the throughput configs this is
+    deliberately NOT scan-amortized. Reports the median over `iters` hops;
+    p95 recorded alongside (tunnel dispatch is bursty). vs_baseline =
+    16.7 ms budget / p50 (headroom factor)."""
+    from ..core.config import VqtParameters
+    from ..models.pipeline import StreamingPipeline
+
+    params = VqtParameters()
+    pipe = StreamingPipeline(n_streams, params, path=path, fast=fast)
+    hop = int(params.sr / 60.0)
+    rng = np.random.default_rng(0)
+    chunk = (rng.standard_normal((n_streams, hop)) * 0.05).astype(np.float32)
+    dt_hop = hop / params.sr
+
+    _sync(pipe.step(chunk, dt_hop))  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = pipe.step(chunk, dt_hop)
+        _sync(out)  # hard barrier: latency includes the result fetch
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    p95 = times[int(len(times) * 0.95)]
+    return {
+        "metric": "serving_hop_latency_p50_ms",
+        "value": round(p50 * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round((1000.0 / 60.0) / (p50 * 1e3), 2),
+        "p95_ms": round(p95 * 1e3, 2),
+        "n_streams": n_streams,
+    }
+
+
 def bench_analysis(n_streams: int = 2048, inner: int = 32) -> dict:
     """Config #3: full analysis chain. Like the VQT headline, the timed unit
     is one device program scanning `inner` steps (state threaded through the
@@ -374,6 +414,7 @@ ALL_CONFIGS = {
         n_streams=2048, path="pallas", fast=True
     ),
     "streaming_fused": lambda: bench_streaming(fused=True),
+    "latency": bench_latency,
     "analysis": bench_analysis,
     "serial": bench_serial,
     "train": bench_train,
