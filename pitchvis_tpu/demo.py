@@ -42,6 +42,17 @@ def main(argv=None) -> int:
         help="serve live audio: read interleaved f32 mono samples from stdin "
         "(e.g. `arecord -f FLOAT_LE -r 22050 -c 1 | python -m pitchvis_tpu.demo --serve`)",
     )
+    parser.add_argument(
+        "--path",
+        default="time",
+        choices=["time", "freq", "pallas"],
+        help="VQT compute path (pallas = fused kernel, the fastest)",
+    )
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="bf16 VQT weights (error budget: tests/test_bf16.py)",
+    )
     args = parser.parse_args(argv)
 
     if args.serve:
@@ -66,7 +77,7 @@ def main(argv=None) -> int:
     else:
         parser.error("give a WAV file or --tone")
 
-    pipe = StreamingPipeline(1, params)
+    pipe = StreamingPipeline(1, params, path=args.path, fast=args.fast)
     hop = int(params.sr / args.fps)
     n_hops = len(audio) // hop
     led_out = open(args.led, "wb") if args.led else None
@@ -128,13 +139,13 @@ def serve(args) -> int:
     try:
         from .runtime.server import StreamServer
 
-        server = StreamServer(1, params)
+        server = StreamServer(1, params, path=args.path, fast=args.fast)
         push = server.push
         step = lambda: server.step()[0]
     except RuntimeError:  # no native runtime: device-ring pipeline fallback
         from .models.pipeline import StreamingPipeline
 
-        pipe = StreamingPipeline(1, params)
+        pipe = StreamingPipeline(1, params, path=args.path, fast=args.fast)
         buf = []
 
         def push(_s, chunk):
