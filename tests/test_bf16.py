@@ -143,3 +143,28 @@ class TestPipelineFastMode:
         )
         err = np.abs(np.asarray(out_p.x_vqt) - np.asarray(out_f.x_vqt))
         assert err.max() <= 0.3, f"pipeline dB error {err.max():.4f}"
+
+    def test_vqt_db_auto_precision_inference(self, small_params, small_kernel):
+        """vqt_db_auto (the serving dispatch) must pair bf16 weights with the
+        one-pass DEFAULT MXU precision and f32 weights with exact HIGHEST —
+        i.e. agree bitwise with the explicitly-configured Vqt entry points."""
+        import jax
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.ops.vqt import VqtArrays, make_vqt_arrays, vqt_db_auto, vqt_db_batch
+        from pitchvis_tpu.utils.signal import create_sines_batch
+
+        x = create_sines_batch(small_params, [[220.0, 440.0], [330.0]])
+        for fast in (False, True):
+            arrays = make_vqt_arrays(small_kernel, path="time", fast=fast)
+            assert isinstance(arrays, VqtArrays)
+            want = vqt_db_batch(
+                arrays,
+                x,
+                path="time",
+                precision=(
+                    jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+                ),
+            )
+            got = vqt_db_auto(arrays, x, path="time")
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
