@@ -20,6 +20,7 @@
 // Build: see native/Makefile (g++ -O3 -shared -fPIC). Exposed via ctypes
 // (pitchvis_tpu/runtime/native.py); every entry point is plain C ABI.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -128,6 +129,20 @@ void pv_rb_snapshot(void* handle, float* out, float* gains, int64_t window) {
     }
     if (gains) gains[s] = r.gain;
   }
+}
+
+// Control plane: recycle one stream slot for a NEW stream (serving churn —
+// a client disconnects and another takes its slot). Zeroes the audio, the
+// write position, and the AGC gain. Caller contract: the slot's previous
+// producer must have stopped (per-stream single-producer rule); concurrent
+// snapshot() from the analysis thread is safe and simply observes either
+// the old tail or the cleared state.
+void pv_rb_reset(void* handle, int64_t stream) {
+  auto* bank = static_cast<RingBank*>(handle);
+  StreamRing& r = *bank->rings[stream];
+  std::fill(r.buf.begin(), r.buf.end(), 0.0f);
+  r.gain = 1.0f;
+  r.head.store(0, std::memory_order_release);
 }
 
 double pv_rb_gain(void* handle, int64_t stream) {

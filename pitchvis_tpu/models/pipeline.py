@@ -288,10 +288,11 @@ class StreamingPipeline:
         # everything downstream of |y|^2 stays f32. path="pallas" uploads the
         # packed fused-kernel weights instead of the dense sets.
         self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
+        self.ml_t_window = ml_t_window if ml_model is not None else None
         self.state = init_pipeline_state(
             n_streams,
             self.vqt_params,
-            ml_t_window=ml_t_window if ml_model is not None else None,
+            ml_t_window=self.ml_t_window,
             with_viewer=with_viewer,
         )
         self.delay_secs = self.kernel.delay_secs
@@ -320,3 +321,21 @@ class StreamingPipeline:
             self.arrays, self.state, jnp.asarray(chunks, jnp.float32), dt, **self._kwargs()
         )
         return out
+
+    def reset_stream(self, idx: int) -> None:
+        """Serving churn for the fully-on-device deployment: recycle batch
+        slot `idx` for a NEW stream — ring samples, AGC gain, analysis
+        carries, and (when fused) the ML history and ball-fade state all
+        return to their fresh-server values. Other slots are untouched.
+        Host-side counterpart: runtime/server.py::StreamServer.reset_stream.
+        """
+        fresh = init_pipeline_state(
+            1,
+            self.vqt_params,
+            buffer_len=int(self.state.ring.buffer.shape[1]),
+            ml_t_window=self.ml_t_window,
+            with_viewer=self.with_viewer,
+        )
+        self.state = jax.tree.map(
+            lambda a, f: a.at[idx].set(f[0]), self.state, fresh
+        )

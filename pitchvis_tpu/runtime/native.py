@@ -55,6 +55,7 @@ def _load():
     ]
     lib.pv_rb_gain.restype = ctypes.c_double
     lib.pv_rb_gain.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pv_rb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pv_rb_written.restype = ctypes.c_uint64
     lib.pv_rb_written.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pv_agc_process.restype = ctypes.c_float
@@ -171,6 +172,13 @@ class NativeRingBank:
 
     def gain(self, stream: int) -> float:
         return float(self._lib.pv_rb_gain(self._handle, stream))
+
+    def reset(self, stream: int) -> None:
+        """Recycles one slot for a new stream: clears audio, write position,
+        and AGC gain. The slot's previous producer must have stopped
+        (per-stream single-producer contract); a concurrent snapshot is
+        safe."""
+        self._lib.pv_rb_reset(self._handle, stream)
 
     def written(self, stream: int) -> int:
         return int(self._lib.pv_rb_written(self._handle, stream))

@@ -28,6 +28,14 @@ from ..ops.vqt import make_vqt_arrays, vqt_db_auto
 from .native import NativeRingBank, available as native_available
 
 
+@jax.jit
+def _reset_state_row(state, fresh, idx):
+    """Overwrites batch row `idx` of every analysis-state leaf with the
+    corresponding freshly-initialized (B=1) value — the device-side half of
+    stream-slot recycling (one compiled program, reused for any idx)."""
+    return jax.tree.map(lambda a, f: a.at[idx].set(f[0]), state, fresh)
+
+
 class StreamServer:
     """Ingest + batched analysis server for `n_streams` concurrent streams."""
 
@@ -65,6 +73,19 @@ class StreamServer:
     def push(self, stream: int, samples: np.ndarray) -> bool:
         """Appends raw samples for one stream (AGC applied natively)."""
         return self.rings.write(stream, samples)
+
+    # -- control plane -------------------------------------------------------
+    def reset_stream(self, stream: int) -> None:
+        """Recycles one slot for a NEW client stream (serving churn): clears
+        the native ring (audio, write position, AGC gain) and that slot's
+        analysis state (EMA spectra, calmness, afterglow, tuning carries),
+        so the new stream starts from the same state a fresh server would
+        give it. Call from the control plane after the slot's previous
+        producer has stopped; concurrent step()/push() on OTHER streams is
+        unaffected."""
+        self.rings.reset(stream)
+        fresh = init_state_batch(1, self.vqt_params.n_buckets)
+        self.analysis_state = _reset_state_row(self.analysis_state, fresh, stream)
 
     # -- compute side (analysis thread) --------------------------------------
     def step(self):

@@ -177,6 +177,50 @@ class TestStreamServer:
         )
 
 
+class TestStreamChurn:
+    def test_reset_stream_recycles_slot(self, small_params):
+        """Serving churn: after a client disconnects, reset_stream() must
+        return the slot to a fresh-server state — cleared ring + AGC gain +
+        analysis carries — without disturbing other streams."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        server = StreamServer(3, small_params, buffer_seconds=1.0)
+        server.push(0, tone)
+        server.push(1, tone)
+        for _ in range(3):
+            server._last_step = None  # deterministic dt
+            out, gains = server.step()
+        assert np.asarray(out.peaks[0]).any() and np.asarray(out.peaks[1]).any()
+
+        # stream 1's client disconnects; slot is recycled
+        server.reset_stream(1)
+        assert server.rings.gain(1) == 1.0
+        assert server.rings.written(1) == 0
+        windows, _ = server.rings.snapshot(64)
+        assert np.all(windows[1] == 0.0)
+
+        # one silent hop: the recycled slot analyzes as silence...
+        server._last_step = None
+        out, gains = server.step()
+        assert not np.asarray(out.peaks[1]).any()
+        assert np.all(np.asarray(out.x_vqt_smoothed[1]) < 1e-3)  # no EMA ghost
+        # ...while stream 0 keeps its history
+        assert np.asarray(out.peaks[0]).any()
+
+        # a NEW client takes the slot and is detected like a fresh stream
+        server.push(1, tone)
+        for _ in range(3):
+            server._last_step = None
+            out, _ = server.step()
+        peaks1 = np.where(np.asarray(out.peaks[1]))[0]
+        assert len(peaks1) == 1 and abs(peaks1[0] - 30) <= 1
+        server.close()
+
+
 class TestStreamServerSoak:
     """Round-2 verdict item 9: backpressure/soak for the serving runtime.
     Reference analog: the mutex ring's drain-and-extend under a live audio
