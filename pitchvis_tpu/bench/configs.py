@@ -414,6 +414,11 @@ ALL_CONFIGS = {
         n_streams=2048, path="pallas", fast=True
     ),
     "streaming_fused": lambda: bench_streaming(fused=True),
+    # the TRUE flagship serving number: the full display-ready step (ML +
+    # LED fused) on the fastest VQT kernel
+    "streaming_fused_pallas_bf16": lambda: bench_streaming(
+        fused=True, path="pallas", fast=True
+    ),
     "latency": bench_latency,
     "analysis": bench_analysis,
     "serial": bench_serial,
