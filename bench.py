@@ -7,10 +7,13 @@ the flagship bf16 fast mode LAST — the driver records the final line. The
 bf16 mode's error budget is pinned by tests/test_bf16.py (<=0.016 dB at
 default parameters on musical signals).
 
-`--config all` additionally persists the full five-config sweep to
-BENCH_SWEEP.json with per-config medians over --repeats runs (default 3),
-so round-over-round regressions are detectable despite the host's 2x
-throttle-window variance (docs/PERFORMANCE.md).
+`--config all` additionally persists the full sweep (every entry in
+bench/configs.py ALL_CONFIGS — currently 11: offline f32/bf16, four
+streaming shapes, latency, analysis, serial, train, train_corpus) to
+BENCH_SWEEP.json, each config reported as the run closest to the median
+over --repeats runs (default 3), so round-over-round regressions are
+detectable despite the host's 2x throttle-window variance
+(docs/PERFORMANCE.md).
 
 Baseline: the Rust reference computes one default-parameter VQT frame in
 0.165 ms on a desktop CPU core (VQT_REVIEW.md:12-15) ~= 6,060 frames/s.
@@ -33,11 +36,12 @@ def _run_sweep(repeats: int) -> None:
         for _ in range(repeats):
             runs.append(fn())
         values = [r["value"] for r in runs]
-        result = dict(runs[0])
-        result["value"] = round(statistics.median(values), 1)
-        result["vs_baseline"] = round(
-            result["value"] * runs[0]["vs_baseline"] / max(runs[0]["value"], 1e-9), 2
-        )
+        median = statistics.median(values)
+        # take the run CLOSEST to the median verbatim (its vs_baseline and
+        # any extra keys are then mutually consistent — a linear rescale
+        # would be wrong for inverse metrics like the latency config's
+        # headroom factor)
+        result = dict(min(runs, key=lambda r: abs(r["value"] - median)))
         result["config"] = key
         result["runs"] = values
         sweep[key] = result

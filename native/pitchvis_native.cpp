@@ -37,7 +37,10 @@ extern "C" {
 struct StreamRing {
   std::vector<float> buf;      // capacity samples, circular
   std::atomic<uint64_t> head;  // total samples ever written
-  float gain;                  // AGC gain (updated by ingest if enabled)
+  // AGC gain: atomic because the analysis thread's snapshot and the
+  // control plane's reset read/write it concurrently with ingest (a plain
+  // float would be a formal data race)
+  std::atomic<float> gain;
 
   StreamRing() : head(0), gain(1.0f) {}
 };
@@ -93,7 +96,7 @@ int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int6
   const bool frozen = energy < 1e-6;
   uint64_t head = r.head.load(std::memory_order_relaxed);
   const int64_t cap = bank->capacity;
-  float gain = r.gain;
+  float gain = r.gain.load(std::memory_order_relaxed);
   const float inv = 1.0f / desired_rms;
   for (int64_t i = 0; i < n; ++i) {
     float x = samples[i] * gain;
@@ -105,7 +108,7 @@ int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int6
       gain *= g;
     }
   }
-  r.gain = gain;
+  r.gain.store(gain, std::memory_order_relaxed);
   r.head.store(head + n, std::memory_order_release);
   return 0;
 }
@@ -127,26 +130,30 @@ void pv_rb_snapshot(void* handle, float* out, float* gains, int64_t window) {
     for (int64_t i = 0; i < avail; ++i) {
       dst[pad + i] = r.buf[(head - avail + i) % cap];
     }
-    if (gains) gains[s] = r.gain;
+    if (gains) gains[s] = r.gain.load(std::memory_order_relaxed);
   }
 }
 
 // Control plane: recycle one stream slot for a NEW stream (serving churn —
 // a client disconnects and another takes its slot). Zeroes the audio, the
 // write position, and the AGC gain. Caller contract: the slot's previous
-// producer must have stopped (per-stream single-producer rule); concurrent
-// snapshot() from the analysis thread is safe and simply observes either
-// the old tail or the cleared state.
+// producer must have stopped (per-stream single-producer rule). A snapshot
+// racing this call is memory-safe but may observe AT MOST one glitched
+// (partially cleared) window — see the ordering note below.
 void pv_rb_reset(void* handle, int64_t stream) {
   auto* bank = static_cast<RingBank*>(handle);
   StreamRing& r = *bank->rings[stream];
-  std::fill(r.buf.begin(), r.buf.end(), 0.0f);
-  r.gain = 1.0f;
+  // Zero head FIRST: a snapshot starting after this point sees avail=0 and
+  // returns all-zeros regardless of buffer contents. A snapshot already
+  // in-flight (old head loaded) may still copy a partially cleared buffer —
+  // at most ONE glitched window, documented at the Python binding.
   r.head.store(0, std::memory_order_release);
+  std::fill(r.buf.begin(), r.buf.end(), 0.0f);
+  r.gain.store(1.0f, std::memory_order_relaxed);
 }
 
 double pv_rb_gain(void* handle, int64_t stream) {
-  return static_cast<RingBank*>(handle)->rings[stream]->gain;
+  return static_cast<RingBank*>(handle)->rings[stream]->gain.load(std::memory_order_relaxed);
 }
 
 uint64_t pv_rb_written(void* handle, int64_t stream) {

@@ -1,10 +1,16 @@
-"""The five BASELINE.json benchmark configurations, reproducible on one chip.
+"""The benchmark configurations, reproducible on one chip. The five
+BASELINE.json families plus their fast-path / latency / parallel variants
+(see ALL_CONFIGS at the bottom — 11 entries):
 
-1. offline_vqt  — offline VQT of a 10 s mono WAV, default params
-2. streaming    — ring buffer + dagc AGC + VQT + EMA smoothing @ 60 Hz hops
-3. analysis     — full analysis chain (peaks, calmness, tuning, accuracy)
-4. serial       — spectrum -> color mapping -> 0xFF-framed LED byte stream
-5. train        — synthesized MIDI -> batched VQT dataset gen + model inference
+1. offline_vqt[_bf16]  — batched offline VQT, default params
+2. streaming[...]      — ring + dagc AGC + VQT + EMA @ 60 Hz hops, incl.
+                         the bf16 Pallas serving path and the fused
+                         (ML+LED) step; `latency` is the un-amortized
+                         per-hop p50/p95
+3. analysis            — full analysis chain (peaks, calmness, tuning)
+4. serial              — spectrum -> colors -> 0xFF-framed LED byte stream
+5. train[_corpus]      — MIDI -> SF2 render -> batched VQT labels ->
+                         inference; _corpus adds the rayon-style file pool
 
 Each bench returns a dict with metric/value/unit/vs_baseline. The reference
 baseline for VQT-bound configs is 6,060 frames/s (0.165 ms/frame on one CPU

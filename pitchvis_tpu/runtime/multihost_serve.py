@@ -156,6 +156,9 @@ def main(argv=None) -> int:
     # --- host-local ingest: native ring bank + producer threads -------------
     use_native = native_available()
     capacity = max(int(sr * 2.0), params.n_fft)
+    # the NumPy fallback's producer/consumer need explicit synchronization
+    # (the native bank gets it from the per-stream atomic head)
+    ring_lock = threading.Lock()
     if use_native:
         rings = NativeRingBank(local_streams, capacity)
     else:  # pure-NumPy fallback keeps the recipe runnable without a compiler
@@ -177,8 +180,9 @@ def main(argv=None) -> int:
                 if use_native:
                     rings.write(s, samples)
                 else:
-                    host_rings[s] = np.roll(host_rings[s], -hop)
-                    host_rings[s, -hop:] = samples
+                    with ring_lock:
+                        host_rings[s] = np.roll(host_rings[s], -hop)
+                        host_rings[s, -hop:] = samples
             t0 += hop
             time.sleep(0.2 / args.hop_hz)  # produce ~5x realtime, bounded
 
@@ -195,21 +199,31 @@ def main(argv=None) -> int:
     for op in ("all-reduce", "all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
         assert op not in text, f"collective {op} in the serving hot path"
 
-    # --- serve loop ---------------------------------------------------------
-    deadline = time.monotonic() + args.seconds
-    steps = 0
-    out = None
-    while time.monotonic() < deadline:
+    def one_step(state):
         if use_native:
             windows, _gains = rings.snapshot(params.n_fft)
         else:
-            windows = host_rings[:, -params.n_fft :].copy()
+            with ring_lock:
+                windows = host_rings[:, -params.n_fft :].copy()
         x = glob(np.ascontiguousarray(windows, np.float32))
-        analysis_state, out = step_fn(arrays, analysis_state, x, 1.0 / args.hop_hz)
+        state, out = step_fn(arrays, state, x, 1.0 / args.hop_hz)
         # hard barrier on the local shard (metadata alone proves nothing)
         np.asarray(out.x_vqt_smoothed.addressable_shards[0].data.ravel()[0])
+        return state
+
+    # warm with a REAL call: .lower().compile() above does NOT seed the jit
+    # dispatch cache, so without this the first loop step would pay the full
+    # compile inside the timed window and corrupt the reported rate
+    analysis_state = one_step(analysis_state)
+
+    # --- serve loop ---------------------------------------------------------
+    t0 = time.monotonic()
+    deadline = t0 + args.seconds
+    steps = 0
+    while time.monotonic() < deadline:
+        analysis_state = one_step(analysis_state)
         steps += 1
-    elapsed = args.seconds
+    elapsed = max(time.monotonic() - t0, 1e-9)
 
     # --- aggregated bench line (the ONLY cross-host reduction; off the hot
     # path): all-gather each host's step rate, process 0 reports the cluster

@@ -66,6 +66,14 @@ class StreamServer:
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
         self.n_streams = n_streams
         self._last_step = None
+        # serializes the read-modify-write of analysis_state between the
+        # analysis thread (step) and the control plane (reset_stream): a
+        # reset landing mid-step would otherwise be overwritten by step's
+        # state assignment, leaving the recycled slot with the old client's
+        # EMA carries
+        import threading
+
+        self._state_lock = threading.Lock()
 
         self._vqt = jax.jit(lambda a, x: vqt_db_auto(a, x, path=path))
 
@@ -81,11 +89,15 @@ class StreamServer:
         analysis state (EMA spectra, calmness, afterglow, tuning carries),
         so the new stream starts from the same state a fresh server would
         give it. Call from the control plane after the slot's previous
-        producer has stopped; concurrent step()/push() on OTHER streams is
-        unaffected."""
+        producer has stopped; safe against a concurrent step() (the state
+        update is serialized on a lock), and push() on OTHER streams is
+        unaffected. A snapshot racing the native ring clear may observe one
+        partially-cleared window (a single glitched frame); every later
+        frame is clean."""
         self.rings.reset(stream)
         fresh = init_state_batch(1, self.vqt_params.n_buckets)
-        self.analysis_state = _reset_state_row(self.analysis_state, fresh, stream)
+        with self._state_lock:
+            self.analysis_state = _reset_state_row(self.analysis_state, fresh, stream)
 
     # -- compute side (analysis thread) --------------------------------------
     def step(self):
@@ -97,9 +109,10 @@ class StreamServer:
         windows, gains = self.rings.snapshot(self.vqt_params.n_fft)
         x = jax.device_put(windows)
         x_vqt = self._vqt(self.arrays, x)
-        self.analysis_state, outputs = analysis_step_batch(
-            self.analysis_params, self.vqt_params.range, self.analysis_state, x_vqt, dt
-        )
+        with self._state_lock:
+            self.analysis_state, outputs = analysis_step_batch(
+                self.analysis_params, self.vqt_params.range, self.analysis_state, x_vqt, dt
+            )
         return outputs, gains
 
     def close(self) -> None:

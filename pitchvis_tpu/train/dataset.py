@@ -313,11 +313,27 @@ def _generate_dataset_parallel(
 
     rows: list[np.ndarray] = []
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        futures = [pool.submit(host_work, p) for p in midi_paths]
-        # consume in submission order: deterministic row order, while later
-        # files keep rendering on the pool behind the device calls
-        for fut in futures:
-            res = fut.result()
+        # bounded in-flight window (n_workers + 1 ahead): consuming in
+        # submission order keeps row order deterministic, and the window
+        # caps buffered rendered streams (each is a whole file of f32
+        # audio) at O(n_workers) instead of O(corpus) when the head file
+        # or the serialized device VQT lags
+        from collections import deque
+
+        pending: deque = deque()
+        it = iter(midi_paths)
+
+        def top_up():
+            while len(pending) <= n_workers:
+                p = next(it, None)
+                if p is None:
+                    return
+                pending.append(pool.submit(host_work, p))
+
+        top_up()
+        while pending:
+            res = pending.popleft().result()
+            top_up()
             if res is None:
                 continue
             stream, labels = res

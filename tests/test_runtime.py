@@ -304,6 +304,9 @@ class TestStreamServerSoak:
             assert np.all(w >= 0.0), s  # bands are positive; bleed would differ
             assert np.isfinite(w).all(), s
         server.close()
+
+
+class TestPipelineCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path, small_params):
         import numpy as np
 
