@@ -33,6 +33,16 @@ from .analysis import (
 from .ml_system import MlState, init_ml_state_batch, ml_step_batch
 
 
+@jax.jit
+def reset_state_row(state, fresh, idx):
+    """Overwrites batch row `idx` of every leaf of a state pytree with the
+    corresponding freshly-initialized (B=1) value — the device side of
+    stream-slot recycling, shared by StreamingPipeline.reset_stream and
+    runtime.server.StreamServer.reset_stream (one compiled program per
+    pytree structure, reused for any idx)."""
+    return jax.tree.map(lambda a, f: a.at[idx].set(f[0]), state, fresh)
+
+
 class PipelineState(struct.PyTreeNode):
     ring: RingState
     analysis: AnalysisState
@@ -336,6 +346,4 @@ class StreamingPipeline:
             ml_t_window=self.ml_t_window,
             with_viewer=self.with_viewer,
         )
-        self.state = jax.tree.map(
-            lambda a, f: a.at[idx].set(f[0]), self.state, fresh
-        )
+        self.state = reset_state_row(self.state, fresh, idx)

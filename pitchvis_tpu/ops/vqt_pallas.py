@@ -175,9 +175,12 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
 # 16 MB; leave ~1.5 MB headroom for Mosaic's own temporaries.
 _VMEM_RESIDENT_BUDGET = 14 * 1024 * 1024
 # Resident mode prefers a SMALL batch tile: the weights occupy most of
-# VMEM, and the MXU is indifferent to M=128 vs M=512 at these K (measured
-# within 1% on the streaming kernel).
-_RESIDENT_BATCH_TILE = 128
+# VMEM, and the MXU is indifferent to M=64/128/512 at these K (measured
+# within 1% on the streaming kernel). 64 keeps the kernel inside the 16 MB
+# scoped-VMEM limit even with Mosaic's input/output block double-buffering
+# at grid > 1 (128 fit only through the jit compile path; the eager
+# op-by-op path's accounting rejected it by ~0.4 MB).
+_RESIDENT_BATCH_TILE = 64
 
 
 def _vqt_resident_kernel_body(x_ref, *rest, geometry):
@@ -253,31 +256,34 @@ def vqt_power_pallas(
 
     # Mosaic requires the block's sublane dim divisible by 8 or equal to the
     # array dim: a single tile covers small batches exactly; otherwise tiles
-    # are multiples of 8 and the batch is padded up.
+    # are multiples of 8 and the batch is padded up. Pick the kernel variant
+    # FIRST so the batch is padded exactly once, to the chosen tile.
     b = x.shape[0]
     if b <= batch_tile:
         bt = b_pad = b
     else:
         bt = _round_up(min(batch_tile, b), 8)
         b_pad = _round_up(b, bt)
+    # Resident-weights fast path: shrink the batch tile so the full weight
+    # set stays VMEM-resident across the grid (bf16 default-class configs).
+    bt_res = bt if b <= _RESIDENT_BATCH_TILE else min(bt, _RESIDENT_BATCH_TILE)
+    resident = _resident_feasible(arrays, bt_res)
+    if resident:
+        bt = bt_res
+        b_pad = -(-b // bt_res) * bt_res
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
     max_width = 2 * max(arrays.nf_pad)
     geometry = (arrays.offsets, arrays.window_sizes, arrays.nf, arrays.nf_pad, arrays.n_buckets)
 
-    # Resident-weights fast path: shrink the batch tile so the full weight
-    # set stays VMEM-resident across the grid (bf16 default-class configs).
-    bt_res = bt if b <= _RESIDENT_BATCH_TILE else min(bt, _RESIDENT_BATCH_TILE)
-    if _resident_feasible(arrays, bt_res):
-        b_res = -(-b // bt_res) * bt_res
-        x_res = jnp.pad(x[:b], ((0, b_res - b), (0, 0))) if b_res != b else x[:b]
+    if resident:
         out = pl.pallas_call(
             functools.partial(_vqt_resident_kernel_body, geometry=geometry),
-            grid=(b_res // bt_res,),
+            grid=(b_pad // bt,),
             in_specs=[
                 pl.BlockSpec(
-                    (bt_res, arrays.tail), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    (bt, arrays.tail), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
             ]
             + [
@@ -285,11 +291,11 @@ def vqt_power_pallas(
                 for w in arrays.weights
             ],
             out_specs=pl.BlockSpec(
-                (bt_res, arrays.n_buckets), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (bt, arrays.n_buckets), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((b_res, arrays.n_buckets), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((b_pad, arrays.n_buckets), jnp.float32),
             interpret=interpret,
-        )(x_res, *arrays.weights)
+        )(x, *arrays.weights)
         return out[:b]
 
     out = pl.pallas_call(

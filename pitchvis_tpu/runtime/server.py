@@ -25,15 +25,8 @@ from ..core.config import AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
 from ..models.analysis import analysis_step_batch, init_state_batch
 from ..ops.vqt import make_vqt_arrays, vqt_db_auto
+from ..models.pipeline import reset_state_row
 from .native import NativeRingBank, available as native_available
-
-
-@jax.jit
-def _reset_state_row(state, fresh, idx):
-    """Overwrites batch row `idx` of every analysis-state leaf with the
-    corresponding freshly-initialized (B=1) value — the device-side half of
-    stream-slot recycling (one compiled program, reused for any idx)."""
-    return jax.tree.map(lambda a, f: a.at[idx].set(f[0]), state, fresh)
 
 
 class StreamServer:
@@ -97,7 +90,7 @@ class StreamServer:
         self.rings.reset(stream)
         fresh = init_state_batch(1, self.vqt_params.n_buckets)
         with self._state_lock:
-            self.analysis_state = _reset_state_row(self.analysis_state, fresh, stream)
+            self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
 
     # -- compute side (analysis thread) --------------------------------------
     def step(self):
