@@ -10,13 +10,28 @@ import numpy as np
 def load_wav(path: str) -> tuple[np.ndarray, int]:
     """Reads a WAV file -> (mono float32 samples in [-1, 1], sample_rate).
     Multi-channel input is downmixed by averaging (like the reference's
-    mono downmix, train.rs:296-298)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n)
+    mono downmix, train.rs:296-298).
+
+    Malformed files raise ``ValueError`` — the same typed-rejection contract
+    as the SMF/SF2 parsers (corrupted headers, zero channels/rate, torn
+    sample data are all ValueError, never wave.Error/EOFError or numpy
+    reshape crashes)."""
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # RuntimeError: the stdlib chunk reader raises it bare on corrupt
+        # chunk sizes that seek out of bounds (wave.py:158)
+        raise ValueError(f"malformed WAV: {e}") from e
+    if ch <= 0 or sr <= 0:
+        raise ValueError(f"malformed WAV: {ch} channels at {sr} Hz")
+    # a truncated data chunk yields a torn final frame: drop it
+    frame_bytes = width * ch
+    raw = raw[: len(raw) - len(raw) % frame_bytes] if frame_bytes else b""
     if width == 2:
         data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif width == 4:

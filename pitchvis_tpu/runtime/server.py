@@ -52,6 +52,7 @@ class StreamServer:
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
+        self.fast = fast
         self.kernel = get_kernel(self.vqt_params)
         self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
         capacity = max(int(self.vqt_params.sr * buffer_seconds), self.vqt_params.n_fft)
@@ -92,6 +93,41 @@ class StreamServer:
         with self._state_lock:
             self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
 
+    def rebuild(self, vqt_params: VqtParameters) -> None:
+        """Swaps in a new VQT parameter set while serving — the live-tuning
+        story end to end: feed `core.tuning.ParameterTuner.take_rebuilt()`'s
+        output here (the reference's debounced rebuild swaps its VQT
+        resource the same way, common.rs:1105-1165). Rebuilds the kernel +
+        device arrays (cached if seen before); the ring bank and its audio
+        are preserved (raw samples are parameter-independent). Analysis
+        carries persist when the bin layout is unchanged and are
+        re-initialized when it changes (EMA state is bin-indexed).
+        Raises ValueError for parameter sets this server cannot host
+        (different sample rate, n_fft beyond the ring capacity)."""
+        if int(vqt_params.sr) != int(self.vqt_params.sr):
+            raise ValueError(
+                "sample-rate changes require a new server (ring audio is rate-bound)"
+            )
+        if vqt_params.n_fft > self.rings.capacity:
+            raise ValueError(
+                f"n_fft {vqt_params.n_fft} exceeds the ring capacity "
+                f"{self.rings.capacity}; construct the server with a larger "
+                "buffer_seconds"
+            )
+        kernel = get_kernel(vqt_params)  # validates; VqtError on bad combos
+        arrays = make_vqt_arrays(kernel, path=self.path, fast=self.fast)
+        with self._state_lock:
+            layout_changed = (
+                vqt_params.range != self.vqt_params.range
+            )
+            self.kernel = kernel
+            self.arrays = arrays
+            self.vqt_params = vqt_params
+            if layout_changed:
+                self.analysis_state = init_state_batch(
+                    self.n_streams, vqt_params.n_buckets
+                )
+
     # -- compute side (analysis thread) --------------------------------------
     def step(self):
         """One analysis update over all streams. Returns (outputs, gains)."""
@@ -99,14 +135,22 @@ class StreamServer:
         dt = 1.0 / 60.0 if self._last_step is None else max(now - self._last_step, 1e-4)
         self._last_step = now
 
-        windows, gains = self.rings.snapshot(self.vqt_params.n_fft)
-        x = jax.device_put(windows)
-        x_vqt = self._vqt(self.arrays, x)
-        with self._state_lock:
-            self.analysis_state, outputs = analysis_step_batch(
-                self.analysis_params, self.vqt_params.range, self.analysis_state, x_vqt, dt
-            )
-        return outputs, gains
+        for _ in range(3):  # retried only if a rebuild lands mid-step
+            with self._state_lock:
+                arrays, params = self.arrays, self.vqt_params
+            windows, gains = self.rings.snapshot(params.n_fft)
+            x = jax.device_put(windows)
+            x_vqt = self._vqt(arrays, x)
+            with self._state_lock:
+                if self.vqt_params is not params:
+                    continue  # rebuilt mid-step: recompute under the new set
+                # analysis_state is re-read HERE (not captured above) so a
+                # reset_stream landing mid-step is preserved, not overwritten
+                self.analysis_state, outputs = analysis_step_batch(
+                    self.analysis_params, params.range, self.analysis_state, x_vqt, dt
+                )
+            return outputs, gains
+        raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 
     def close(self) -> None:
         self.rings.close()

@@ -35,6 +35,41 @@ class TestWav:
         # zero-padded history before the signal starts
         assert frames[0, 0] == 0.0
 
+    def test_fuzzed_wav_typed_rejection(self, tmp_path):
+        """Same malformed-asset contract as the SMF/SF2 parsers: truncation
+        at every offset plus 2k random byte corruptions either parse or
+        raise ValueError — never wave.Error/EOFError/reshape crashes. A
+        torn final frame (truncated data chunk) is dropped, not fatal."""
+        import random
+
+        sr = 22050
+        x = (0.3 * np.sin(2 * np.pi * 440.0 * np.arange(200) / sr)).astype(np.float32)
+        path = str(tmp_path / "f.wav")
+        save_wav(path, x, sr)
+        base = open(path, "rb").read()
+        cpath = str(tmp_path / "c.wav")
+
+        def check(data: bytes):
+            open(cpath, "wb").write(data)
+            try:
+                y, _ = load_wav(cpath)
+                assert np.isfinite(y).all()
+            except ValueError:
+                pass
+
+        for cut in range(len(base)):
+            check(base[:cut])
+        rng = random.Random(0)
+        for _ in range(2000):
+            data = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            check(bytes(data))
+        # torn final frame: one byte short of a full 16-bit sample
+        check(base[:-1])
+        y, _ = load_wav(path)
+        assert len(y) == len(x)
+
 
 class TestSettings:
     def test_roundtrip(self, tmp_path):
