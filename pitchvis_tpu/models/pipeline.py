@@ -288,6 +288,7 @@ class StreamingPipeline:
         self.analysis_params = analysis_params or AnalysisParameters()
         self.agc_params = agc_params or AgcParameters()
         self.path = path
+        self.fast = fast
         self.ml_model = ml_model
         self.ml_params = ml_params
         self.with_led = with_led
@@ -331,6 +332,45 @@ class StreamingPipeline:
             self.arrays, self.state, jnp.asarray(chunks, jnp.float32), dt, **self._kwargs()
         )
         return out
+
+    def rebuild(self, vqt_params: VqtParameters) -> None:
+        """Swaps in a new VQT parameter set while streaming — the device-
+        ring counterpart of StreamServer.rebuild (feed it
+        ParameterTuner.take_rebuilt()'s output). The ring audio and AGC
+        gains are preserved (raw samples are parameter-independent);
+        analysis/ML/viewer carries persist when the bin layout is unchanged
+        and re-initialize when it changes (they are bin-indexed). Raises
+        ValueError for sets this pipeline cannot host (different sample
+        rate, n_fft beyond the ring length)."""
+        if int(vqt_params.sr) != int(self.vqt_params.sr):
+            raise ValueError(
+                "sample-rate changes require a new pipeline (ring audio is rate-bound)"
+            )
+        buffer_len = int(self.state.ring.buffer.shape[1])
+        if vqt_params.n_fft > buffer_len:
+            raise ValueError(
+                f"n_fft {vqt_params.n_fft} exceeds the ring length {buffer_len}; "
+                "construct the pipeline with a larger buffer_len"
+            )
+        kernel = get_kernel(vqt_params)  # validates; VqtError on bad combos
+        self.arrays = make_vqt_arrays(kernel, path=self.path, fast=self.fast)
+        if vqt_params.range != self.vqt_params.range:
+            n_streams = int(self.state.ring.buffer.shape[0])
+            fresh = init_pipeline_state(
+                n_streams,
+                vqt_params,
+                buffer_len=buffer_len,
+                ml_t_window=self.ml_t_window,
+                with_viewer=self.with_viewer,
+            )
+            self.state = PipelineState(
+                ring=self.state.ring,  # audio survives the swap
+                analysis=fresh.analysis,
+                ml=fresh.ml,
+                balls=fresh.balls,
+            )
+        self.kernel = kernel
+        self.vqt_params = vqt_params
 
     def reset_stream(self, idx: int) -> None:
         """Serving churn for the fully-on-device deployment: recycle batch

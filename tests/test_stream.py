@@ -228,6 +228,45 @@ class TestPipelineChurn:
         )
 
 
+class TestPipelineRebuild:
+    def test_rebuild_preserves_audio(self, small_params):
+        """The device-ring live rebuild: kernel swap mid-stream keeps the
+        buffered audio, so the tone is still detected right after."""
+        import dataclasses
+
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        hop = 368
+        t = np.arange(hop * 46) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        pipe = StreamingPipeline(1, small_params)
+        for i in range(40):
+            out = pipe.step(tone[None, i * hop : (i + 1) * hop], hop / small_params.sr)
+        assert np.asarray(out.analysis.peaks[0]).any()
+
+        new_params = dataclasses.replace(small_params, quality=1.2)
+        pipe.rebuild(new_params)
+        assert pipe.vqt_params.quality == 1.2
+        out = pipe.step(tone[None, 40 * hop : 41 * hop], hop / small_params.sr)
+        peaks = np.where(np.asarray(out.analysis.peaks[0]))[0]
+        assert any(abs(int(p) - 30) <= 1 for p in peaks)
+
+        # layout change re-initializes the bin-indexed carries
+        wider = dataclasses.replace(
+            new_params, range=dataclasses.replace(new_params.range, octaves=3)
+        )
+        pipe.rebuild(wider)
+        out = pipe.step(tone[None, 41 * hop : 42 * hop], hop / small_params.sr)
+        assert out.x_vqt.shape == (1, wider.n_buckets)
+
+        with pytest.raises(ValueError):
+            pipe.rebuild(dataclasses.replace(wider, sr=44100.0))
+        with pytest.raises(ValueError):
+            pipe.rebuild(dataclasses.replace(wider, n_fft=1 << 20))
+
+
 class TestPallasServing:
     """Round-2 verdict item 1: path="pallas" routes the flagship serving
     pipeline through the fused Pallas VQT kernel (ops/vqt_pallas.py), so the
