@@ -52,6 +52,9 @@ def _run_sweep(repeats: int) -> None:
 
 def main() -> None:
     from pitchvis_tpu.bench.configs import ALL_CONFIGS, bench_offline_vqt
+    from pitchvis_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if "--config" in sys.argv:
         name = sys.argv[sys.argv.index("--config") + 1]

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.serve:
         return serve(args)
 

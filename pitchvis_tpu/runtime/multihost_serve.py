@@ -110,6 +110,10 @@ def main(argv=None) -> int:
 
     import numpy as np
 
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..core.config import AnalysisParameters, VqtParameters, VqtRange
     from ..kernel.builder import get_kernel
     from ..models.analysis import analysis_step_batch, init_state_batch

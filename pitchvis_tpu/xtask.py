@@ -6,6 +6,8 @@ xtask/src/main.rs:14-39):
     python -m pitchvis_tpu.xtask bench [args]  # run bench.py
     python -m pitchvis_tpu.xtask build-native  # build the C++ runtime
     python -m pitchvis_tpu.xtask golden        # regenerate golden files
+    python -m pitchvis_tpu.xtask warm [args]   # precompile serving into the
+                                               # persistent compile cache
     python -m pitchvis_tpu.xtask clean         # remove caches/artifacts
 """
 
@@ -54,6 +56,42 @@ def golden() -> int:
     return _run([sys.executable, "-m", "pitchvis_tpu.io.golden", "tests/golden"])
 
 
+def warm(args) -> int:
+    """Pays the serving-step jit compile ONCE into the persistent cache
+    (utils/compile_cache.py) so every later server/demo process starts in
+    seconds instead of minutes. Flags: --streams N (default 512),
+    --path {time,freq,pallas} (default pallas), --fast, --fused (also ML +
+    LED stages), --small (reduced params; CI smoke)."""
+    code = (
+        "import sys, time\n"
+        "import numpy as np\n"
+        "from pitchvis_tpu.utils.compile_cache import enable_compilation_cache\n"
+        "print('compile cache:', enable_compilation_cache())\n"
+        "from pitchvis_tpu.core.config import VqtParameters, VqtRange\n"
+        "from pitchvis_tpu.models.pipeline import StreamingPipeline\n"
+        "a = sys.argv[1:]\n"
+        "def opt(name, default=None):\n"
+        "    return a[a.index(name) + 1] if name in a else default\n"
+        "n = int(opt('--streams', '512'))\n"
+        "params = (VqtParameters(n_fft=2048, range=VqtRange(min_freq=220.0, octaves=3, buckets_per_octave=12))\n"
+        "          if '--small' in a else VqtParameters())\n"
+        "kw = dict(path=opt('--path', 'pallas'), fast='--fast' in a)\n"
+        "if '--fused' in a:\n"
+        "    import jax\n"
+        "    from pitchvis_tpu.models.pitch_mlp import PitchMLP, DEFAULT_T\n"
+        "    model = PitchMLP(input_bins=DEFAULT_T * params.n_buckets)\n"
+        "    mp = model.init(jax.random.PRNGKey(0), np.zeros((1, 1, DEFAULT_T * params.n_buckets), np.float32))\n"
+        "    kw.update(ml_model=model, ml_params=mp, with_led=True)\n"
+        "pipe = StreamingPipeline(n, params, **kw)\n"
+        "hop = int(params.sr / 60.0)\n"
+        "t0 = time.perf_counter()\n"
+        "pipe.step(np.zeros((n, hop), np.float32), hop / params.sr)\n"
+        "print(f'warmed serving step ({n} streams, {kw[\"path\"]}'\n"
+        "      f'{\", fast\" if kw[\"fast\"] else \"\"}): {time.perf_counter()-t0:.1f}s')\n"
+    )
+    return _run([sys.executable, "-c", code, *args])
+
+
 def clean() -> int:
     for d in (".cache", "native/libpitchvis_native.so"):
         path = os.path.join(ROOT, d)
@@ -82,6 +120,8 @@ def main(argv=None) -> int:
         return build_native()
     if cmd == "golden":
         return golden()
+    if cmd == "warm":
+        return warm(rest)
     if cmd == "clean":
         return clean()
     print(f"unknown task {cmd!r}")
