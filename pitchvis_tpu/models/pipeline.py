@@ -33,6 +33,27 @@ from .analysis import (
 from .ml_system import MlState, init_ml_state_batch, ml_step_batch
 
 
+def build_rebuilt_arrays(old_params, new_params, *, max_n_fft: int, path: str, fast: bool):
+    """Shared validation + construction for the live rebuilds
+    (StreamingPipeline.rebuild / runtime.server.StreamServer.rebuild).
+    Returns (kernel, arrays, layout_changed). Raises ValueError for sets
+    the running deployment cannot host."""
+    if int(new_params.sr) != int(old_params.sr):
+        raise ValueError(
+            "sample-rate changes require a new pipeline/server (buffered audio is rate-bound)"
+        )
+    if new_params.n_fft > max_n_fft:
+        raise ValueError(
+            f"n_fft {new_params.n_fft} exceeds the available ring length "
+            f"{max_n_fft}; construct with a larger buffer"
+        )
+    kernel = get_kernel(new_params)  # validates; VqtError on bad combos
+    from ..ops.vqt import make_vqt_arrays as _make
+
+    arrays = _make(kernel, path=path, fast=fast)
+    return kernel, arrays, new_params.range != old_params.range
+
+
 @jax.jit
 def reset_state_row(state, fresh, idx):
     """Overwrites batch row `idx` of every leaf of a state pytree with the
@@ -341,20 +362,23 @@ class StreamingPipeline:
         analysis/ML/viewer carries persist when the bin layout is unchanged
         and re-initialize when it changes (they are bin-indexed). Raises
         ValueError for sets this pipeline cannot host (different sample
-        rate, n_fft beyond the ring length)."""
-        if int(vqt_params.sr) != int(self.vqt_params.sr):
-            raise ValueError(
-                "sample-rate changes require a new pipeline (ring audio is rate-bound)"
-            )
+        rate, n_fft beyond the ring length, or a bin-layout change while an
+        ML model is attached — trained ML params are layout-bound, so that
+        requires a new pipeline with retrained params)."""
         buffer_len = int(self.state.ring.buffer.shape[1])
-        if vqt_params.n_fft > buffer_len:
+        layout_would_change = vqt_params.range != self.vqt_params.range
+        if layout_would_change and self.ml_model is not None:
             raise ValueError(
-                f"n_fft {vqt_params.n_fft} exceeds the ring length {buffer_len}; "
-                "construct the pipeline with a larger buffer_len"
+                "bin-layout changes are incompatible with the attached ML "
+                "model (its params are trained for the current layout); "
+                "construct a new pipeline with matching ml_params"
             )
-        kernel = get_kernel(vqt_params)  # validates; VqtError on bad combos
-        self.arrays = make_vqt_arrays(kernel, path=self.path, fast=self.fast)
-        if vqt_params.range != self.vqt_params.range:
+        kernel, arrays, layout_changed = build_rebuilt_arrays(
+            self.vqt_params, vqt_params, max_n_fft=buffer_len,
+            path=self.path, fast=self.fast,
+        )
+        self.arrays = arrays
+        if layout_changed:
             n_streams = int(self.state.ring.buffer.shape[0])
             fresh = init_pipeline_state(
                 n_streams,
@@ -371,6 +395,7 @@ class StreamingPipeline:
             )
         self.kernel = kernel
         self.vqt_params = vqt_params
+        self.delay_secs = kernel.delay_secs  # diagnostic must track the swap
 
     def reset_stream(self, idx: int) -> None:
         """Serving churn for the fully-on-device deployment: recycle batch

@@ -172,14 +172,13 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
 
 
 # VMEM budget for the resident-weights kernel: the v5e scoped limit is
-# 16 MB; leave ~1.5 MB headroom for Mosaic's own temporaries.
-_VMEM_RESIDENT_BUDGET = 14 * 1024 * 1024
+# 16 MB; leave ~1 MB headroom for Mosaic's own temporaries/semaphores.
+_VMEM_RESIDENT_BUDGET = 15 * 1024 * 1024
 # Resident mode prefers a SMALL batch tile: the weights occupy most of
 # VMEM, and the MXU is indifferent to M=64/128/512 at these K (measured
-# within 1% on the streaming kernel). 64 keeps the kernel inside the 16 MB
-# scoped-VMEM limit even with Mosaic's input/output block double-buffering
-# at grid > 1 (128 fit only through the jit compile path; the eager
-# op-by-op path's accounting rejected it by ~0.4 MB).
+# within 1% on the streaming kernel). 64 fits the accounting below at
+# default-class configs; 128 exceeds the limit once block double-buffering
+# is counted (and was measured to OOM the eager compile path).
 _RESIDENT_BATCH_TILE = 64
 
 
@@ -222,11 +221,17 @@ def _vqt_resident_kernel_body(x_ref, *rest, geometry):
 
 
 def _resident_feasible(arrays: "PallasVqtArrays", batch_tile: int) -> bool:
+    """VMEM accounting for the resident kernel. Mosaic DOUBLE-BUFFERS the
+    grid-revisited input/output blocks (prefetch of step i+1 overlaps step
+    i), so x and out count twice; the weights (constant index_map) are
+    fetched once. Validated against measured compiles at default-class bf16:
+    bt=64 -> ~14.2 MB (compiles, incl. eagerly), bt=128 -> ~17.4 MB
+    (rejected here, and measured to OOM the 16 MB scoped limit)."""
     w_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in arrays.weights)
-    x_bytes = batch_tile * arrays.tail * arrays.weights[0].dtype.itemsize
+    x_bytes = 2 * batch_tile * arrays.tail * arrays.weights[0].dtype.itemsize
     # live per-group intermediates: the (bt, 2*nfp) f32 dot result + power
     acc_bytes = 2 * batch_tile * 2 * max(arrays.nf_pad) * 4
-    out_bytes = batch_tile * arrays.n_buckets * 4
+    out_bytes = 2 * batch_tile * arrays.n_buckets * 4
     return w_bytes + x_bytes + acc_bytes + out_bytes <= _VMEM_RESIDENT_BUDGET
 
 

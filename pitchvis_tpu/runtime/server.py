@@ -25,7 +25,7 @@ from ..core.config import AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
 from ..models.analysis import analysis_step_batch, init_state_batch
 from ..ops.vqt import make_vqt_arrays, vqt_db_auto
-from ..models.pipeline import reset_state_row
+from ..models.pipeline import build_rebuilt_arrays, reset_state_row
 from .native import NativeRingBank, available as native_available
 
 
@@ -89,8 +89,11 @@ class StreamServer:
         partially-cleared window (a single glitched frame); every later
         frame is clean."""
         self.rings.reset(stream)
-        fresh = init_state_batch(1, self.vqt_params.n_buckets)
         with self._state_lock:
+            # n_buckets read INSIDE the lock: a layout-changing rebuild()
+            # landing between an unlocked read and the row write would make
+            # the fresh row shape-mismatched and lose the reset
+            fresh = init_state_batch(1, self.vqt_params.n_buckets)
             self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
 
     def rebuild(self, vqt_params: VqtParameters) -> None:
@@ -104,22 +107,11 @@ class StreamServer:
         re-initialized when it changes (EMA state is bin-indexed).
         Raises ValueError for parameter sets this server cannot host
         (different sample rate, n_fft beyond the ring capacity)."""
-        if int(vqt_params.sr) != int(self.vqt_params.sr):
-            raise ValueError(
-                "sample-rate changes require a new server (ring audio is rate-bound)"
-            )
-        if vqt_params.n_fft > self.rings.capacity:
-            raise ValueError(
-                f"n_fft {vqt_params.n_fft} exceeds the ring capacity "
-                f"{self.rings.capacity}; construct the server with a larger "
-                "buffer_seconds"
-            )
-        kernel = get_kernel(vqt_params)  # validates; VqtError on bad combos
-        arrays = make_vqt_arrays(kernel, path=self.path, fast=self.fast)
+        kernel, arrays, layout_changed = build_rebuilt_arrays(
+            self.vqt_params, vqt_params, max_n_fft=self.rings.capacity,
+            path=self.path, fast=self.fast,
+        )
         with self._state_lock:
-            layout_changed = (
-                vqt_params.range != self.vqt_params.range
-            )
             self.kernel = kernel
             self.arrays = arrays
             self.vqt_params = vqt_params

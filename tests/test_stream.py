@@ -266,6 +266,34 @@ class TestPipelineRebuild:
         with pytest.raises(ValueError):
             pipe.rebuild(dataclasses.replace(wider, n_fft=1 << 20))
 
+    def test_rebuild_rejects_layout_change_with_ml_model(self, small_params):
+        """Trained ML params are bin-layout-bound: a range change with a
+        model attached must raise upfront, not crash the next step inside
+        jit with a flax shape error (round-3 review finding)."""
+        import dataclasses
+
+        import jax
+
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+
+        t_window = 3
+        n = small_params.n_buckets
+        model = PitchMLP(input_bins=t_window * n, mlp_size=32, mlp_layers=1)
+        mp = model.init(jax.random.PRNGKey(0), np.zeros((1, 1, t_window * n), np.float32))
+        pipe = StreamingPipeline(
+            1, small_params, ml_model=model, ml_params=mp, ml_t_window=t_window
+        )
+        wider = dataclasses.replace(
+            small_params, range=dataclasses.replace(small_params.range, octaves=3)
+        )
+        with pytest.raises(ValueError, match="ML"):
+            pipe.rebuild(wider)
+        # a layout-preserving rebuild is still fine with the model attached
+        pipe.rebuild(dataclasses.replace(small_params, quality=1.3))
+        out = pipe.step(np.zeros((1, 368), np.float32), 368 / small_params.sr)
+        assert out.ml_midi.shape == (1, 128)
+
 
 class TestPallasServing:
     """Round-2 verdict item 1: path="pallas" routes the flagship serving
