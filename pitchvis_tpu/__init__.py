@@ -24,7 +24,16 @@ from .models.analysis import (
     init_state_batch,
 )
 from .models.pipeline import PipelineState, StreamingPipeline, pipeline_step
-from .ops.vqt import Vqt, VqtArrays, vqt_db_batch, vqt_power_batch, power_to_db
+from .ops.vqt import (
+    Vqt,
+    VqtArrays,
+    make_vqt_arrays,
+    power_to_db,
+    vqt_db_auto,
+    vqt_db_batch,
+    vqt_power_batch,
+)
+from .utils.compile_cache import enable_compilation_cache
 
 __version__ = "0.1.0"
 
@@ -52,7 +61,10 @@ __all__ = [
     "kernel_stats",
     "Vqt",
     "VqtArrays",
+    "make_vqt_arrays",
+    "vqt_db_auto",
     "vqt_db_batch",
     "vqt_power_batch",
     "power_to_db",
+    "enable_compilation_cache",
 ]
