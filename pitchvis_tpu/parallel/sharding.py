@@ -14,6 +14,8 @@ matrices and ML params) are replicated.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -68,3 +70,41 @@ def replicate(mesh: Mesh, tree):
     """Replicates a pytree of arrays (e.g. VQT kernel weights) on all devices."""
     sh = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def make_sharded_pipeline_step(mesh: Mesh, *, multi: bool = False, **static_kwargs):
+    """The multi-chip serving step: ``pipeline_step`` wrapped in
+    ``jax.shard_map`` with the stream axis split over EVERY mesh axis and the
+    kernel arrays replicated.
+
+    Sharding propagation alone is enough for the dense ``path="time"`` VQT
+    (GSPMD partitions plain dots), but the flagship ``path="pallas"`` kernel
+    lowers to a Mosaic custom call that GSPMD cannot split — without an
+    explicit shard_map boundary the partitioner would all-gather the batch
+    and run the whole kernel on every chip. Inside shard_map each device runs
+    the full fused step (Pallas VQT included) on its local stream shard;
+    streams are independent, so the program stays collective-free
+    (asserted in tests/test_parallel.py / tests/test_multihost.py).
+
+    ``multi=True`` wraps ``pipeline_step_multi`` instead (chunks/outputs gain
+    a leading scan axis K that stays unsharded). ``static_kwargs`` are the
+    usual pipeline statics (vqt_params=..., path=..., ...). Returns a jitted
+    ``(arrays, state, chunk, dt) -> (state, outputs)``.
+    """
+    from ..models.pipeline import pipeline_step, pipeline_step_multi
+
+    base = pipeline_step_multi if multi else pipeline_step
+    fn = functools.partial(base, **static_kwargs)
+    batch = P(tuple(mesh.axis_names))
+    scan_batch = P(None, tuple(mesh.axis_names))
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), batch, scan_batch if multi else batch, P()),
+        out_specs=(batch, scan_batch if multi else batch),
+        # pallas_call's out_shape carries no varying-manual-axes metadata, so
+        # the vma typecheck cannot see through it; every output is per-stream
+        # (mapped) by construction and the equality test below pins that.
+        check_vma=False,
+    )
+    return jax.jit(mapped)

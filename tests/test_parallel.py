@@ -70,6 +70,75 @@ class TestSharding:
         ge.dryrun_multichip(4)
 
 
+class TestShardedPallasServing:
+    """The flagship serving path (path="pallas", fast=True) over the dp mesh:
+    the exact code the headline bench runs, partitioned by the shard_map
+    boundary in make_sharded_pipeline_step (GSPMD cannot split a Mosaic
+    custom call by itself). Pallas runs in interpret mode on CPU devices."""
+
+    @staticmethod
+    def _run(params, batch, hop, mesh_shape=None):
+        from pitchvis_tpu.kernel.builder import get_kernel
+        from pitchvis_tpu.models.pipeline import init_pipeline_state, pipeline_step
+        from pitchvis_tpu.ops.vqt import make_vqt_arrays
+        from pitchvis_tpu.parallel.sharding import make_sharded_pipeline_step
+
+        kernel = get_kernel(params)
+        arrays = make_vqt_arrays(kernel, path="pallas", fast=True)
+        state0 = init_pipeline_state(batch, params)
+        chunk = (
+            np.random.default_rng(7).standard_normal((batch, hop)).astype(np.float32)
+            * 0.05
+        )
+
+        ref_state, ref_out = pipeline_step(
+            arrays, state0, jnp.asarray(chunk), 1.0 / 60.0,
+            vqt_params=params, path="pallas",
+        )
+
+        mesh = make_mesh(8)
+        step = make_sharded_pipeline_step(mesh, vqt_params=params, path="pallas")
+        arrays_r = replicate(mesh, arrays)
+        state_s = jax.tree.map(lambda a: shard_batch(mesh, np.asarray(a)), state0)
+        chunk_s = shard_batch(mesh, chunk)
+        out_state, out = step(arrays_r, state_s, chunk_s, jnp.float32(1.0 / 60.0))
+        return mesh, step, (arrays_r, state_s, chunk_s), ref_out, out
+
+    def test_sharded_matches_single_device(self, small_params):
+        _, _, _, ref_out, out = self._run(small_params, batch=16, hop=368)
+        # bf16 fast mode: the kernel is bitwise-deterministic, so sharded and
+        # single-device runs execute the SAME per-stream program — tolerance
+        # only covers dB-domain accumulation-order neutrality (none expected)
+        np.testing.assert_allclose(
+            np.asarray(out.x_vqt), np.asarray(ref_out.x_vqt), atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.analysis.peak_size),
+            np.asarray(ref_out.analysis.peak_size),
+            atol=2e-2,
+        )
+        assert len(out.x_vqt.sharding.device_set) == 8
+
+    def test_collective_free_hlo(self, small_params):
+        mesh, step, args, _, _ = self._run(small_params, batch=16, hop=368)
+        text = step.lower(*args, jnp.float32(1.0 / 60.0)).compile().as_text()
+        for op in (
+            "all-reduce", "all-gather", "collective-permute", "all-to-all",
+            "reduce-scatter",
+        ):
+            assert op not in text, f"collective {op} in sharded pallas serving"
+
+    def test_default_parameter_shapes(self, default_params):
+        """One case at the DEFAULT config (n_fft=32768, 588 bins) — the same
+        shapes the real-chip headline bench serves."""
+        _, _, _, ref_out, out = self._run(default_params, batch=8, hop=368)
+        assert out.x_vqt.shape == (8, default_params.n_buckets)
+        np.testing.assert_allclose(
+            np.asarray(out.x_vqt), np.asarray(ref_out.x_vqt), atol=2e-2
+        )
+        assert np.all(np.isfinite(np.asarray(out.x_vqt)))
+
+
 class TestMultihost:
     def test_single_host_degenerates(self):
         from pitchvis_tpu.parallel.sharding import make_multihost_mesh, multihost_stream_sharding
