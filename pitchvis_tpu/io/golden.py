@@ -119,6 +119,146 @@ def generate_streaming(out_dir: str, params: VqtParameters | None = None,
     return path
 
 
+def chain_signals(params: VqtParameters, seconds: float = 10.0) -> dict[str, np.ndarray]:
+    """Deterministic 10 s signals for the FULL-chain golden — tones sweeping
+    the serial range, a chirp, and the SF2 engine's own render (so the golden
+    also witnesses the synth as a signal source, like the reference's
+    train-data path feeds rendered audio into the VQT)."""
+    sr = params.sr
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(2024)
+
+    # 1) arpeggio over the full serial range (A1 55 Hz .. A6 1760 Hz)
+    arp = rng.standard_normal(n) * 0.002
+    freqs = [55.0 * 2 ** (k / 3.0) for k in range(15)]  # 15 notes, 0.6 s apart
+    for i, f in enumerate(freqs):
+        start = int(i * 0.62 * sr)
+        if start >= n:
+            continue
+        tt = t[start:] - start / sr
+        arp[start:] += np.sin(2 * np.pi * f * tt) * 0.12 * np.exp(-tt * 1.2)
+
+    # 2) slow exponential chirp 60 -> 1500 Hz (phase-continuous)
+    f0, f1 = 60.0, 1500.0
+    k = np.log(f1 / f0) / seconds
+    phase = 2 * np.pi * f0 * (np.exp(k * t) - 1.0) / k
+    chirp = np.sin(phase) * 0.1
+
+    # 3) chord + releases: held A-major with onsets/offsets (EMA + calmness motion)
+    chord = rng.standard_normal(n) * 0.001
+    for j, f in enumerate([110.0, 138.59, 164.81, 220.0, 440.0]):
+        on = int(j * 0.8 * sr)
+        off = int(min(seconds - 0.5, j * 0.8 + 4.0) * sr)
+        tt = t[on:off] - on / sr
+        chord[on:off] += np.sin(2 * np.pi * f * tt) * 0.08 * np.minimum(tt * 8, 1.0)
+
+    # 4) the synth engine's own output (deterministic NumPy f64 render)
+    synth = _chain_synth_signal(seconds)[:n]
+
+    sigs = {"arpeggio": arp, "chirp": chirp, "chord": chord, "synth": synth}
+    return {k: v.astype(np.float32) for k, v in sigs.items()}
+
+
+def _chain_synth_signal(seconds: float) -> np.ndarray:
+    """Render a fixed two-channel MIDI clip with the f64/NumPy engine
+    (synth/engine.py) from a procedurally written SF2 — fully code-defined,
+    so the golden has no binary inputs."""
+    import tempfile
+
+    from ..synth.engine import MidiFileSequencer, Synthesizer, SynthesizerSettings
+    from ..synth.midi import load_midi, write_midi
+    from ..synth.sf2 import SoundFont, write_minimal_sf2
+
+    sr = 22050
+    with tempfile.TemporaryDirectory() as d:
+        t = np.arange(400)
+        wave = 0.7 * np.sin(2 * np.pi * t / 50) + 0.2 * np.sin(4 * np.pi * t / 50)
+        write_minimal_sf2(os.path.join(d, "g.sf2"), wave, sr, root_key=69, loop=True)
+        font = SoundFont.from_file(os.path.join(d, "g.sf2"))
+        notes = []
+        for i in range(int(seconds / 0.6) - 1):
+            notes.append((i * 0.6, 0.5, 0, 45 + (i * 5) % 36, 80 + (i * 7) % 40))
+            if i % 2 == 0:
+                notes.append((i * 0.6 + 0.1, 0.8, 1, 33 + (i * 4) % 24, 100))
+        write_midi(os.path.join(d, "g.mid"), notes)
+        synth = Synthesizer(font, SynthesizerSettings(sr, enable_reverb_and_chorus=True))
+        seq = MidiFileSequencer(synth)
+        seq.play(load_midi(os.path.join(d, "g.mid")))
+        n = int(seconds * sr)
+        left = np.zeros(n, np.float32)
+        right = np.zeros(n, np.float32)
+        seq.render(left, right)
+    return ((left + right) * 0.5).astype(np.float32)
+
+
+def run_chain(
+    params: VqtParameters,
+    sig: np.ndarray,
+    *,
+    path: str = "time",
+    fast: bool = False,
+    hop_hz: float = 60.0,
+    block: int = 60,
+) -> dict[str, np.ndarray]:
+    """Run the COMPLETE serving chain (ring+AGC -> VQT -> analysis -> LED)
+    over one signal and return per-frame trajectories + the exact framed
+    serial byte stream (io/led.py frame_bytes; matches
+    pitchvis_serial/src/main.rs:146-174 framing).
+
+    Used by BOTH the golden generator and the regression tests with the same
+    scan blocking, so the canonical f32 "time" replay is byte-exact by
+    construction (identical compiled programs on the same backend)."""
+    from ..models.pipeline import StreamingPipeline
+    from .led import frame_bytes
+
+    hop = int(params.sr / hop_hz)
+    k_total = len(sig) // hop
+    chunks = sig[: k_total * hop].reshape(k_total, 1, hop)
+    pipe = StreamingPipeline(1, params, path=path, fast=fast, with_led=True)
+    rec: dict[str, list] = {k: [] for k in (
+        "x_vqt", "peaks", "peak_center", "peak_size", "calmness",
+        "scene_calmness", "tuning_inaccuracy", "led",
+    )}
+    for i in range(0, k_total, block):
+        out = pipe.step_multi(chunks[i : i + block], hop / params.sr)
+        rec["x_vqt"].append(np.asarray(out.x_vqt[:, 0]))
+        rec["peaks"].append(np.asarray(out.analysis.peaks[:, 0]))
+        rec["peak_center"].append(np.asarray(out.analysis.peak_center[:, 0]))
+        rec["peak_size"].append(np.asarray(out.analysis.peak_size[:, 0]))
+        rec["calmness"].append(np.asarray(out.analysis.calmness[:, 0]))
+        rec["scene_calmness"].append(np.asarray(out.analysis.scene_calmness[:, 0]))
+        rec["tuning_inaccuracy"].append(np.asarray(out.analysis.tuning_inaccuracy[:, 0]))
+        rec["led"].append(np.asarray(out.led[:, 0]))
+    res = {k: np.concatenate(v) for k, v in rec.items()}
+    stream = b"".join(frame_bytes(res["led"][k]) for k in range(k_total))
+    res["stream"] = np.frombuffer(stream, np.uint8)
+    res["hop"] = np.asarray(hop)
+    return res
+
+
+def generate_chain(
+    out_dir: str, filename: str = "chain_golden.npz", seconds: float = 10.0
+) -> str:
+    """Full-chain golden at the SERIAL parameters (5 oct / 36 bpo / Q=1.8,
+    pitchvis_serial/src/main.rs:17-39): per-frame peaks/calmness/tuning/LED
+    trajectories and the exact framed byte stream, canonical f32 "time" path
+    on the CPU backend."""
+    from ..core.config import SERIAL_VQT_PARAMETERS
+
+    params = SERIAL_VQT_PARAMETERS
+    blobs: dict[str, np.ndarray] = {}
+    for name, sig in chain_signals(params, seconds).items():
+        res = run_chain(params, sig)
+        blobs[f"in_{name}"] = sig
+        for k, v in res.items():
+            blobs[f"{name}_{k}"] = v
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    np.savez_compressed(path, **blobs)
+    return path
+
+
 def load(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     out = {}
     with np.load(path) as z:
@@ -142,6 +282,10 @@ if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
 
     target = sys.argv[1] if len(sys.argv) > 1 else "tests/golden"
-    print(generate(target))
-    print(generate(target, VqtParameters(), "vqt_golden_default.npz"))
-    print(generate_streaming(target))
+    if len(sys.argv) > 2 and sys.argv[2] == "chain":
+        print(generate_chain(target))
+    else:
+        print(generate(target))
+        print(generate(target, VqtParameters(), "vqt_golden_default.npz"))
+        print(generate_streaming(target))
+        print(generate_chain(target))
