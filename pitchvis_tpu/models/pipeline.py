@@ -82,6 +82,8 @@ class ViewerOutputs(struct.PyTreeNode):
     chroma: jnp.ndarray  # (B, 12) C4-referenced pitch-class power
     bloom: jnp.ndarray  # (B,) bloom intensity = clamp(1.3*scene_calmness)
     spectrogram_row: jnp.ndarray  # (B, n_buckets, 4) RGBA8 VQT-mode row
+    bass: "BassSpiralOutputs"  # spiral coloring up to the lowest peak
+    calmness_histogram: "CalmnessHistogramOutputs"  # debug-overlay contour
 
 
 class PipelineOutputs(struct.PyTreeNode):
@@ -191,7 +193,9 @@ def pipeline_step(
     viewer = None
     if with_viewer:
         from .viewer import (
+            bass_spiral,
             bloom_intensity,
+            calmness_histogram,
             chroma_vector,
             spectrogram_row_vqt,
             update_balls,
@@ -216,6 +220,10 @@ def pipeline_step(
             spectrogram_row=jax.vmap(
                 lambda xs: spectrogram_row_vqt(rng_cfg, xs)
             )(outputs.x_vqt_smoothed),
+            bass=jax.vmap(
+                lambda p, c, s: bass_spiral(rng_cfg, p, c, s)
+            )(outputs.peaks, outputs.peak_center, outputs.peak_size),
+            calmness_histogram=jax.vmap(calmness_histogram)(outputs.calmness),
         )
 
     return (

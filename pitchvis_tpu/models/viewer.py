@@ -31,6 +31,9 @@ PITCH_BALL_SCALE_FACTOR = 0.05  # display ball scale (setup.rs)
 VISIBILITY_CUTOFF = 0.019  # update.rs:147
 C4_FREQ = 261.626  # update.rs:1108
 PEAK_RADIUS = 2.0  # spectrogram peak splat radius (update.rs)
+SPIRAL_SEGMENTS_PER_SEMITONE = 6  # update.rs:22
+CALMNESS_HISTORY_CAPACITY = 300  # app/common.rs:2037
+CALMNESS_HISTOGRAM_HEIGHT_SCALE = 0.5  # update.rs:795
 
 
 def bin_to_spiral(buckets_per_octave: int, x) -> tuple:
@@ -232,6 +235,109 @@ def spectrogram_row_peaks(
         write = jnp.where(peaks & in_radius, target, n)
         rgba = rgba.at[write].set(px, mode="drop")
     return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+class BassSpiralOutputs(struct.PyTreeNode):
+    visible: jnp.ndarray  # (n_segments,) bool — lit cylinders, base upward
+    rgba: jnp.ndarray  # (4,) shared color of every lit segment
+
+
+def bass_spiral(
+    rng: VqtRange,
+    peaks: jnp.ndarray,
+    peak_center: jnp.ndarray,
+    peak_size: jnp.ndarray,
+) -> BassSpiralOutputs:
+    """Bass-spiral coloring up to the LOWEST continuous peak
+    (update.rs:353-426): segments 0..round(center_semitones)*6 light up in
+    the pitch color of the rounded semitone, with alpha
+    1-(1-size/max_size)^2. No peaks, or a lowest peak beyond the spiral
+    range, leaves every segment hidden (the reference hides all cylinders
+    first and returns early)."""
+    n_segments = rng.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE
+    bpo = rng.buckets_per_octave
+    n = rng.n_buckets
+
+    has_peak = jnp.any(peaks)
+    first_bin = jnp.argmin(jnp.where(peaks, jnp.arange(n), n))
+    center = peak_center[first_bin] / bpo * 12.0  # semitones
+    size = peak_size[first_bin]
+    rounded = jnp.round(center)
+    n_lit = rounded * SPIRAL_SEGMENTS_PER_SEMITONE  # update.rs:390
+    in_range = n_lit < n_segments  # update.rs:382-387
+
+    lit = jnp.arange(n_segments) < n_lit.astype(jnp.int32)
+    visible = lit & has_peak & in_range
+
+    # one color for every lit segment: the rounded semitone's pitch class
+    # (update.rs:398-406)
+    color_map_ref = rounded * bpo / 12.0
+    rotation = pitch_color_rotation(bpo)
+    bucket = jnp.mod(color_map_ref + rotation, bpo)
+    rgb = calculate_color(bpo, bucket, COLORS, GRAY_LEVEL, EASING_POW)
+    max_size = jnp.maximum(jnp.max(jnp.where(peaks, peak_size, 0.0)), 1e-30)
+    alpha = 1.0 - (1.0 - size / max_size) ** 2.0
+    rgba = jnp.concatenate([rgb, alpha[None]])
+    return BassSpiralOutputs(visible=visible, rgba=rgba)
+
+
+def calmness_to_color(calmness: jnp.ndarray) -> jnp.ndarray:
+    """(...,) calmness -> (..., 3) srgb: cyan >0.7, yellow >0.3, red below
+    (update.rs:27-35)."""
+    calmness = jnp.asarray(calmness)
+    cyan = jnp.array([0.5, 0.8, 1.0])
+    yellow = jnp.array([1.0, 1.0, 0.5])
+    red = jnp.array([1.0, 0.5, 0.5])
+    c = calmness[..., None]
+    return jnp.where(c > 0.7, cyan, jnp.where(c > 0.3, yellow, red))
+
+
+class CalmnessHistogramOutputs(struct.PyTreeNode):
+    heights: jnp.ndarray  # (n,) contour heights = calmness * 0.5
+    segment_rgb: jnp.ndarray  # (n-1, 3) per-segment color from midpoint
+
+
+def calmness_histogram(calmness: jnp.ndarray) -> CalmnessHistogramOutputs:
+    """Per-bin calmness contour of the debugging overlay (update.rs:745-869):
+    line heights are calmness * 0.5 and each segment is colored by the
+    calmness_to_color threshold palette at the midpoint of its endpoints.
+    The quad/triangle mesh the reference builds from these is presentation
+    glue; the heights + colors ARE the data content."""
+    heights = calmness * CALMNESS_HISTOGRAM_HEIGHT_SCALE
+    mid = (calmness[..., :-1] + calmness[..., 1:]) * 0.5
+    return CalmnessHistogramOutputs(heights=heights, segment_rgb=calmness_to_color(mid))
+
+
+class CalmnessGraphState(struct.PyTreeNode):
+    """Scene-calmness history ring of the debugging overlay
+    (update.rs:640-744; capacity 300 at app/common.rs:2037). ``push`` writes
+    the newest smoothed scene calmness; ``trace`` returns the values ordered
+    oldest -> newest plus the per-segment threshold colors — the x/y line
+    positions the reference derives from these are presentation glue."""
+
+    values: jnp.ndarray  # (capacity,) circular
+    write_index: jnp.ndarray  # scalar int32
+
+    @classmethod
+    def init(cls, capacity: int = CALMNESS_HISTORY_CAPACITY) -> "CalmnessGraphState":
+        return cls(
+            values=jnp.zeros(capacity, jnp.float32),
+            write_index=jnp.zeros((), jnp.int32),
+        )
+
+    def push(self, scene_calmness) -> "CalmnessGraphState":
+        cap = self.values.shape[0]
+        vals = jax.lax.dynamic_update_index_in_dim(
+            self.values, jnp.asarray(scene_calmness, jnp.float32), self.write_index, 0
+        )
+        return CalmnessGraphState(values=vals, write_index=(self.write_index + 1) % cap)
+
+    def trace(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(values oldest->newest (capacity,), segment colors (capacity-1, 3)).
+        Segment i's color keys off its OLDER endpoint, like update.rs:683-688."""
+        cap = self.values.shape[0]
+        ordered = jnp.roll(self.values, -self.write_index)
+        return ordered, calmness_to_color(ordered[:-1])
 
 
 class SpectrogramState(struct.PyTreeNode):

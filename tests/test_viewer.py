@@ -7,10 +7,15 @@ import numpy as np
 
 from pitchvis_tpu.core.config import VqtRange
 from pitchvis_tpu.models.viewer import (
+    SPIRAL_SEGMENTS_PER_SEMITONE,
     BallState,
+    CalmnessGraphState,
     SpectrogramState,
+    bass_spiral,
     bin_to_spiral,
     bloom_intensity,
+    calmness_histogram,
+    calmness_to_color,
     chroma_vector,
     spectrogram_row_peaks,
     spectrogram_row_vqt,
@@ -147,3 +152,92 @@ class TestSpectrogram:
         img = np.asarray(st.image)
         assert np.all(img[0] == 200)
         assert np.all(img[1] == 0)  # next line cleared
+
+
+class TestBassSpiral:
+    """update.rs:353-426 parity at the data level."""
+
+    def _mk(self, bins_sizes):
+        n = RANGE.n_buckets
+        mask = np.zeros(n, bool)
+        center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        for b, c, s in bins_sizes:
+            mask[b] = True
+            center[b] = c
+            size[b] = s
+        return jnp.asarray(mask), jnp.asarray(center), jnp.asarray(size)
+
+    def test_lit_up_to_lowest_peak(self):
+        # lowest peak at fractional bin 24.6 -> 24.6/24*12 = 12.3 semitones
+        # -> round = 12 -> 72 segments lit
+        out = bass_spiral(RANGE, *self._mk([(24, 24.6, 10.0), (40, 40.0, 20.0)]))
+        vis = np.asarray(out.visible)
+        assert vis.shape == (RANGE.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE,)
+        assert vis[:72].all() and not vis[72:].any()
+        # alpha = 1-(1-10/20)^2 = 0.75 for the lowest (not largest) peak
+        np.testing.assert_allclose(float(out.rgba[3]), 0.75, atol=1e-6)
+
+    def test_no_peaks_all_hidden(self):
+        out = bass_spiral(RANGE, *self._mk([]))
+        assert not np.asarray(out.visible).any()
+
+    def test_lowest_peak_beyond_range_hides_all(self):
+        # center semitones = 71.9/24*12 ~ 36 -> 36*6 = 216 >= 216 segments
+        out = bass_spiral(RANGE, *self._mk([(71, 71.9, 10.0)]))
+        assert not np.asarray(out.visible).any()
+
+    def test_color_is_rounded_semitone_pitch_class(self):
+        from pitchvis_tpu.models.viewer import pitch_color_rotation
+        from pitchvis_tpu.ops.colors import COLORS, EASING_POW, GRAY_LEVEL, calculate_color
+
+        out = bass_spiral(RANGE, *self._mk([(10, 10.4, 5.0)]))
+        sem = round(10.4 / 24 * 12)
+        ref_bucket = (sem * 24 / 12 + pitch_color_rotation(24)) % 24
+        ref = np.asarray(
+            calculate_color(24, jnp.float32(ref_bucket), COLORS, GRAY_LEVEL, EASING_POW)
+        )
+        np.testing.assert_allclose(np.asarray(out.rgba[:3]), ref, atol=1e-6)
+
+
+class TestCalmnessOverlays:
+    def test_threshold_colors(self):
+        rgb = np.asarray(calmness_to_color(jnp.asarray([0.1, 0.5, 0.9])))
+        np.testing.assert_allclose(rgb[0], [1.0, 0.5, 0.5])  # red
+        np.testing.assert_allclose(rgb[1], [1.0, 1.0, 0.5])  # yellow
+        np.testing.assert_allclose(rgb[2], [0.5, 0.8, 1.0])  # cyan
+
+    def test_histogram_heights_and_midpoint_colors(self):
+        calm = jnp.asarray([0.0, 0.2, 0.8, 1.0])
+        out = calmness_histogram(calm)
+        np.testing.assert_allclose(np.asarray(out.heights), [0.0, 0.1, 0.4, 0.5])
+        # midpoints 0.1, 0.5, 0.9 -> red, yellow, cyan
+        np.testing.assert_allclose(np.asarray(out.segment_rgb[0]), [1.0, 0.5, 0.5])
+        np.testing.assert_allclose(np.asarray(out.segment_rgb[1]), [1.0, 1.0, 0.5])
+        np.testing.assert_allclose(np.asarray(out.segment_rgb[2]), [0.5, 0.8, 1.0])
+
+    def test_graph_ring_ordering(self):
+        st = CalmnessGraphState.init(capacity=4)
+        for v in (0.1, 0.2, 0.3, 0.4, 0.5):  # wraps once
+            st = st.push(v)
+        vals, colors = st.trace()
+        np.testing.assert_allclose(np.asarray(vals), [0.2, 0.3, 0.4, 0.5], atol=1e-6)
+        assert colors.shape == (3, 3)
+
+    def test_fused_pipeline_emits_bass_and_histogram(self, small_params):
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+
+        pipe = StreamingPipeline(2, small_params, with_viewer=True)
+        chunk = np.full((2, 368), 0.02, np.float32)
+        out = None
+        for _ in range(3):
+            out = pipe.step(chunk, 1.0 / 60.0)
+        n_seg = small_params.range.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE
+        assert out.viewer.bass.visible.shape == (2, n_seg)
+        assert out.viewer.bass.rgba.shape == (2, 4)
+        assert out.viewer.calmness_histogram.heights.shape == (
+            2, small_params.n_buckets,
+        )
+        assert out.viewer.calmness_histogram.segment_rgb.shape == (
+            2, small_params.n_buckets - 1, 3,
+        )
