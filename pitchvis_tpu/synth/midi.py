@@ -160,9 +160,17 @@ def load_midi(path: str) -> MidiFile:
         return parse_midi(f.read())
 
 
-def write_midi(path: str, notes: list[tuple[float, float, int, int, int]], tempo_bpm: float = 120.0) -> None:
+def write_midi(
+    path: str,
+    notes: list[tuple[float, float, int, int, int]],
+    tempo_bpm: float = 120.0,
+    programs: dict[int, int] | None = None,
+) -> None:
     """Test/dataset helper: writes a single-track MIDI file from
-    (start_sec, duration_sec, channel, key, velocity) tuples."""
+    (start_sec, duration_sec, channel, key, velocity) tuples.
+    ``programs`` maps channel -> program number, emitted as 0xC0
+    program-change events at tick 0 (selects presets of a multi-instrument
+    font; see synth/sf2.py write_multi_sf2)."""
     ticks_per_beat = 480
     tempo = int(60_000_000 / tempo_bpm)
 
@@ -178,6 +186,8 @@ def write_midi(path: str, notes: list[tuple[float, float, int, int, int]], tempo
         return round(t * 1_000_000 / tempo * ticks_per_beat)
 
     evs = [(to_tick(0), bytes([0xFF, 0x51, 0x03]) + tempo.to_bytes(3, "big"))]
+    for ch, prog in sorted((programs or {}).items()):
+        evs.append((to_tick(0), bytes([0xC0 | ch, prog])))
     for start, dur, ch, key, vel in notes:
         evs.append((to_tick(start), bytes([0x90 | ch, key, vel])))
         evs.append((to_tick(start + dur), bytes([0x80 | ch, key, 0])))

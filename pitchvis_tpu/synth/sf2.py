@@ -656,3 +656,103 @@ def write_minimal_sf2(
     body = b"sfbk" + chunk(b"LIST", info) + chunk(b"LIST", sdta) + chunk(b"LIST", pdta)
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def write_multi_sf2(
+    path: str,
+    instruments: list[dict],
+    name: str = "multisf",
+) -> None:
+    """Writes a multi-instrument SF2: one preset (bank 0, given program
+    number) -> one instrument -> one sample per entry. Each entry is a dict:
+
+        {"program": int, "name": str, "sample": f32 array, "sample_rate": int,
+         "root_key": int, "loop": bool,
+         "instrument_gens": [(gen, val), ...],   # optional
+         "preset_gens": [(gen, val), ...]}       # optional
+
+    The tooling counterpart of real multi-preset fonts (MuseScore_General
+    in the reference's training pipeline, pitchvis_train/train.py:31):
+    program-change events in a MIDI corpus select between these presets."""
+    chunks_pcm: list[bytes] = []
+    shdr = b""
+    inst = b""
+    ibag = b""
+    igen = b""
+    phdr = b""
+    pbag = b""
+    pgen = b""
+    offset = 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def name20(s: str) -> bytes:
+        return s.encode("ascii")[:19].ljust(20, b"\0")
+
+    n_igen = n_pgen = 0
+    for i, spec in enumerate(instruments):
+        sample = np.asarray(spec["sample"])
+        pcm = np.clip(sample * 32767.0, -32768, 32767).astype("<i2").tobytes()
+        pcm += b"\0" * 92  # >= 46 zero-sample guard between samples
+        chunks_pcm.append(pcm)
+        n = len(sample)
+        shdr += (
+            name20(spec["name"])
+            + struct.pack("<IIIII", offset, offset + n, offset, offset + n,
+                          int(spec["sample_rate"]))
+            + struct.pack("<Bb", int(spec.get("root_key", 60)), 0)
+            + struct.pack("<HH", 0, 1)
+        )
+        offset += n + 46
+
+        igen_list = list(spec.get("instrument_gens", []))
+        igen_list += [
+            (GEN_SAMPLE_MODES, 1 if spec.get("loop", True) else 0),
+            (GEN_SAMPLE_ID, i),
+        ]
+        inst += name20(spec["name"]) + struct.pack("<H", i)
+        ibag += struct.pack("<HH", n_igen, 0)
+        igen += b"".join(struct.pack("<Hh", g, v) for g, v in igen_list)
+        n_igen += len(igen_list)
+
+        pgen_list = list(spec.get("preset_gens", [])) + [(GEN_INSTRUMENT, i)]
+        phdr += (
+            name20(spec["name"])
+            + struct.pack("<HHH", int(spec["program"]), 0, i)
+            + struct.pack("<III", 0, 0, 0)
+        )
+        pbag += struct.pack("<HH", n_pgen, 0)
+        pgen += b"".join(struct.pack("<Hh", g, v) for g, v in pgen_list)
+        n_pgen += len(pgen_list)
+
+    k = len(instruments)
+    shdr += name20("EOS") + b"\0" * 26
+    inst += name20("EOI") + struct.pack("<H", k)
+    ibag += struct.pack("<HH", n_igen, 0)
+    phdr += name20("EOP") + struct.pack("<HHH", 0, 0, k) + struct.pack("<III", 0, 0, 0)
+    pbag += struct.pack("<HH", n_pgen, 0)
+
+    pdta = b"pdta" + b"".join(
+        chunk(cid, body)
+        for cid, body in [
+            (b"phdr", phdr),
+            (b"pbag", pbag),
+            (b"pmod", b"\0" * 10),
+            (b"pgen", pgen + struct.pack("<Hh", 0, 0)),
+            (b"inst", inst),
+            (b"ibag", ibag),
+            (b"imod", b"\0" * 10),
+            (b"igen", igen + struct.pack("<Hh", 0, 0)),
+            (b"shdr", shdr),
+        ]
+    )
+    info = b"INFO" + chunk(b"ifil", struct.pack("<HH", 2, 1)) + chunk(
+        b"isng", b"EMU8000\0"
+    ) + chunk(b"INAM", name.encode() + b"\0")
+    sdta = b"sdta" + chunk(b"smpl", b"".join(chunks_pcm))
+
+    body = b"sfbk" + chunk(b"LIST", info) + chunk(b"LIST", sdta) + chunk(b"LIST", pdta)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)

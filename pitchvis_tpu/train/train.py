@@ -138,6 +138,7 @@ def train(
 
     b = cfg.batch_size
     step = 0
+    epoch_losses: list[float] = []
     for epoch in range(cfg.epochs):
         rng.shuffle(train_idx)
         losses = []
@@ -150,7 +151,8 @@ def train(
             losses.append(float(loss))
             step += 1
         if losses:
-            print(f"[epoch {epoch + 1}] loss: {np.mean(losses):.4f}")
+            epoch_losses.append(float(np.mean(losses)))
+            print(f"[epoch {epoch + 1}] loss: {epoch_losses[-1]:.4f}", flush=True)
 
     # evaluation (micro-F1 + accuracy, train.py:164-198)
     tp = fp = fn = correct = total = 0
@@ -160,7 +162,7 @@ def train(
         tp += int(r[0]); fp += int(r[1]); fn += int(r[2]); correct += int(r[3]); total += int(r[4])
     f1 = 2 * tp / max(2 * tp + fp + fn, 1)
     acc = correct / max(total, 1)
-    metrics = {"f1_micro": f1, "accuracy": acc, "steps": step}
+    metrics = {"f1_micro": f1, "accuracy": acc, "steps": step, "epoch_loss": epoch_losses}
     print(f"micro-F1: {f1:.3f}, accuracy: {acc:.3%}")
 
     if checkpoint_dir:

@@ -138,6 +138,10 @@ def main(argv=None) -> int:
         return warm(rest)
     if cmd == "clean":
         return clean()
+    if cmd == "train-demo":
+        from .train.corpus import main as corpus_main
+
+        return corpus_main(rest)
     print(f"unknown task {cmd!r}")
     print(__doc__)
     return 2

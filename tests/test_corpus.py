@@ -1,0 +1,72 @@
+"""Procedural training corpus (train/corpus.py): font, pieces, determinism.
+
+The realistic-scale counterpart of the reference's MuseScore_General + lmd
+corpus flow (pitchvis_train/train.py:31, train.rs:112-207).
+"""
+
+import numpy as np
+import pytest
+
+from pitchvis_tpu.synth.midi import load_midi
+from pitchvis_tpu.synth.sf2 import SoundFont
+from pitchvis_tpu.train.corpus import (
+    build_midi_corpus,
+    build_training_font,
+    generate_piece,
+)
+
+
+class TestTrainingFont:
+    def test_font_builds_and_parses(self, tmp_path):
+        path = str(tmp_path / "font.sf2")
+        programs = build_training_font(path, seed=0)
+        font = SoundFont.from_file(path)
+        assert sorted(p.patch_number for p in font.presets) == sorted(programs)
+        assert len(programs) == 10
+        # every preset is bank 0 so plain program changes reach it
+        assert all(p.bank_number == 0 for p in font.presets)
+
+    def test_font_samples_are_loopable(self, tmp_path):
+        path = str(tmp_path / "font.sf2")
+        build_training_font(path, seed=0)
+        font = SoundFont.from_file(path)
+        for h in font.sample_headers:
+            assert h.end - h.start > 1000
+            assert h.start_loop == h.start and h.end_loop == h.end
+
+
+class TestGeneratePiece:
+    def test_keys_in_register_and_channels(self):
+        rng = np.random.default_rng(7)
+        notes, programs = generate_piece(rng, 30.0, [0, 24], [19, 48])
+        assert len(notes) > 40
+        assert set(programs) == {0, 1, 2}
+        for start, dur, ch, key, vel in notes:
+            assert 0.0 <= start < 30.0
+            assert dur > 0
+            assert ch in (0, 1, 2)
+            assert 36 <= key <= 96
+            assert 1 <= vel <= 127
+
+    def test_deterministic(self):
+        a = generate_piece(np.random.default_rng(3), 20.0, [0], [19])
+        b = generate_piece(np.random.default_rng(3), 20.0, [0], [19])
+        assert a == b
+
+
+class TestCorpusBuild:
+    def test_corpus_files_parse_and_are_deterministic(self, tmp_path):
+        d1 = str(tmp_path / "c1")
+        d2 = str(tmp_path / "c2")
+        p1 = build_midi_corpus(d1, 3, seconds_per_file=8.0, seed=5)
+        p2 = build_midi_corpus(d2, 3, seconds_per_file=8.0, seed=5)
+        assert len(p1) == 3
+        for a, b in zip(p1, p2):
+            assert open(a, "rb").read() == open(b, "rb").read()
+        midi = load_midi(p1[0])
+        assert midi.length > 4.0
+
+    def test_distinct_seeds_distinct_pieces(self, tmp_path):
+        p1 = build_midi_corpus(str(tmp_path / "a"), 1, seconds_per_file=8.0, seed=1)
+        p2 = build_midi_corpus(str(tmp_path / "b"), 1, seconds_per_file=8.0, seed=2)
+        assert open(p1[0], "rb").read() != open(p2[0], "rb").read()

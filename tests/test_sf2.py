@@ -317,3 +317,107 @@ class TestMidiRunningStatus:
                 load_midi(cpath)
             except ValueError:
                 pass
+
+
+class TestMultiFont:
+    """write_multi_sf2 + program-change routing (the tooling counterpart of
+    the reference's multi-preset MuseScore_General.sf2,
+    pitchvis_train/train.py:31)."""
+
+    @pytest.fixture(scope="class")
+    def multi_font(self, tmp_path_factory):
+        from pitchvis_tpu.synth.sf2 import write_multi_sf2
+
+        sr = 22050
+        t = np.arange(sr) / sr
+
+        def harm(amps, f0=220.0):
+            out = sum(a * np.sin(2 * np.pi * f0 * k * t) for k, a in enumerate(amps, 1))
+            return (0.4 * out / np.max(np.abs(out))).astype(np.float32)
+
+        path = str(tmp_path_factory.mktemp("sf2") / "multi.sf2")
+        write_multi_sf2(
+            path,
+            [
+                {"program": 0, "name": "pure", "sample": harm([1.0]),
+                 "sample_rate": sr, "root_key": 57, "loop": True},
+                {"program": 24, "name": "rich", "sample": harm([1, 0.6, 0.5, 0.4]),
+                 "sample_rate": sr, "root_key": 57, "loop": True},
+            ],
+        )
+        return SoundFont.from_file(path), path, sr
+
+    def test_presets_parse(self, multi_font):
+        font, _, _ = multi_font
+        assert [(p.name, p.patch_number) for p in font.presets] == [("pure", 0), ("rich", 24)]
+        assert len(font.instruments) == 2
+        assert len(font.sample_headers) == 2
+        # second sample's range must sit past the first + 46-sample guard
+        s0, s1 = font.sample_headers
+        assert s1.start >= s0.end + 46
+
+    def test_program_change_routes_timbre(self, multi_font, tmp_path):
+        """The same key through program 0 (pure sine) vs program 24
+        (harmonic-rich) must differ in harmonic-2 energy."""
+        from pitchvis_tpu.synth.midi import load_midi, write_midi
+
+        font, _, sr = multi_font
+
+        def render(program):
+            path = str(tmp_path / f"p{program}.mid")
+            write_midi(path, [(0.0, 0.9, 0, 57, 100)], programs={0: program})
+            synth = _make_synth(font, sr)
+            seq = MidiFileSequencer(synth)
+            seq.play(load_midi(path))
+            left = np.zeros(sr, np.float32)
+            right = np.zeros(sr, np.float32)
+            seq.render(left, right)
+            return (left + right) / 2
+
+        def h2_ratio(x):
+            spec = np.abs(np.fft.rfft(x[sr // 4:]))
+            freqs = np.fft.rfftfreq(len(x) - sr // 4, 1 / sr)
+            f1 = spec[np.argmin(np.abs(freqs - 220))]
+            f2 = spec[np.argmin(np.abs(freqs - 440))]
+            return f2 / max(f1, 1e-9)
+
+        pure, rich = render(0), render(24)
+        assert np.max(np.abs(pure)) > 0.01 and np.max(np.abs(rich)) > 0.01
+        assert h2_ratio(pure) < 0.1
+        assert h2_ratio(rich) > 0.3
+
+    def test_native_engine_program_change_parity(self, multi_font, tmp_path):
+        """The C++ engine resolves the same program-change routing."""
+        pytest.importorskip("numpy")
+        from pitchvis_tpu.runtime import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        from pitchvis_tpu.synth.engine_native import NativeSequencer, NativeSynthesizer
+        from pitchvis_tpu.synth.midi import load_midi, write_midi
+
+        font, _, sr = multi_font
+        path = str(tmp_path / "multi.mid")
+        write_midi(
+            path,
+            [(0.0, 0.9, 0, 57, 100), (0.0, 0.9, 1, 69, 100)],
+            programs={0: 0, 1: 24},
+        )
+        midi = load_midi(path)
+
+        synth = _make_synth(font, sr)
+        seq = MidiFileSequencer(synth)
+        seq.play(midi)
+        l0 = np.zeros(sr, np.float32)
+        r0 = np.zeros(sr, np.float32)
+        seq.render(l0, r0)
+
+        nsynth = NativeSynthesizer(font, sr, enable_reverb_and_chorus=False)
+        nseq = NativeSequencer(nsynth)
+        nseq.play(midi)
+        l1 = np.zeros(sr, np.float32)
+        r1 = np.zeros(sr, np.float32)
+        nseq.render(l1, r1)
+
+        np.testing.assert_allclose(l1, l0, atol=2e-4)
+        np.testing.assert_allclose(r1, r0, atol=2e-4)
