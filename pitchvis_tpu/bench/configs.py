@@ -218,7 +218,7 @@ def bench_latency(
         prev = nxt
     pipelined = (time.perf_counter() - t0) / iters
     _sync(prev)
-    return {
+    result = {
         "metric": "serving_hop_latency_p50_ms",
         "value": round(p50 * 1e3, 2),
         "unit": "ms",
@@ -227,6 +227,33 @@ def bench_latency(
         "pipelined_hop_ms": round(pipelined * 1e3, 2),
         "n_streams": n_streams,
     }
+
+    # the SHIPPED serving mode: StreamServer.step(pipelined=True) — the hop
+    # the production server actually charges its caller (host snapshot +
+    # dispatch + previous hop's fetch, overlapping device compute).
+    from ..runtime.native import available as native_available
+
+    if native_available():
+        from ..runtime.server import StreamServer
+
+        srv = StreamServer(n_streams, params, buffer_seconds=1.0, path=path, fast=fast)
+        srv.push(0, chunk[0])
+        _sync(srv.step(dt=dt_hop))  # compile
+        srv.step(pipelined=True, dt=dt_hop)  # prime the one-deep queue
+        stimes = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = srv.step(pipelined=True, dt=dt_hop)
+            _sync(out)
+            stimes.append(time.perf_counter() - t0)
+        _sync(srv.flush())
+        srv.close()
+        stimes.sort()
+        result["server_pipelined_hop_p50_ms"] = round(stimes[len(stimes) // 2] * 1e3, 2)
+        result["server_pipelined_hop_p95_ms"] = round(
+            stimes[int(len(stimes) * 0.95)] * 1e3, 2
+        )
+    return result
 
 
 def bench_analysis(n_streams: int = 2048, inner: int = 32) -> dict:

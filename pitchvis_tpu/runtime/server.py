@@ -55,11 +55,12 @@ class StreamServer:
         self.fast = fast
         self.kernel = get_kernel(self.vqt_params)
         self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
-        capacity = max(int(self.vqt_params.sr * buffer_seconds), self.vqt_params.n_fft)
+        capacity = max(int(round(self.vqt_params.sr * buffer_seconds)), self.vqt_params.n_fft)
         self.rings = NativeRingBank(n_streams, capacity)
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
         self.n_streams = n_streams
         self._last_step = None
+        self._pending = None  # in-flight (outputs, gains) when pipelining
         # serializes the read-modify-write of analysis_state between the
         # analysis thread (step) and the control plane (reset_stream): a
         # reset landing mid-step would otherwise be overwritten by step's
@@ -121,10 +122,18 @@ class StreamServer:
                 )
 
     # -- compute side (analysis thread) --------------------------------------
-    def step(self):
-        """One analysis update over all streams. Returns (outputs, gains)."""
+    def _dispatch(self, dt: float | None):
+        """Snapshots + dispatches one hop; returns async (outputs, gains).
+
+        All device work is dispatched without blocking: the outputs are jax
+        arrays that materialize on first host read. Race rules are identical
+        to the synchronous step (arrays/params captured under the lock;
+        analysis_state re-read after the VQT dispatch so concurrent
+        reset_stream calls are preserved; rebuild landing mid-dispatch
+        retries under the new parameter set)."""
         now = time.monotonic()
-        dt = 1.0 / 60.0 if self._last_step is None else max(now - self._last_step, 1e-4)
+        if dt is None:
+            dt = 1.0 / 60.0 if self._last_step is None else max(now - self._last_step, 1e-4)
         self._last_step = now
 
         for _ in range(3):  # retried only if a rebuild lands mid-step
@@ -143,6 +152,33 @@ class StreamServer:
                 )
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
+
+    def step(self, pipelined: bool = False, dt: float | None = None):
+        """One analysis update over all streams. Returns (outputs, gains).
+
+        ``pipelined=True`` ships the one-deep dispatch overlap the reference
+        gets from its audio-thread/main-thread split
+        (pitchvis_viewer/src/vqt_system.rs:59-67): this hop is snapshotted
+        and dispatched immediately, and the PREVIOUS hop's (outputs, gains)
+        — which the device finished while the host was preparing this hop —
+        are returned (None on the first call; drain the last hop with
+        ``flush()``). The caller therefore never waits for device compute +
+        tunnel round-trip inside its 60 Hz budget, only for host-side
+        snapshot + dispatch. Outputs lag ingest by exactly one hop.
+
+        ``dt`` overrides the wall-clock frame delta (deterministic replays
+        and tests); by default it is measured between step calls."""
+        result = self._dispatch(dt)
+        if not pipelined:
+            return result
+        prev, self._pending = self._pending, result
+        return prev
+
+    def flush(self):
+        """Returns the in-flight pipelined hop's (outputs, gains) without
+        dispatching a new one (None if nothing is pending)."""
+        prev, self._pending = self._pending, None
+        return prev
 
     def close(self) -> None:
         self.rings.close()
