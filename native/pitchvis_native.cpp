@@ -160,6 +160,57 @@ uint64_t pv_rb_written(void* handle, int64_t stream) {
   return static_cast<RingBank*>(handle)->rings[stream]->head.load(std::memory_order_acquire);
 }
 
+// Checkpoint side: exports the full bank state — per stream the trailing
+// min(head, capacity) samples in chronological order (zero-padded at the
+// front of the row, same layout as pv_rb_snapshot with window=capacity),
+// the total-written head counter, and the AGC gain. Safe against concurrent
+// producers in the same sense as snapshot (each row is internally
+// consistent up to one in-flight chunk).
+void pv_rb_export(void* handle, float* audio_out, uint64_t* heads_out,
+                  float* gains_out) {
+  auto* bank = static_cast<RingBank*>(handle);
+  const int64_t cap = bank->capacity;
+  const int64_t n_streams = (int64_t)bank->rings.size();
+  for (int64_t s = 0; s < n_streams; ++s) {
+    StreamRing& r = *bank->rings[s];
+    const uint64_t head = r.head.load(std::memory_order_acquire);
+    float* dst = audio_out + s * cap;
+    const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)cap);
+    const int64_t pad = cap - avail;
+    std::memset(dst, 0, pad * sizeof(float));
+    for (int64_t i = 0; i < avail; ++i) {
+      dst[pad + i] = r.buf[(head - avail + i) % cap];
+    }
+    heads_out[s] = head;
+    gains_out[s] = r.gain.load(std::memory_order_relaxed);
+  }
+}
+
+// Restore side: loads a pv_rb_export image into a QUIESCED bank (restart
+// path: no producers yet — unlike snapshot/reset this is NOT safe against
+// concurrent writes). Head counters resume at their exported values, so
+// pv_rb_written continuity and subsequent wraparound behave as if the
+// process never died.
+void pv_rb_import(void* handle, const float* audio, const uint64_t* heads,
+                  const float* gains) {
+  auto* bank = static_cast<RingBank*>(handle);
+  const int64_t cap = bank->capacity;
+  const int64_t n_streams = (int64_t)bank->rings.size();
+  for (int64_t s = 0; s < n_streams; ++s) {
+    StreamRing& r = *bank->rings[s];
+    const uint64_t head = heads[s];
+    const float* src = audio + s * cap;
+    const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)cap);
+    const int64_t pad = cap - avail;
+    std::fill(r.buf.begin(), r.buf.end(), 0.0f);
+    for (int64_t i = 0; i < avail; ++i) {
+      r.buf[(head - avail + i) % cap] = src[pad + i];
+    }
+    r.gain.store(gains[s], std::memory_order_relaxed);
+    r.head.store(head, std::memory_order_release);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // dagc AGC (standalone)
 // ---------------------------------------------------------------------------

@@ -58,6 +58,14 @@ def _load():
     lib.pv_rb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pv_rb_written.restype = ctypes.c_uint64
     lib.pv_rb_written.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pv_rb_export.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.pv_rb_import.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.pv_agc_process.restype = ctypes.c_float
     lib.pv_agc_process.argtypes = [
         ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -182,6 +190,36 @@ class NativeRingBank:
 
     def written(self, stream: int) -> int:
         return int(self._lib.pv_rb_written(self._handle, stream))
+
+    def export_state(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Checkpoint image: (audio[B, capacity] trailing windows, heads[B]
+        total-written counters, gains[B] AGC gains). Snapshot-consistent
+        against concurrent producers."""
+        audio = np.empty((self.n_streams, self.capacity), np.float32)
+        heads = np.empty(self.n_streams, np.uint64)
+        gains = np.empty(self.n_streams, np.float32)
+        self._lib.pv_rb_export(
+            self._handle, _fptr(audio),
+            heads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), _fptr(gains),
+        )
+        return audio, heads, gains
+
+    def import_state(self, audio: np.ndarray, heads: np.ndarray,
+                     gains: np.ndarray) -> None:
+        """Restores an export_state image. Restart path only: the bank must
+        be quiesced (no concurrent producers) — unlike snapshot/reset this
+        write is not race-safe."""
+        audio = np.ascontiguousarray(audio, np.float32)
+        heads = np.ascontiguousarray(heads, np.uint64)
+        gains = np.ascontiguousarray(gains, np.float32)
+        if audio.shape != (self.n_streams, self.capacity):
+            raise ValueError(
+                f"audio image shape {audio.shape} != ({self.n_streams}, {self.capacity})"
+            )
+        self._lib.pv_rb_import(
+            self._handle, _fptr(audio),
+            heads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), _fptr(gains),
+        )
 
     def close(self) -> None:
         if self._handle:

@@ -177,6 +177,74 @@ class TestStreamServer:
         )
 
 
+class TestPipelinedServing:
+    """step(pipelined=True): one-deep dispatch overlap (round-3 verdict
+    item 4; the reference's audio-thread/main-thread split,
+    pitchvis_viewer/src/vqt_system.rs:59-67)."""
+
+    def _tone(self, small_params):
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        return (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def test_pipelined_sequence_matches_synchronous(self, small_params):
+        """With identical audio and pinned dt, the pipelined output sequence
+        is EXACTLY the synchronous sequence, delayed by one hop."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone = self._tone(small_params)
+        n_hops = 4
+
+        sync_outs = []
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        server.push(0, tone)
+        for _ in range(n_hops):
+            out, gains = server.step(dt=1.0 / 60.0)
+            sync_outs.append((out, gains))
+        server.close()
+
+        pipe_outs = []
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        server.push(0, tone)
+        assert server.step(pipelined=True, dt=1.0 / 60.0) is None  # priming hop
+        for _ in range(n_hops - 1):
+            pipe_outs.append(server.step(pipelined=True, dt=1.0 / 60.0))
+        pipe_outs.append(server.flush())
+        assert server.flush() is None  # drained
+        server.close()
+
+        for (so, sg), (po, pg) in zip(sync_outs, pipe_outs):
+            np.testing.assert_array_equal(np.asarray(so.peaks), np.asarray(po.peaks))
+            np.testing.assert_allclose(
+                np.asarray(so.x_vqt_smoothed), np.asarray(po.x_vqt_smoothed), atol=1e-6
+            )
+            np.testing.assert_array_equal(sg, pg)
+
+    def test_pipelined_with_reset_and_rebuild(self, small_params):
+        """Control-plane ops stay safe while a hop is in flight."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone = self._tone(small_params)
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        server.push(0, tone)
+        server.push(1, tone)
+        server.step(pipelined=True, dt=1.0 / 60.0)
+        server.step(pipelined=True, dt=1.0 / 60.0)
+        server.reset_stream(1)  # lands while a hop is pending
+        out = server.step(pipelined=True, dt=1.0 / 60.0)
+        assert out is not None
+        # the hop dispatched AFTER the reset must see stream 1 silenced
+        out2, _ = server.step(dt=1.0 / 60.0)
+        assert not np.asarray(out2.peaks[1]).any()
+        assert np.asarray(out2.peaks[0]).any()
+        # a same-layout rebuild mid-pipeline keeps serving
+        server.rebuild(small_params)
+        out3 = server.step(pipelined=True, dt=1.0 / 60.0)
+        assert out3 is not None
+        server.flush()
+        server.close()
+
+
 class TestStreamChurn:
     def test_reset_stream_recycles_slot(self, small_params):
         """Serving churn: after a client disconnects, reset_stream() must
@@ -362,6 +430,78 @@ class TestStreamServerSoak:
             assert np.all(w >= 0.0), s  # bands are positive; bleed would differ
             assert np.isfinite(w).all(), s
         server.close()
+
+
+class TestServerCheckpoint:
+    """Restart drill (round-3 verdict item 8): a StreamServer checkpoint
+    must carry the native ring audio, write positions, AGC gains, and
+    analysis carries so serving continues across a process restart."""
+
+    def test_ring_export_import_roundtrip(self):
+        from pitchvis_tpu.runtime.native import NativeRingBank
+
+        bank = NativeRingBank(3, 256)
+        rng = np.random.default_rng(0)
+        bank.write(0, (rng.standard_normal(100) * 0.1).astype(np.float32))
+        bank.write(1, (rng.standard_normal(500) * 0.1).astype(np.float32))  # wrapped
+        audio, heads, gains = bank.export_state()
+        assert heads[0] == 100 and heads[1] == 500 and heads[2] == 0
+        win_before, gains_before = bank.snapshot(64)
+
+        fresh = NativeRingBank(3, 256)
+        fresh.import_state(audio, heads, gains)
+        win_after, gains_after = fresh.snapshot(64)
+        np.testing.assert_array_equal(win_after, win_before)
+        np.testing.assert_array_equal(gains_after, gains_before)
+        assert fresh.written(1) == 500  # head continuity across restart
+        bank.close()
+        fresh.close()
+
+    def test_server_restart_drill(self, tmp_path, small_params):
+        """save -> destroy -> restore -> spectra continue within tolerance
+        of an uninterrupted run."""
+        from pitchvis_tpu.runtime.checkpoint import restore_server, save_server_state
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        def warmed_server():
+            s = StreamServer(3, small_params, buffer_seconds=1.0, path="pallas")
+            s.push(0, tone)
+            s.push(2, tone[: len(tone) // 2])
+            for _ in range(3):
+                s.step(dt=1.0 / 60.0)
+            return s
+
+        # uninterrupted reference run
+        ref = warmed_server()
+        ref_out, ref_gains = ref.step(dt=1.0 / 60.0)
+        ref.close()
+
+        # identical run, but killed + restored before the last hop
+        server = warmed_server()
+        save_server_state(str(tmp_path / "ckpt"), server)
+        server.close()  # the "process dies" moment
+        restored = restore_server(str(tmp_path / "ckpt"))
+        assert restored.vqt_params == small_params
+        assert restored.path == "pallas" and restored.n_streams == 3
+        out, gains = restored.step(dt=1.0 / 60.0)
+        restored.close()
+
+        np.testing.assert_array_equal(gains, ref_gains)
+        np.testing.assert_array_equal(np.asarray(out.peaks), np.asarray(ref_out.peaks))
+        np.testing.assert_allclose(
+            np.asarray(out.x_vqt_smoothed),
+            np.asarray(ref_out.x_vqt_smoothed),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.scene_calmness),
+            np.asarray(ref_out.scene_calmness),
+            atol=1e-5,
+        )
 
 
 class TestPipelineCheckpoint:
