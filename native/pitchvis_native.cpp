@@ -212,6 +212,94 @@ void pv_rb_import(void* handle, const float* audio, const uint64_t* heads,
 }
 
 // ---------------------------------------------------------------------------
+// Streaming polyphase resampler bank (ingest-side 44.1/48 kHz -> 22050)
+// ---------------------------------------------------------------------------
+//
+// The native mirror of ops/resample.py's batched polyphase design (the
+// reference resamples WASM mic input with rubato's FftFixedIn,
+// pitchvis_audio/src/audio_wasm.rs:176-209). One bank per input rate, one
+// history + remainder state per stream; the prototype filter is designed in
+// Python (ops/resample.py::_design_prototype) and passed in, so host and
+// device paths share EXACTLY the same coefficients. Per-stream
+// single-producer contract matches the ring writes it feeds.
+
+struct StreamResampleState {
+  std::vector<float> hist;     // last taps-1 consumed input samples
+  std::vector<float> pending;  // <M leftover input samples (phase alignment)
+};
+
+struct ResamplerBank {
+  int64_t l, m, taps;
+  std::vector<double> h;  // prototype, length taps * l
+  std::vector<StreamResampleState> streams;
+};
+
+void* pv_rs_create(int64_t n_streams, int64_t l, int64_t m, int64_t taps,
+                   const double* h) {
+  auto* bank = new ResamplerBank();
+  bank->l = l;
+  bank->m = m;
+  bank->taps = taps;
+  bank->h.assign(h, h + taps * l);
+  bank->streams.resize(n_streams);
+  for (auto& s : bank->streams) s.hist.assign(taps - 1, 0.0f);
+  return bank;
+}
+
+void pv_rs_destroy(void* handle) { delete static_cast<ResamplerBank*>(handle); }
+
+void pv_rs_reset(void* handle, int64_t stream) {
+  auto& s = static_cast<ResamplerBank*>(handle)->streams[stream];
+  std::fill(s.hist.begin(), s.hist.end(), 0.0f);
+  s.pending.clear();
+}
+
+// Consumes pending + in, emits floor((n_pending + n_in) / m) * l output
+// samples into out (caller sizes out via pv_rs_out_bound). Returns the
+// number of output samples written, or -1 if out_cap is too small.
+int64_t pv_rs_process(void* handle, int64_t stream, const float* in, int64_t n_in,
+                      float* out, int64_t out_cap) {
+  auto* bank = static_cast<ResamplerBank*>(handle);
+  StreamResampleState& s = bank->streams[stream];
+  const int64_t l = bank->l, m = bank->m, taps = bank->taps;
+
+  std::vector<float> buf;
+  buf.reserve(s.pending.size() + n_in);
+  buf.insert(buf.end(), s.pending.begin(), s.pending.end());
+  buf.insert(buf.end(), in, in + n_in);
+
+  const int64_t n_blocks = (int64_t)buf.size() / m;
+  const int64_t n_proc = n_blocks * m;
+  const int64_t n_out = n_blocks * l;
+  if (n_out > out_cap) return -1;
+
+  // ext = [hist | processed input]: output j reads ext[taps-1 + m_j - t]
+  std::vector<float> ext;
+  ext.reserve(taps - 1 + n_proc);
+  ext.insert(ext.end(), s.hist.begin(), s.hist.end());
+  ext.insert(ext.end(), buf.begin(), buf.begin() + n_proc);
+
+  for (int64_t j = 0; j < n_out; ++j) {
+    const int64_t pos = j * m;
+    const int64_t m_j = pos / l;
+    const int64_t phase = pos % l;
+    double acc = 0.0;
+    const float* x = ext.data() + (taps - 1) + m_j;
+    for (int64_t t = 0; t < taps; ++t) {
+      acc += bank->h[phase + t * l] * (double)x[-t];
+    }
+    out[j] = (float)acc;
+  }
+
+  // carry state: last taps-1 samples of [hist | processed] + unconsumed
+  // remainder (ext is always >= taps-1 long, so this is exact even when a
+  // short chunk consumed fewer than taps-1 new samples)
+  std::copy(ext.end() - (taps - 1), ext.end(), s.hist.begin());
+  s.pending.assign(buf.begin() + n_proc, buf.end());
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // dagc AGC (standalone)
 // ---------------------------------------------------------------------------
 

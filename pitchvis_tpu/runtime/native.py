@@ -66,6 +66,18 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.pv_rs_create.restype = ctypes.c_void_p
+    lib.pv_rs_create.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.pv_rs_destroy.argtypes = [ctypes.c_void_p]
+    lib.pv_rs_reset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.pv_rs_process.restype = ctypes.c_int64
+    lib.pv_rs_process.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
     lib.pv_agc_process.restype = ctypes.c_float
     lib.pv_agc_process.argtypes = [
         ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -224,6 +236,61 @@ class NativeRingBank:
     def close(self) -> None:
         if self._handle:
             self._lib.pv_rb_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeResamplerBank:
+    """Per-stream streaming polyphase resampling at ingest (the native
+    mirror of ops/resample.py; the reference's rubato FftFixedIn stage,
+    pitchvis_audio/src/audio_wasm.rs:176-209). One bank per input rate;
+    the prototype filter comes from ops/resample.py so host and device
+    paths share identical coefficients."""
+
+    def __init__(self, n_streams: int, sr_in: int, sr_out: int,
+                 taps_per_phase: int = 24):
+        from ..ops.resample import _design_prototype, make_spec
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.spec = make_spec(sr_in, sr_out, taps_per_phase)
+        h = np.ascontiguousarray(
+            _design_prototype(self.spec.l, self.spec.m, taps_per_phase), np.float64
+        )
+        self._handle = ctypes.c_void_p(
+            lib.pv_rs_create(
+                n_streams, self.spec.l, self.spec.m, taps_per_phase,
+                h.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+        )
+        self.n_streams = n_streams
+
+    def process(self, stream: int, samples: np.ndarray) -> np.ndarray:
+        """Feeds one chunk; returns the resampled samples now available
+        (input not filling a whole M-block is carried to the next call)."""
+        samples = np.ascontiguousarray(samples, np.float32)
+        out_cap = (len(samples) + self.spec.m) // self.spec.m * self.spec.l
+        out = np.empty(out_cap, np.float32)
+        n = self._lib.pv_rs_process(
+            self._handle, stream, _fptr(samples), len(samples), _fptr(out), out_cap
+        )
+        if n < 0:
+            raise RuntimeError("resampler output buffer undersized (bug)")
+        return out[:n]
+
+    def reset(self, stream: int) -> None:
+        self._lib.pv_rs_reset(self._handle, stream)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.pv_rs_destroy(self._handle)
             self._handle = None
 
     def __del__(self):

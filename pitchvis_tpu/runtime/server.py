@@ -26,7 +26,7 @@ from ..kernel.builder import get_kernel
 from ..models.analysis import analysis_step_batch, init_state_batch
 from ..ops.vqt import make_vqt_arrays, vqt_db_auto
 from ..models.pipeline import build_rebuilt_arrays, reset_state_row
-from .native import NativeRingBank, available as native_available
+from .native import NativeRingBank, NativeResamplerBank, available as native_available
 
 
 class StreamServer:
@@ -69,12 +69,36 @@ class StreamServer:
         import threading
 
         self._state_lock = threading.Lock()
+        # ingest resamplers, one bank per producer rate, created lazily
+        self._resamplers: dict[int, NativeResamplerBank] = {}
+        self._resampler_lock = threading.Lock()
 
         self._vqt = jax.jit(lambda a, x: vqt_db_auto(a, x, path=path))
 
     # -- ingest side (any thread) -------------------------------------------
-    def push(self, stream: int, samples: np.ndarray) -> bool:
-        """Appends raw samples for one stream (AGC applied natively)."""
+    def push(self, stream: int, samples: np.ndarray, sr: float | None = None) -> bool:
+        """Appends raw samples for one stream (AGC applied natively).
+
+        ``sr`` declares the PRODUCER's sample rate: 44.1/48 kHz microphone
+        feeds are resampled to the server rate in the native ingest path
+        (per-stream streaming polyphase state; the reference's rubato
+        FftFixedIn stage, pitchvis_audio/src/audio_wasm.rs:176-209) before
+        AGC + ring write. Omit (or pass the server rate) for pre-matched
+        audio. A stream must keep one rate between resets (per-stream
+        single-producer contract)."""
+        if sr is not None and int(sr) != int(self.vqt_params.sr):
+            bank = self._resamplers.get(int(sr))
+            if bank is None:
+                with self._resampler_lock:
+                    bank = self._resamplers.setdefault(
+                        int(sr),
+                        NativeResamplerBank(
+                            self.n_streams, int(sr), int(self.vqt_params.sr)
+                        ),
+                    )
+            samples = bank.process(stream, samples)
+            if len(samples) == 0:
+                return True  # carried to the next chunk
         return self.rings.write(stream, samples)
 
     # -- control plane -------------------------------------------------------
@@ -90,6 +114,9 @@ class StreamServer:
         partially-cleared window (a single glitched frame); every later
         frame is clean."""
         self.rings.reset(stream)
+        with self._resampler_lock:
+            for bank in self._resamplers.values():
+                bank.reset(stream)
         with self._state_lock:
             # n_buckets read INSIDE the lock: a layout-changing rebuild()
             # landing between an unlocked read and the row write would make
@@ -182,3 +209,7 @@ class StreamServer:
 
     def close(self) -> None:
         self.rings.close()
+        with self._resampler_lock:
+            for bank in self._resamplers.values():
+                bank.close()
+            self._resamplers.clear()

@@ -432,6 +432,74 @@ class TestStreamServerSoak:
         server.close()
 
 
+class TestIngestResampling:
+    """Native per-stream streaming resampler wired into StreamServer.push
+    (round-3 verdict item 6): a 44.1/48 kHz producer is served end to end
+    and matches a native-22050 producer's peak sets."""
+
+    def test_native_matches_python_across_ragged_chunks(self):
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.ops.resample import PolyphaseResampler
+        from pitchvis_tpu.runtime.native import NativeResamplerBank
+
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(4800) * 0.1).astype(np.float32)
+        m = 160  # 48000 -> 22050
+        n = (len(x) // m) * m
+        rs = PolyphaseResampler(48000, 22050, n)
+        _, ref = rs.process(rs.init_state(1), jnp.asarray(x[None, :n]))
+
+        bank = NativeResamplerBank(2, 48000, 22050)
+        outs, i = [], 0
+        for sz in (7, 100, 33, 900, 1, 259):
+            outs.append(bank.process(0, x[i : i + sz]))
+            i += sz
+        outs.append(bank.process(0, x[i:n]))
+        got = np.concatenate(outs)
+        np.testing.assert_allclose(got, np.asarray(ref)[0], atol=1e-6)
+
+        # per-stream state isolation: stream 1 starts fresh
+        np.testing.assert_allclose(
+            bank.process(1, x[:n]), np.asarray(ref)[0], atol=1e-6
+        )
+        bank.reset(0)
+        np.testing.assert_allclose(bank.process(0, x[:n]), np.asarray(ref)[0], atol=1e-6)
+        bank.close()
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_mic_rate_stream_matches_native_rate_peaks(self, small_params, sr_in):
+        """Two-tone at sr_in through push(sr=...) vs the same tones
+        generated at the server rate: identical peak sets."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        r = small_params.range
+        f1 = r.min_freq * 2.0 ** (20.0 / r.buckets_per_octave)
+        f2 = r.min_freq * 2.0 ** (44.0 / r.buckets_per_octave)
+
+        def two_tone(sr):
+            t = np.arange(int(sr * 0.8)) / sr
+            return (
+                0.08 * np.sin(2 * np.pi * f1 * t) + 0.08 * np.sin(2 * np.pi * f2 * t)
+            ).astype(np.float32)
+
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        server.push(0, two_tone(small_params.sr))
+        # mic-rate producer in realistic ~20 ms chunks
+        mic = two_tone(sr_in)
+        chunk = sr_in // 50
+        for i in range(0, len(mic), chunk):
+            assert server.push(1, mic[i : i + chunk], sr=sr_in)
+        out = None
+        for _ in range(3):
+            out, _ = server.step(dt=1.0 / 60.0)
+        p_native = np.where(np.asarray(out.peaks[0]))[0]
+        p_mic = np.where(np.asarray(out.peaks[1]))[0]
+        assert len(p_native) == 2, p_native
+        np.testing.assert_array_equal(p_mic, p_native)
+        server.close()
+
+
 class TestServerCheckpoint:
     """Restart drill (round-3 verdict item 8): a StreamServer checkpoint
     must carry the native ring audio, write positions, AGC gains, and

@@ -138,6 +138,72 @@ class TestResampler:
             PolyphaseResampler(48000, 22050, 100)
 
 
+class TestResamplerSpecContract:
+    """Quantified filter contract for the mic-rate ingest resampler
+    (round-3 verdict item 6; the reference's rubato FftFixedIn stage,
+    pitchvis_audio/src/audio_wasm.rs:176-209). Thresholds are what the
+    24-tap/phase Blackman-Harris prototype measurably provides; the
+    load-bearing guarantee for THIS pipeline is the last test: the VQT
+    analysis band (<= ~4.2 kHz at default range) sees a flat passband and
+    >= 90 dB rejection of anything that would alias into it."""
+
+    @staticmethod
+    def _tone_level_db(f: float, sr_in: int, sr_out: int = 22050) -> float:
+        t_in = np.arange(sr_in) / sr_in
+        y = resample(np.sin(2 * np.pi * f * t_in).astype(np.float32), sr_in, sr_out)[0]
+        seg = y[len(y) // 4 :]
+        return 20.0 * np.log10(np.sqrt(2.0 * np.mean(seg**2)) + 1e-12)
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_passband_ripple(self, sr_in):
+        # flat within +-0.1 dB up to half the output Nyquist (5512 Hz),
+        # well above the default VQT range top (~4.2 kHz)
+        for f in (55, 110, 440, 1000, 2000, 4186, 5512):
+            assert abs(self._tone_level_db(f, sr_in)) < 0.1, f
+        # -3 dB point is beyond 0.8x output Nyquist
+        assert self._tone_level_db(8820, sr_in) > -3.0
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_stopband_attenuation(self, sr_in):
+        # transition band straddles the output Nyquist; deep stopband by
+        # 1.45x Nyquist and >= 90 dB at the frequencies that would fold
+        # back into the analysis band
+        assert self._tone_level_db(16000, sr_in) < -45.0
+        assert self._tone_level_db(18200, sr_in) < -90.0
+        assert self._tone_level_db(20000, sr_in) < -90.0
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_alias_into_analysis_band_rejected(self, sr_in):
+        """A tone whose fold-back lands INSIDE the VQT range (f_alias =
+        sr_out - f <= 4.2 kHz => f >= 17.85 kHz) must be >= 90 dB down."""
+        sr_out = 22050
+        for f_alias in (1000.0, 3000.0, 4186.0):
+            f = sr_out - f_alias
+            t_in = np.arange(sr_in) / sr_in
+            y = resample(np.sin(2 * np.pi * f * t_in).astype(np.float32), sr_in, sr_out)[0]
+            seg = y[len(y) // 4 :].astype(np.float64)
+            spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+            freqs = np.fft.rfftfreq(len(seg), 1.0 / sr_out)
+            band = spec[np.abs(freqs - f_alias) < 50.0].max()
+            full_scale = len(seg) / 4.0  # hann-windowed unit sine peak
+            assert 20 * np.log10(band / full_scale + 1e-12) < -90.0, f_alias
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_group_delay(self, sr_in):
+        """Measured impulse delay equals the documented closed form within
+        one output sample."""
+        from pitchvis_tpu.ops.resample import PolyphaseResampler, make_spec
+
+        sr_out = 22050
+        spec = make_spec(sr_in, sr_out)
+        rs = PolyphaseResampler(sr_in, sr_out, 50 * spec.m)
+        x = np.zeros(8000, np.float32)  # multiple of m for both rates
+        x[2000] = 1.0
+        y = resample(x, sr_in, sr_out)[0]
+        measured = np.argmax(np.abs(y)) / sr_out - 2000 / sr_in
+        assert abs(measured - rs.delay_secs) < 1.0 / sr_out
+
+
 class TestPipeline:
     def test_step_multi_matches_sequential(self, small_params):
         """K hops via the scanned multi-step equal K sequential steps."""
