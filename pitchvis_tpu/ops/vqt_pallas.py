@@ -178,8 +178,11 @@ _VMEM_RESIDENT_BUDGET = 15 * 1024 * 1024
 # VMEM, and the MXU is indifferent to M=64/128/512 at these K (measured
 # within 1% on the streaming kernel). 64 fits the accounting below at
 # default-class configs; 128 exceeds the limit once block double-buffering
-# is counted (and was measured to OOM the eager compile path).
-_RESIDENT_BATCH_TILE = 64
+# is counted (and was measured to OOM the eager compile path). Tiles are
+# tried largest-first: configs whose weights outgrow the bt=64 budget
+# (e.g. a live rebuild at quality*1.1 -> 13.5 MB bf16) drop to bt=32
+# and stay resident instead of falling off the fast path.
+_RESIDENT_BATCH_TILES = (64, 32)
 
 
 def _vqt_resident_kernel_body(x_ref, *rest, geometry):
@@ -271,11 +274,14 @@ def vqt_power_pallas(
         b_pad = _round_up(b, bt)
     # Resident-weights fast path: shrink the batch tile so the full weight
     # set stays VMEM-resident across the grid (bf16 default-class configs).
-    bt_res = bt if b <= _RESIDENT_BATCH_TILE else min(bt, _RESIDENT_BATCH_TILE)
-    resident = _resident_feasible(arrays, bt_res)
-    if resident:
-        bt = bt_res
-        b_pad = -(-b // bt_res) * bt_res
+    resident = False
+    for tile in _RESIDENT_BATCH_TILES:
+        bt_res = bt if b <= tile else min(bt, tile)
+        if _resident_feasible(arrays, bt_res):
+            resident = True
+            bt = bt_res
+            b_pad = -(-b // bt_res) * bt_res
+            break
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
@@ -309,7 +315,15 @@ def vqt_power_pallas(
         in_specs=[
             pl.BlockSpec((bt, arrays.tail), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pl.ANY) for _ in arrays.weights],
+        # Weights pinned to HBM: with ANY, Mosaic places a weight set that
+        # happens to fit VMEM (e.g. 13.5 MB bf16 after a quality*1.1
+        # rebuild) into scoped VMEM on top of the double-buffered blocks
+        # and the compile dies at 18 MB > 16 MB scoped limit. The kernel
+        # DMAs its own K-tiles; the weights must stay off-chip.
+        + [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+            for _ in arrays.weights
+        ],
         out_specs=pl.BlockSpec((bt, arrays.n_buckets), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, arrays.n_buckets), jnp.float32),
         scratch_shapes=[

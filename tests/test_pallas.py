@@ -147,3 +147,46 @@ class TestSmallWindowGroups:
         want = np.asarray(vqt_db_batch(VqtArrays.from_kernel(kernel), x))
         got = np.asarray(vqt_db_pallas(PallasVqtArrays.from_kernel(kernel), x))
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+class TestRebuiltConfigVmem:
+    """Round-4 chip OOM regression: a live rebuild at quality*1.1 grows the
+    default bf16 weight set to ~13.5 MB, which (a) must drop the resident
+    tile to 32 instead of falling off the resident path, and (b) must never
+    let the streaming kernel's ANY-space weights land in scoped VMEM (the
+    mid-soak rebuild at B=3840 died at 18 MB > 16 MB scoped limit before
+    the weights were pinned to HBM)."""
+
+    def test_rebuilt_quality_tile_selection_and_parity(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pitchvis_tpu.core.config import VqtParameters
+        from pitchvis_tpu.kernel.builder import get_kernel
+        from pitchvis_tpu.ops.vqt import VqtArrays, vqt_db_batch
+        from pitchvis_tpu.ops.vqt_pallas import (
+            PallasVqtArrays,
+            _resident_feasible,
+            vqt_db_pallas,
+        )
+
+        p = VqtParameters()
+        rebuilt = dataclasses.replace(p, quality=p.quality * 1.1)
+        kernel = get_kernel(rebuilt)
+        arrs = PallasVqtArrays.from_kernel(kernel, dtype=jnp.bfloat16)
+        w_mb = sum(int(np.prod(w.shape)) * 2 for w in arrs.weights) / 2**20
+        assert w_mb > 12, "rebuilt config no longer stresses VMEM; pick another"
+        assert not _resident_feasible(arrs, 64)
+        assert _resident_feasible(arrs, 32)
+
+        # numerics at a batch that crosses the tile boundary (interpret mode
+        # on CPU; the real-chip compile at B=3840 is checked in the soak)
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((72, kernel.params.n_fft)) * 0.1).astype(np.float32)
+        f32 = PallasVqtArrays.from_kernel(kernel)
+        want = np.asarray(vqt_db_batch(VqtArrays.from_kernel(kernel), x))
+        np.testing.assert_allclose(
+            np.asarray(vqt_db_pallas(f32, x)), want, atol=2e-3
+        )
