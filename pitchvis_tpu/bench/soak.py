@@ -1,0 +1,250 @@
+"""Sustained capacity soak at claimed scale (round-3 verdict item 5).
+
+docs/PERFORMANCE.md claims ~3,800-3,900 concurrent 60 Hz realtime streams
+per chip on the flagship path; this harness PROVES the sustained version of
+that number and writes the evidence to ``artifacts/SOAK.json``:
+
+* **pipeline leg** — StreamingPipeline(path="pallas", fast=True) at the
+  claimed stream count for several wall-clock minutes, hops micro-batched
+  (``step_multi``), with serving churn running concurrently: a
+  ``reset_stream`` every few seconds and ONE live mid-soak ``rebuild``
+  (parameter change at unchanged bin layout, the debounced-tuner shape).
+  Records the sustained aggregate realtime factor (audio-seconds processed
+  per wall-second, counting every pause the churn causes).
+* **server leg** — the live-ingest stack (StreamServer, native ring bank)
+  at a host-transfer-feasible stream count with concurrent producer
+  threads, pipelined stepping, churn, and one live rebuild for the same
+  duration; records sustained hop rate and p50/p95 hop times.
+
+Run:  python -m pitchvis_tpu.bench.soak [--streams 3840] [--minutes 3] ...
+(also ``python -m pitchvis_tpu.xtask soak``). The driver-facing capacity
+claim lives in docs/DEPLOYMENT.md §2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+def soak_pipeline(
+    n_streams: int = 3840,
+    minutes: float = 3.0,
+    hops_per_call: int = 16,
+    path: str = "pallas",
+    fast: bool = True,
+    reset_every_s: float = 5.0,
+) -> dict:
+    """Device-ring capacity leg. Input chunks are pre-staged on device and
+    rotated (the same amortization the streaming bench and a >realtime
+    deployment use — ingest bandwidth is the server leg's job)."""
+    import jax
+
+    from ..core.config import VqtParameters
+    from ..models.pipeline import StreamingPipeline
+
+    params = VqtParameters()
+    pipe = StreamingPipeline(n_streams, params, path=path, fast=fast)
+    hop = int(params.sr / 60.0)
+    dt_hop = hop / params.sr
+    rng = np.random.default_rng(0)
+    banks = [
+        jax.device_put(
+            (rng.standard_normal((hops_per_call, n_streams, hop)) * 0.05).astype(
+                np.float32
+            )
+        )
+        for _ in range(2)
+    ]
+
+    out = pipe.step_multi(banks[0], dt_hop)  # compile
+    np.asarray(out.x_vqt[-1, 0, 0])  # barrier
+
+    deadline = time.monotonic() + minutes * 60.0
+    rebuild_at = time.monotonic() + minutes * 30.0  # halfway
+    next_reset = time.monotonic() + reset_every_s
+    hops = resets = 0
+    rebuilds = []
+    t_start = time.monotonic()
+    i = 0
+    while time.monotonic() < deadline:
+        out = pipe.step_multi(banks[i % 2], dt_hop)
+        np.asarray(out.x_vqt[-1, 0, 0])  # keep the loop honest (no pile-up)
+        hops += hops_per_call
+        i += 1
+        now = time.monotonic()
+        if now >= next_reset:
+            pipe.reset_stream(int(rng.integers(0, n_streams)))
+            resets += 1
+            next_reset = now + reset_every_s
+        if rebuild_at is not None and now >= rebuild_at:
+            t0 = time.monotonic()
+            pipe.rebuild(dataclasses.replace(params, quality=params.quality * 1.1))
+            rebuilds.append(round(time.monotonic() - t0, 2))
+            rebuild_at = None
+    wall = time.monotonic() - t_start
+    audio_secs = hops * dt_hop * n_streams
+    final = np.asarray(out.x_vqt[-1])
+    return {
+        "leg": "pipeline",
+        "n_streams": n_streams,
+        "path": path,
+        "fast": fast,
+        "wall_s": round(wall, 1),
+        "hops": hops,
+        "resets": resets,
+        "rebuild_wall_s": rebuilds,
+        "aggregate_realtime_factor": round(audio_secs / wall, 1),
+        "streams_sustainable_at_60hz": int(audio_secs / wall),
+        "outputs_finite": bool(np.isfinite(final).all()),
+    }
+
+
+def soak_server(
+    n_streams: int = 1024,
+    minutes: float = 3.0,
+    n_producers: int = 4,
+    path: str = "pallas",
+    fast: bool = True,
+    reset_every_s: float = 5.0,
+) -> dict:
+    """Live-ingest leg: concurrent producers push tones into the native
+    ring bank while the analysis thread runs pipelined steps; churn +
+    one live rebuild happen mid-soak."""
+    import dataclasses as dc
+
+    from ..core.config import VqtParameters
+    from ..runtime.server import StreamServer
+
+    params = VqtParameters()
+    server = StreamServer(
+        n_streams, params, buffer_seconds=2.0, path=path, fast=fast
+    )
+    sr = int(params.sr)
+    stop = threading.Event()
+    writes = [0] * n_producers
+
+    def producer(k: int):
+        """Sweeps its stream range once per 100 ms, pushing 100 ms of tone
+        to every stream — realtime ingest when the host keeps up (the
+        report's ingest_realtime_fraction records whether it did; this VM
+        has one burst-throttled core). Native writes release the GIL."""
+        rng = np.random.default_rng(k)
+        t = np.arange(sr // 10) / sr
+        lo, hi = k * n_streams // n_producers, (k + 1) * n_streams // n_producers
+        chunks = [
+            (0.1 * np.sin(2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t)).astype(np.float32)
+            for s in range(lo, hi)
+        ]
+        while not stop.is_set():
+            t0 = time.monotonic()
+            for s in range(lo, hi):
+                if stop.is_set():
+                    return
+                server.push(s, chunks[s - lo])
+                writes[k] += len(chunks[s - lo])
+            time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
+
+    threads = [threading.Thread(target=producer, args=(k,), daemon=True) for k in range(n_producers)]
+
+    out, _ = server.step(dt=1.0 / 60.0)  # compile
+    np.asarray(out.peaks[0])
+
+    for th in threads:
+        th.start()
+    rng = np.random.default_rng(1)
+    deadline = time.monotonic() + minutes * 60.0
+    rebuild_at = time.monotonic() + minutes * 30.0
+    next_reset = time.monotonic() + reset_every_s
+    steps = resets = 0
+    rebuilds = []
+    times = []
+    t_start = time.monotonic()
+    server.step(pipelined=True, dt=None)  # prime
+    try:
+        while time.monotonic() < deadline:
+            t0 = time.perf_counter()
+            res = server.step(pipelined=True)
+            if res is not None:
+                np.asarray(res[0].peaks[0, 0])
+            times.append(time.perf_counter() - t0)
+            steps += 1
+            now = time.monotonic()
+            if now >= next_reset:
+                server.reset_stream(int(rng.integers(0, n_streams)))
+                resets += 1
+                next_reset = now + reset_every_s
+            if rebuild_at is not None and now >= rebuild_at:
+                t0 = time.monotonic()
+                server.rebuild(dc.replace(params, quality=params.quality * 1.1))
+                rebuilds.append(round(time.monotonic() - t0, 2))
+                rebuild_at = None
+        final = server.flush()
+        finite = bool(np.isfinite(np.asarray(final[0].x_vqt_smoothed)).all())
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=10)
+        server.close()
+    wall = time.monotonic() - t_start
+    times.sort()
+    return {
+        "leg": "server",
+        "n_streams": n_streams,
+        "path": path,
+        "fast": fast,
+        "wall_s": round(wall, 1),
+        "steps": steps,
+        "steps_per_s": round(steps / wall, 2),
+        "hop_p50_ms": round(times[len(times) // 2] * 1e3, 1),
+        "hop_p95_ms": round(times[int(len(times) * 0.95)] * 1e3, 1),
+        "samples_ingested": sum(writes),
+        "ingest_realtime_fraction": round(
+            sum(writes) / (n_streams * sr * wall), 3
+        ),
+        "resets": resets,
+        "rebuild_wall_s": rebuilds,
+        "outputs_finite": finite,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--streams", type=int, default=3840)
+    ap.add_argument("--server-streams", type=int, default=1024)
+    ap.add_argument("--minutes", type=float, default=3.0)
+    ap.add_argument("--out", default="artifacts/SOAK.json")
+    ap.add_argument("--skip-server", action="store_true")
+    ap.add_argument("--skip-pipeline", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    report: dict = {"minutes_per_leg": args.minutes}
+    if not args.skip_pipeline:
+        report["pipeline"] = soak_pipeline(args.streams, args.minutes)
+        print(json.dumps(report["pipeline"]), flush=True)
+    if not args.skip_server:
+        from ..runtime.native import available
+
+        if available():
+            report["server"] = soak_server(args.server_streams, args.minutes)
+            print(json.dumps(report["server"]), flush=True)
+        else:
+            report["server"] = {"skipped": "native library unavailable"}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

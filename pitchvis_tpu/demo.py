@@ -43,6 +43,19 @@ def main(argv=None) -> int:
         "(e.g. `arecord -f FLOAT_LE -r 22050 -c 1 | python -m pitchvis_tpu.demo --serve`)",
     )
     parser.add_argument(
+        "--input-sr",
+        type=int,
+        default=None,
+        help="producer sample rate for --serve (44100/48000 mic feeds are "
+        "resampled to the pipeline rate in the native ingest path)",
+    )
+    parser.add_argument(
+        "--pipelined",
+        action="store_true",
+        help="one-deep dispatch overlap for --serve (outputs lag ingest by "
+        "one hop; the hop never waits on device compute)",
+    )
+    parser.add_argument(
         "--path",
         default="time",
         choices=["time", "freq", "pallas"],
@@ -138,15 +151,25 @@ def serve(args) -> int:
 
     params = SERIAL_VQT_PARAMETERS if args.led else VqtParameters()
     sr = int(params.sr)
-    hop = int(sr / args.fps)
+    input_sr = args.input_sr or sr
+    hop = int(input_sr / args.fps)  # read cadence follows the producer rate
 
     try:
         from .runtime.server import StreamServer
 
         server = StreamServer(1, params, path=args.path, fast=args.fast)
-        push = server.push
-        step = lambda: server.step()[0]
+        push = lambda s, chunk: server.push(s, chunk, sr=input_sr)
+        if args.pipelined:
+            step = lambda: (server.step(pipelined=True) or (None,))[0]
+        else:
+            step = lambda: server.step()[0]
     except RuntimeError:  # no native runtime: device-ring pipeline fallback
+        if input_sr != sr:
+            print(
+                "--input-sr needs the native runtime (make -C native)",
+                file=sys.stderr,
+            )
+            return 2
         from .models.pipeline import StreamingPipeline
 
         pipe = StreamingPipeline(1, params, path=args.path, fast=args.fast)
@@ -167,9 +190,13 @@ def serve(args) -> int:
 
         step = step  # noqa
 
-    driver = RawPipeDriver(sys.stdin.buffer, sr, hop)
+    driver = RawPipeDriver(sys.stdin.buffer, input_sr, hop)
     led_out = open(args.led, "wb") if args.led else None
-    print(f"serving: {sr} Hz, hop {hop} ({args.fps:.0f} fps); ctrl-c to stop", file=sys.stderr)
+    print(
+        f"serving: {input_sr} Hz in -> {sr} Hz, hop {hop} ({args.fps:.0f} fps)"
+        f"{', pipelined' if args.pipelined else ''}; ctrl-c to stop",
+        file=sys.stderr,
+    )
     try:
         while True:
             chunk = driver.read_chunk()
@@ -177,6 +204,8 @@ def serve(args) -> int:
                 break
             push(0, chunk)
             out = step()
+            if out is None:  # pipelined priming hop
+                continue
             peaks = np.asarray(out.peaks[0])
             centers = np.asarray(out.peak_center[0])
             sizes = np.asarray(out.peak_size[0])

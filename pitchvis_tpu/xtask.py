@@ -9,6 +9,10 @@ xtask/src/main.rs:14-39):
     python -m pitchvis_tpu.xtask warm [args]   # precompile serving into the
                                                # persistent compile cache
     python -m pitchvis_tpu.xtask clean         # remove caches/artifacts
+    python -m pitchvis_tpu.xtask train-demo    # one-command realistic-scale
+                                               # training run (train/corpus.py)
+    python -m pitchvis_tpu.xtask soak [args]   # sustained capacity soak with
+                                               # churn + live rebuild
 """
 
 from __future__ import annotations
@@ -142,6 +146,10 @@ def main(argv=None) -> int:
         from .train.corpus import main as corpus_main
 
         return corpus_main(rest)
+    if cmd == "soak":
+        from .bench.soak import main as soak_main
+
+        return soak_main(rest)
     print(f"unknown task {cmd!r}")
     print(__doc__)
     return 2

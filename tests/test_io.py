@@ -291,3 +291,44 @@ class TestCompileCache:
             assert entries, "no cache entry written"
         finally:
             jax.config.update("jax_compilation_cache_dir", None)
+
+
+class TestServeDemo:
+    """`demo --serve` end to end in a subprocess: raw f32 tone on stdin ->
+    native ingest (44.1 kHz resampled) -> pipelined StreamServer -> note
+    summaries on stdout. The live-mic recipe (docs/DEPLOYMENT.md §1) minus
+    the microphone."""
+
+    def test_serve_pipelined_resampled_tone(self):
+        import os
+        import subprocess
+        import sys
+
+        input_sr = 44100
+        t = np.arange(int(input_sr * 1.2)) / input_sr
+        tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pitchvis_tpu.demo",
+                "--serve",
+                "--pipelined",
+                "--input-sr",
+                str(input_sr),
+                "--fps",
+                "30",
+            ],
+            input=tone.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        stdout = proc.stdout.decode()
+        assert "A4" in stdout, f"no A4 detection in serve output:\n{stdout[-2000:]}"
+        assert "serving: 44100 Hz in -> 22050 Hz" in proc.stderr.decode()
