@@ -43,6 +43,19 @@ def main(argv=None) -> int:
         "(e.g. `arecord -f FLOAT_LE -r 22050 -c 1 | python -m pitchvis_tpu.demo --serve`)",
     )
     parser.add_argument(
+        "--alsa",
+        nargs="?",
+        const="default",
+        metavar="DEVICE",
+        help="with --serve: capture in-process from this ALSA device instead "
+        "of stdin (requires libasound; device list: --list-devices)",
+    )
+    parser.add_argument(
+        "--list-devices",
+        action="store_true",
+        help="list available capture drivers/devices and exit",
+    )
+    parser.add_argument(
         "--input-sr",
         type=int,
         default=None,
@@ -67,6 +80,12 @@ def main(argv=None) -> int:
         help="bf16 VQT weights (error budget: tests/test_bf16.py)",
     )
     args = parser.parse_args(argv)
+
+    if args.list_devices:
+        from .io.capture import dump_input_devices
+
+        dump_input_devices(file=sys.stdout)
+        return 0
 
     from .utils.compile_cache import enable_compilation_cache
 
@@ -190,18 +209,34 @@ def serve(args) -> int:
 
         step = step  # noqa
 
-    driver = RawPipeDriver(sys.stdin.buffer, input_sr, hop)
+    if args.alsa:
+        # in-process capture; ALSA soft-resamples any hardware rate to
+        # input_sr device-side, so --input-sr is only needed if you WANT
+        # the native ingest resampler in the loop
+        from .io.alsa import AlsaCaptureDriver
+
+        driver = AlsaCaptureDriver(args.alsa, sr=input_sr, chunk_size=hop)
+        source = f"alsa:{args.alsa}"
+    else:
+        driver = RawPipeDriver(sys.stdin.buffer, input_sr, hop)
+        source = "stdin"
     led_out = open(args.led, "wb") if args.led else None
     print(
-        f"serving: {input_sr} Hz in -> {sr} Hz, hop {hop} ({args.fps:.0f} fps)"
-        f"{', pipelined' if args.pipelined else ''}; ctrl-c to stop",
+        f"serving {source}: {input_sr} Hz in -> {sr} Hz, hop {hop} "
+        f"({args.fps:.0f} fps){', pipelined' if args.pipelined else ''}; "
+        "ctrl-c to stop",
         file=sys.stderr,
     )
+    # stdin serving ends at pipe EOF; a live ALSA device never EOFs, so
+    # --seconds bounds it (<= 0: run until ctrl-c)
+    max_hops = int(args.seconds * args.fps) if args.alsa and args.seconds > 0 else None
+    hops = 0
     try:
-        while True:
+        while max_hops is None or hops < max_hops:
             chunk = driver.read_chunk()
             if chunk is None:
                 break
+            hops += 1
             push(0, chunk)
             out = step()
             if out is None:  # pipelined priming hop

@@ -29,6 +29,15 @@ def dump_input_devices(file=sys.stderr) -> None:
     print("  - WavStreamDriver(path): replay a WAV file", file=file)
     print("  - RawPipeDriver(fileobj, sr): interleaved f32 from a pipe", file=file)
     print("    e.g. arecord -f FLOAT_LE -r 22050 -c 1 | python -m ...", file=file)
+    from .alsa import available, list_input_devices
+
+    if available():
+        print("  - AlsaCaptureDriver(device): in-process ALSA capture from:", file=file)
+        for dev in list_input_devices():
+            desc = dev.get("DESC", "").replace("\n", " — ")
+            print(f"      {dev['NAME']}: {desc}", file=file)
+    else:
+        print("  - AlsaCaptureDriver: unavailable (no libasound on this host)", file=file)
 
 
 class WavStreamDriver:
