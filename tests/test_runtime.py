@@ -649,3 +649,96 @@ class TestPipelineCheckpoint:
         np.testing.assert_allclose(
             np.asarray(state.balls.center), np.asarray(pipe.state.balls.center)
         )
+
+
+class TestDispatchOptimizations:
+    """Round-4 serving-hop rewrite: one fused jit per hop, tail-only
+    snapshot on the pallas path, host-side bf16 cast in fast mode, and the
+    reset-during-flight re-application that replaces the old two-dispatch
+    state re-read."""
+
+    def test_snapshot_length_follows_path(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        time_srv = StreamServer(1, small_params, buffer_seconds=1.0, path="time")
+        pallas_srv = StreamServer(1, small_params, buffer_seconds=1.0, path="pallas")
+        try:
+            assert time_srv._snap_len == small_params.n_fft
+            assert pallas_srv._snap_len == pallas_srv.arrays.tail
+            assert pallas_srv._snap_len <= small_params.n_fft
+            assert time_srv._host_dtype is None  # f32 path ships f32
+        finally:
+            time_srv.close()
+            pallas_srv.close()
+
+    def test_fast_mode_host_cast_matches_device_cast(self, small_params):
+        """Host-side bf16 cast before the transfer must be bit-identical to
+        the kernel's own device-side cast (both round-to-nearest-even)."""
+        import ml_dtypes
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        srv = StreamServer(1, small_params, buffer_seconds=1.0, path="pallas", fast=True)
+        try:
+            assert srv._host_dtype is ml_dtypes.bfloat16
+            srv.push(0, tone)
+            # device-side reference: disable the host cast, same snapshot
+            srv._last_step = None
+            windows, _ = srv.rings.snapshot(srv._snap_len)
+            import jax
+
+            want = srv._step_fn(
+                srv.arrays, srv.analysis_state, jax.device_put(windows), 1.0 / 60.0
+            )[1]
+            got, _ = srv.step(dt=1.0 / 60.0)
+            np.testing.assert_array_equal(
+                np.asarray(got.x_vqt_smoothed), np.asarray(want.x_vqt_smoothed)
+            )
+        finally:
+            srv.close()
+
+    def test_reset_landing_mid_flight_is_preserved(self, small_params):
+        """A reset_stream that lands between the fused dispatch's state
+        capture and its write-back must not be overwritten by the step's
+        result (the old client's EMA carries would leak into the recycled
+        slot)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+        srv = StreamServer(2, small_params, buffer_seconds=1.0)
+        try:
+            srv.push(0, tone)
+            srv.push(1, tone)
+            for _ in range(3):
+                srv.step(dt=1.0 / 60.0)
+            assert np.abs(np.asarray(srv.analysis_state.x_vqt_smoothed[0])).max() > 0
+
+            real_fn = srv._step_fn
+
+            def racing_fn(arrays, state, x, dt):
+                # fires after the capture, before the write-back — the
+                # tightest possible race window
+                srv.reset_stream(0)
+                return real_fn(arrays, state, x, dt)
+
+            srv._step_fn = racing_fn
+            try:
+                srv.step(dt=1.0 / 60.0)
+            finally:
+                srv._step_fn = real_fn
+            # slot 0 ends the hop freshly reset; slot 1 kept its carries
+            assert np.abs(np.asarray(srv.analysis_state.x_vqt_smoothed[0])).max() == 0
+            assert np.abs(np.asarray(srv.analysis_state.x_vqt_smoothed[1])).max() > 0
+            # and the next ordinary hop repopulates slot 0 from live audio
+            srv.push(0, tone)
+            out, _ = srv.step(dt=1.0 / 60.0)
+            assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+        finally:
+            srv.close()
