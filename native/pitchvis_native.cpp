@@ -41,8 +41,12 @@ struct StreamRing {
   // control plane's reset read/write it concurrently with ingest (a plain
   // float would be a formal data race)
   std::atomic<float> gain;
+  // delta-ingest read cursor (total samples ever consumed): owned by the
+  // single analysis thread, atomic because the control plane's reset and
+  // mark_consumed touch it concurrently
+  std::atomic<uint64_t> consumed;
 
-  StreamRing() : head(0), gain(1.0f) {}
+  StreamRing() : head(0), gain(1.0f), consumed(0) {}
 };
 
 struct RingBank {
@@ -134,6 +138,61 @@ void pv_rb_snapshot(void* handle, float* out, float* gains, int64_t window) {
   }
 }
 
+// Delta-ingest consumer side (runtime/server.py ingest="delta"): reads the
+// next `n` UNCONSUMED samples of every stream, all-or-nothing per stream —
+// a stream with fewer than n unread samples is left untouched (its row is
+// zeroed and advanced[s]=0), so an underrunning producer freezes its
+// device-side window exactly like the snapshot path's stalled trailing
+// window. Backlogs beyond `max_lag` samples are skipped (read cursor jumps
+// to head - max_lag: realtime skip-ahead, bounded latency). A ring reset
+// (head restarting at 0) is detected via head < consumed and rewinds the
+// cursor. Returns the number of advanced streams, so a caller draining
+// catch-up hops can stop as soon as nothing moved.
+int64_t pv_rb_consume(void* handle, float* out, float* gains, uint8_t* advanced,
+                      int64_t n, int64_t max_lag) {
+  auto* bank = static_cast<RingBank*>(handle);
+  const int64_t cap = bank->capacity;
+  const int64_t n_streams = (int64_t)bank->rings.size();
+  if (max_lag < 0 || max_lag > cap) max_lag = cap;
+  int64_t moved = 0;
+  for (int64_t s = 0; s < n_streams; ++s) {
+    StreamRing& r = *bank->rings[s];
+    const uint64_t head = r.head.load(std::memory_order_acquire);
+    uint64_t pos = r.consumed.load(std::memory_order_relaxed);
+    if (head < pos) pos = 0;  // ring was reset since the last consume
+    uint64_t avail = head - pos;
+    if (avail > (uint64_t)max_lag) {  // skip-ahead: drop the stale middle
+      pos = head - (uint64_t)max_lag;
+      avail = (uint64_t)max_lag;
+    }
+    float* dst = out + s * n;
+    if (avail >= (uint64_t)n) {
+      for (int64_t i = 0; i < n; ++i) dst[i] = r.buf[(pos + i) % cap];
+      pos += (uint64_t)n;
+      advanced[s] = 1;
+      ++moved;
+    } else {
+      std::memset(dst, 0, n * sizeof(float));  // deterministic, never selected
+      advanced[s] = 0;
+    }
+    r.consumed.store(pos, std::memory_order_relaxed);
+    if (gains) gains[s] = r.gain.load(std::memory_order_relaxed);
+  }
+  return moved;
+}
+
+// Aligns every stream's read cursor with its write head — called right
+// after the delta path (re)materializes its device window from a full
+// snapshot (init / rebuild / checkpoint restore), so subsequent consumes
+// deliver only samples newer than that window.
+void pv_rb_mark_consumed(void* handle) {
+  auto* bank = static_cast<RingBank*>(handle);
+  for (auto& rp : bank->rings) {
+    rp->consumed.store(rp->head.load(std::memory_order_acquire),
+                       std::memory_order_relaxed);
+  }
+}
+
 // Control plane: recycle one stream slot for a NEW stream (serving churn —
 // a client disconnects and another takes its slot). Zeroes the audio, the
 // write position, and the AGC gain. Caller contract: the slot's previous
@@ -150,6 +209,7 @@ void pv_rb_reset(void* handle, int64_t stream) {
   r.head.store(0, std::memory_order_release);
   std::fill(r.buf.begin(), r.buf.end(), 0.0f);
   r.gain.store(1.0f, std::memory_order_relaxed);
+  r.consumed.store(0, std::memory_order_relaxed);
 }
 
 double pv_rb_gain(void* handle, int64_t stream) {

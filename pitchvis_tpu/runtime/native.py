@@ -53,6 +53,12 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
     ]
+    lib.pv_rb_consume.restype = ctypes.c_int64
+    lib.pv_rb_consume.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.pv_rb_mark_consumed.argtypes = [ctypes.c_void_p]
     lib.pv_rb_gain.restype = ctypes.c_double
     lib.pv_rb_gain.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pv_rb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -189,6 +195,27 @@ class NativeRingBank:
         gains = np.empty(self.n_streams, np.float32)
         self._lib.pv_rb_snapshot(self._handle, _fptr(out), _fptr(gains), window)
         return out, gains
+
+    def consume(self, n: int, max_lag: int = -1) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Delta-ingest read: the next `n` unconsumed samples per stream ->
+        ((B, n) chunks, gains[B], advanced[B] bool). All-or-nothing per
+        stream: a row with fewer than n unread samples stays put (zeros,
+        advanced=False) so its device window freezes like a stalled
+        snapshot. Backlogs beyond `max_lag` samples (-1 = ring capacity)
+        are skipped realtime-style."""
+        out = np.empty((self.n_streams, n), np.float32)
+        gains = np.empty(self.n_streams, np.float32)
+        adv = np.empty(self.n_streams, np.uint8)
+        self._lib.pv_rb_consume(
+            self._handle, _fptr(out), _fptr(gains),
+            adv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, max_lag,
+        )
+        return out, gains, adv.astype(bool)
+
+    def mark_consumed(self) -> None:
+        """Aligns every read cursor with its write head — call right after
+        materializing a full-window snapshot so consume() continues from it."""
+        self._lib.pv_rb_mark_consumed(self._handle)
 
     def gain(self, stream: int) -> float:
         return float(self._lib.pv_rb_gain(self._handle, stream))

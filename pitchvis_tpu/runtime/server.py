@@ -40,19 +40,47 @@ class StreamServer:
         buffer_seconds: float = 4.0,
         path: str = "time",
         fast: bool = False,
+        ingest: str = "delta",
+        hop_seconds: float = 1.0 / 60.0,
+        max_lag_seconds: float = 0.25,
+        max_catchup_hops: int = 1,
     ):
         """``path="pallas"`` serves the fused Pallas VQT kernel (the repo's
         fastest); ``fast=True`` additionally stores the weights in bf16
         (error budget: tests/test_bf16.py). Reference analog: the viewer's
-        one VQT in its frame loop (pitchvis_viewer/src/vqt_system.rs:40-68)."""
+        one VQT in its frame loop (pitchvis_viewer/src/vqt_system.rs:40-68).
+
+        ``ingest`` picks how audio reaches the device each hop:
+
+        * ``"delta"`` (default) — the rolling analysis window lives ON the
+          device; each hop ships only the newly ingested ``hop_seconds`` of
+          samples per stream (~50x fewer bytes than re-shipping the window,
+          which measured as THE hop cost: 16 MB ring copy + 8 MB tunnel
+          send per hop at B=512 vs ~0.8 MB total here). Underrunning
+          producers freeze their window (all-or-nothing consume — same
+          stall a trailing snapshot gives them); backlogs drain via up to
+          ``max_catchup_hops`` extra fused hops per step and are skipped
+          realtime-style beyond ``max_lag_seconds``. The window is
+          (re)materialized from the full ring on the first step and after
+          rebuild()/restore, so push-then-serve warmups see all audio.
+        * ``"snapshot"`` — re-ship the trailing window every hop (simplest
+          data path; kept for parity tests and one-shot analyses).
+        """
         if not native_available():
             raise RuntimeError(
                 "native runtime unavailable — use models.pipeline.StreamingPipeline"
             )
+        if ingest not in ("delta", "snapshot"):
+            raise ValueError(f"ingest must be 'delta' or 'snapshot', got {ingest!r}")
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
         self.fast = fast
+        self.ingest = ingest
+        self._hop = max(1, int(self.vqt_params.sr * hop_seconds))
+        self._max_lag = max(self._hop, int(self.vqt_params.sr * max_lag_seconds))
+        self._max_catchup = max(0, int(max_catchup_hops))
+        self._window = None  # device-resident rolling window (delta mode)
         self.kernel = get_kernel(self.vqt_params)
         self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
         capacity = max(int(round(self.vqt_params.sr * buffer_seconds)), self.vqt_params.n_fft)
@@ -107,6 +135,26 @@ class StreamServer:
 
         self._step_fn = jax.jit(fused)
         self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
+
+        import jax.numpy as jnp
+
+        snap_len = self._snap_len
+
+        def fused_delta(arrays, state, window, chunk, advanced, dt):
+            # roll the device-resident window by one hop; streams whose
+            # producer underran keep their old window (freeze == the stall a
+            # trailing snapshot would give them)
+            hop = chunk.shape[1]
+            if hop >= snap_len:
+                rolled = chunk[:, -snap_len:]
+            else:
+                rolled = jnp.concatenate([window[:, hop:], chunk], axis=1)
+            window = jnp.where(advanced[:, None], rolled, window)
+            x_vqt = vqt_db_auto(arrays, window, path=path)
+            new_state, outputs = analysis_step_batch(aparams, rng, state, x_vqt, dt)
+            return new_state, window, outputs
+
+        self._delta_fn = jax.jit(fused_delta)
         self._host_dtype = None
         if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
             import ml_dtypes
@@ -161,6 +209,10 @@ class StreamServer:
             # the fresh row shape-mismatched and lose the reset
             fresh = init_state_batch(1, self.vqt_params.n_buckets)
             self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
+            if self._window is not None:
+                # the recycled slot's device window still holds the OLD
+                # client's audio (delta mode never re-ships it)
+                self._window = self._window.at[stream].set(0)
             self._resets_in_flight.add(int(stream))
 
     def rebuild(self, vqt_params: VqtParameters) -> None:
@@ -187,6 +239,10 @@ class StreamServer:
                     self.n_streams, vqt_params.n_buckets
                 )
             self._refresh_dispatch()
+            # the window length (tail/n_fft) may have changed; the delta
+            # path re-materializes it from the ring on the next step (the
+            # ring keeps the raw audio, so nothing is lost)
+            self._window = None
 
     # -- compute side (analysis thread) --------------------------------------
     def _dispatch(self, dt: float | None):
@@ -202,6 +258,8 @@ class StreamServer:
         if dt is None:
             dt = 1.0 / 60.0 if self._last_step is None else max(now - self._last_step, 1e-4)
         self._last_step = now
+        if self.ingest == "delta":
+            return self._dispatch_delta(dt)
 
         for _ in range(3):  # retried only if a rebuild lands mid-step
             with self._state_lock:
@@ -228,6 +286,60 @@ class StreamServer:
                     fresh = init_state_batch(1, params.n_buckets)
                     new_state = reset_state_row(new_state, fresh, s)
                 self.analysis_state = new_state
+            return outputs, gains
+        raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
+
+    def _dispatch_delta(self, dt: float):
+        """Delta-ingest hop: consume the newly pushed `hop` samples per
+        stream and roll the device-resident window, instead of re-shipping
+        the whole trailing window. Host+transfer bytes drop ~50x (the
+        measured hop cost at B=512: 16 MB ring copy + 8 MB tunnel send per
+        hop -> ~0.8 MB). Race rules match the snapshot dispatch; the window
+        carry follows the same capture/write-back discipline as
+        analysis_state, and is re-materialized from the ring whenever it is
+        invalid (first step, post-rebuild, post-restore)."""
+        hop_dt = self._hop / self.vqt_params.sr
+        for _ in range(3):  # retried only if a rebuild lands mid-step
+            with self._state_lock:
+                arrays, params = self.arrays, self.vqt_params
+                state = self.analysis_state
+                fn, snap_len, host_dtype = (
+                    self._delta_fn, self._snap_len, self._host_dtype,
+                )
+                window = self._window
+                self._resets_in_flight.clear()
+            if window is None or window.shape[1] != snap_len:
+                w, _ = self.rings.snapshot(snap_len)
+                if host_dtype is not None:
+                    w = w.astype(host_dtype)
+                window = jax.device_put(w)
+                self.rings.mark_consumed()
+            new_state, new_window = state, window
+            outputs = gains = None
+            for k in range(1 + self._max_catchup):
+                chunks, g, adv = self.rings.consume(self._hop, self._max_lag)
+                if k > 0 and not adv.any():
+                    break  # backlog drained; nothing would advance
+                if host_dtype is not None:
+                    chunks = chunks.astype(host_dtype)
+                # hop 0 advances EMAs by the caller's wall-clock dt (streams
+                # that underran still decay, like a stalled snapshot);
+                # catch-up hops represent exactly hop/sr seconds of audio
+                new_state, new_window, outputs = fn(
+                    arrays, new_state, new_window,
+                    jax.device_put(chunks), jax.device_put(adv),
+                    dt if k == 0 else hop_dt,
+                )
+                gains = g
+            with self._state_lock:
+                if self.vqt_params is not params:
+                    continue  # rebuilt mid-step: recompute under the new set
+                for s in self._resets_in_flight:
+                    fresh = init_state_batch(1, params.n_buckets)
+                    new_state = reset_state_row(new_state, fresh, s)
+                    new_window = new_window.at[s].set(0)
+                self.analysis_state = new_state
+                self._window = new_window
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 

@@ -383,7 +383,14 @@ class TestStreamServerSoak:
         from pitchvis_tpu.runtime.server import StreamServer
 
         n_streams = 1024
-        server = StreamServer(n_streams, small_params, buffer_seconds=0.5)
+        # max_catchup_hops=0: this soak's producers overrun permanently, so
+        # the default catch-up hop would double the dispatches per step —
+        # noise this 1-core burst-throttled CPU harness can't afford inside
+        # the step-rate assertion. The real-chip soak (bench/soak.py) runs
+        # the default delta config.
+        server = StreamServer(
+            n_streams, small_params, buffer_seconds=0.5, max_catchup_hops=0
+        )
         cap = server.rings.capacity
         stop = threading.Event()
         writes = [0] * 4
@@ -712,7 +719,7 @@ class TestDispatchOptimizations:
         t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
         tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
 
-        srv = StreamServer(2, small_params, buffer_seconds=1.0)
+        srv = StreamServer(2, small_params, buffer_seconds=1.0, ingest="snapshot")
         try:
             srv.push(0, tone)
             srv.push(1, tone)
@@ -740,5 +747,234 @@ class TestDispatchOptimizations:
             srv.push(0, tone)
             out, _ = srv.step(dt=1.0 / 60.0)
             assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+        finally:
+            srv.close()
+
+
+class TestDeltaIngest:
+    """ingest="delta" (the round-4 hop-cost rewrite): the rolling window
+    lives on the device and each hop ships only the newly ingested samples
+    — measured 6.4x cheaper per hop than re-shipping the window (287 ms ->
+    44.5 ms p50 at B=512 on the real chip, at the per-call transport
+    floor; docs/PERFORMANCE.md)."""
+
+    def _tone(self, p, seconds=0.8):
+        f = p.range.min_freq * 2.0 ** (30.0 / p.range.buckets_per_octave)
+        t = np.arange(int(p.sr * seconds)) / p.sr
+        return (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32), f
+
+    def test_native_consume_semantics(self):
+        """Cursors, all-or-nothing underrun, max_lag skip-ahead, reset
+        detection, mark_consumed."""
+        from pitchvis_tpu.runtime.native import NativeRingBank
+
+        bank = NativeRingBank(3, 1000)
+        try:
+            bank.write(0, np.arange(1, 11, dtype=np.float32), agc=False)
+            bank.write(1, np.arange(1, 6, dtype=np.float32), agc=False)
+            chunks, _, adv = bank.consume(8)
+            assert adv.tolist() == [True, False, False]
+            np.testing.assert_array_equal(chunks[0], np.arange(1, 9, dtype=np.float32))
+            assert not chunks[1].any()  # underrun rows are deterministic zeros
+            # the starved stream's cursor did NOT advance: completing its
+            # chunk delivers from the beginning
+            bank.write(1, np.arange(6, 11, dtype=np.float32), agc=False)
+            chunks, _, adv = bank.consume(8)
+            assert adv.tolist() == [False, True, False]
+            np.testing.assert_array_equal(chunks[1], np.arange(1, 9, dtype=np.float32))
+            # reset rewinds the cursor (head restarts below it)
+            bank.reset(0)
+            bank.write(0, np.full(8, 7.0, np.float32), agc=False)
+            chunks, _, adv = bank.consume(8)
+            assert adv[0] and (chunks[0] == 7.0).all()
+            # backlog beyond max_lag is skipped realtime-style
+            bank.write(2, np.arange(100, dtype=np.float32), agc=False)
+            chunks, _, adv = bank.consume(8, max_lag=16)
+            assert adv[2]
+            np.testing.assert_array_equal(chunks[2], np.arange(84, 92, dtype=np.float32))
+            # mark_consumed aligns cursors with heads
+            bank.write(2, np.arange(50, dtype=np.float32), agc=False)
+            bank.mark_consumed()
+            _, _, adv = bank.consume(8)
+            assert not adv.any()
+        finally:
+            bank.close()
+
+    def test_push_then_step_matches_snapshot_exactly(self, small_params):
+        """The first delta step materializes the full window from the ring,
+        so the push-then-serve warmup pattern is bit-identical to snapshot
+        mode (and to the pre-rewrite server)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, _ = self._tone(small_params)
+        outs = {}
+        for ingest in ("snapshot", "delta"):
+            srv = StreamServer(2, small_params, buffer_seconds=1.0, ingest=ingest)
+            try:
+                srv.push(0, tone)
+                for _ in range(3):
+                    out, gains = srv.step(dt=1.0 / 60.0)
+                outs[ingest] = (out, gains)
+            finally:
+                srv.close()
+        np.testing.assert_array_equal(
+            np.asarray(outs["delta"][0].x_vqt_smoothed),
+            np.asarray(outs["snapshot"][0].x_vqt_smoothed),
+        )
+        np.testing.assert_array_equal(outs["delta"][1], outs["snapshot"][1])
+
+    def test_rate_matched_streaming_matches_snapshot_exactly(self, small_params):
+        """Hop-sized pushes between steps: the rolled device window must
+        equal the re-shipped trailing window bit-for-bit, INCLUDING a
+        stream whose producer stops mid-serving (freeze-on-underrun ==
+        the snapshot's stalled trailing window)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        tt = np.arange(hop) / sr
+
+        servers = {
+            ingest: StreamServer(2, small_params, buffer_seconds=1.0, ingest=ingest)
+            for ingest in ("snapshot", "delta")
+        }
+        try:
+            for srv in servers.values():
+                srv.push(0, tone)
+                srv.push(1, tone)
+            phase = len(tone) / sr
+            for i in range(10):
+                chunk = (0.1 * np.sin(2 * np.pi * f * (tt + phase))).astype(np.float32)
+                phase += hop / sr
+                for srv in servers.values():
+                    srv.push(0, chunk)
+                    if i < 5:  # stream 1's producer dies at i=5
+                        srv.push(1, chunk)
+                outs = {k: srv.step(dt=1.0 / 60.0) for k, srv in servers.items()}
+                np.testing.assert_array_equal(
+                    np.asarray(outs["delta"][0].x_vqt_smoothed),
+                    np.asarray(outs["snapshot"][0].x_vqt_smoothed),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(outs["delta"][0].peaks),
+                    np.asarray(outs["snapshot"][0].peaks),
+                )
+        finally:
+            for srv in servers.values():
+                srv.close()
+
+    def test_burst_drains_via_catchup_hops(self, small_params):
+        """A producer that delivers several hops at once (bursty transport)
+        is drained by catch-up hops; the window ends at the same audio
+        position the snapshot path would see."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        srv = StreamServer(1, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            srv.push(0, tone)
+            srv.step(dt=1.0 / 60.0)  # materialize
+            start = srv.rings.written(0)
+            tt = np.arange(2 * hop) / sr
+            burst = (0.1 * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+            srv.push(0, burst)  # two hops at once
+            srv.step(dt=1.0 / 60.0)  # consumes hop + one catch-up hop
+            # backlog fully drained: the next consume would not advance
+            _, _, adv = srv.rings.consume(hop, srv._max_lag)
+            assert not adv.any()
+            assert srv.rings.written(0) == start + 2 * hop
+        finally:
+            srv.close()
+
+    def test_reset_zeroes_device_window(self, small_params):
+        """reset_stream must clear the recycled slot's device-resident
+        window (delta never re-ships old audio, so a stale row would keep
+        emitting the previous client's peaks)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, _ = self._tone(small_params)
+        srv = StreamServer(2, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            srv.push(0, tone)
+            srv.push(1, tone)
+            for _ in range(3):
+                out, _ = srv.step(dt=1.0 / 60.0)
+            assert np.asarray(out.peaks[1]).any()
+            srv.reset_stream(1)
+            out, _ = srv.step(dt=1.0 / 60.0)
+            assert not np.asarray(out.peaks[1]).any()  # silenced immediately
+            assert np.asarray(out.peaks[0]).any()  # neighbor untouched
+        finally:
+            srv.close()
+
+    def test_rebuild_rematerializes_window(self, small_params):
+        """A live rebuild invalidates the device window; the next step
+        rebuilds it from the (parameter-independent) ring audio and keeps
+        matching the snapshot path exactly."""
+        from dataclasses import replace
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        tt = np.arange(hop) / sr
+        retuned = replace(small_params, quality=small_params.quality * 1.3)
+
+        servers = {
+            ingest: StreamServer(1, small_params, buffer_seconds=1.0, ingest=ingest)
+            for ingest in ("snapshot", "delta")
+        }
+        try:
+            phase = 0.0
+            for srv in servers.values():
+                srv.push(0, tone)
+                srv.step(dt=1.0 / 60.0)
+                srv.rebuild(retuned)
+            phase = len(tone) / sr
+            for _ in range(3):
+                chunk = (0.1 * np.sin(2 * np.pi * f * (tt + phase))).astype(np.float32)
+                phase += hop / sr
+                for srv in servers.values():
+                    srv.push(0, chunk)
+                outs = {k: srv.step(dt=1.0 / 60.0) for k, srv in servers.items()}
+            np.testing.assert_array_equal(
+                np.asarray(outs["delta"][0].x_vqt_smoothed),
+                np.asarray(outs["snapshot"][0].x_vqt_smoothed),
+            )
+        finally:
+            for srv in servers.values():
+                srv.close()
+
+    def test_reset_landing_mid_flight_zeroes_window_row(self, small_params):
+        """The delta twin of the snapshot-path race test: a reset_stream
+        between the dispatch's capture and write-back must zero BOTH the
+        analysis row and the device window row of the recycled slot."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, _ = self._tone(small_params)
+        srv = StreamServer(2, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            srv.push(0, tone)
+            srv.push(1, tone)
+            for _ in range(3):
+                srv.step(dt=1.0 / 60.0)
+            real_fn = srv._delta_fn
+
+            def racing_fn(arrays, state, window, chunk, advanced, dt):
+                srv.reset_stream(0)  # lands after the capture
+                return real_fn(arrays, state, window, chunk, advanced, dt)
+
+            srv._delta_fn = racing_fn
+            try:
+                srv.step(dt=1.0 / 60.0)
+            finally:
+                srv._delta_fn = real_fn
+            assert np.abs(np.asarray(srv.analysis_state.x_vqt_smoothed[0])).max() == 0
+            assert np.abs(np.asarray(srv._window[0]).astype(np.float32)).max() == 0
+            assert np.abs(np.asarray(srv.analysis_state.x_vqt_smoothed[1])).max() > 0
         finally:
             srv.close()
