@@ -140,7 +140,7 @@ class StreamServer:
 
         snap_len = self._snap_len
 
-        def fused_delta(arrays, state, window, chunk, advanced, dt):
+        def roll_window(window, chunk, advanced):
             # roll the device-resident window by one hop; streams whose
             # producer underran keep their old window (freeze == the stall a
             # trailing snapshot would give them)
@@ -149,12 +149,35 @@ class StreamServer:
                 rolled = chunk[:, -snap_len:]
             else:
                 rolled = jnp.concatenate([window[:, hop:], chunk], axis=1)
-            window = jnp.where(advanced[:, None], rolled, window)
+            return jnp.where(advanced[:, None], rolled, window)
+
+        def fused_delta(arrays, state, window, chunk, advanced, dt):
+            window = roll_window(window, chunk, advanced)
             x_vqt = vqt_db_auto(arrays, window, path=path)
             new_state, outputs = analysis_step_batch(aparams, rng, state, x_vqt, dt)
             return new_state, window, outputs
 
+        def fused_delta_multi(arrays, state, window, chunks, advs, dt_hop):
+            # K hops in one dispatch (lax.scan over the hop axis) — the
+            # throughput twin of models.pipeline.pipeline_step_multi, fed by
+            # the native ingest rings. Only the LAST hop's outputs are
+            # returned (intermediate pure outputs are dead code for the
+            # caller and get DCE'd), so fetch bytes stay flat in K.
+            def body(carry, inp):
+                state, window = carry
+                chunk, adv = inp
+                window = roll_window(window, chunk, adv)
+                x_vqt = vqt_db_auto(arrays, window, path=path)
+                state, _ = analysis_step_batch(aparams, rng, state, x_vqt, dt_hop)
+                return (state, window), None
+
+            (state, window), _ = jax.lax.scan(
+                body, (state, window), (chunks[:-1], advs[:-1])
+            )
+            return fused_delta(arrays, state, window, chunks[-1], advs[-1], dt_hop)
+
         self._delta_fn = jax.jit(fused_delta)
+        self._delta_multi_fn = jax.jit(fused_delta_multi)
         self._host_dtype = None
         if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
             import ml_dtypes
@@ -342,6 +365,59 @@ class StreamServer:
                 self._window = new_window
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
+
+    def step_multi(self, k: int, dt: float | None = None):
+        """``k`` hops in ONE fused dispatch (lax.scan over the hop axis) —
+        the ingest-fed twin of ``pipeline_step_multi``: amortizes the
+        per-dispatch transport round-trip for throughput deployments
+        (>realtime catch-up, offline drains, batch re-analysis of buffered
+        audio). Returns the LAST hop's (outputs, gains); every hop advances
+        analysis time by hop/sr (the audio clock — ``dt`` only overrides
+        that pacing). Requires ingest="delta". Race rules match step()."""
+        if self.ingest != "delta":
+            raise RuntimeError("step_multi requires ingest='delta'")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        hop_dt = (self._hop / self.vqt_params.sr) if dt is None else dt
+        self._last_step = time.monotonic()
+        for _ in range(3):  # retried only if a rebuild lands mid-step
+            with self._state_lock:
+                arrays, params = self.arrays, self.vqt_params
+                state = self.analysis_state
+                fn, snap_len, host_dtype = (
+                    self._delta_multi_fn, self._snap_len, self._host_dtype,
+                )
+                window = self._window
+                self._resets_in_flight.clear()
+            if window is None or window.shape[1] != snap_len:
+                w, _ = self.rings.snapshot(snap_len)
+                if host_dtype is not None:
+                    w = w.astype(host_dtype)
+                window = jax.device_put(w)
+                self.rings.mark_consumed()
+            chunks = np.empty((k, self.n_streams, self._hop), np.float32)
+            advs = np.empty((k, self.n_streams), bool)
+            gains = None
+            for i in range(k):
+                chunks[i], gains, advs[i] = self.rings.consume(
+                    self._hop, self._max_lag
+                )
+            staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
+            new_state, new_window, outputs = fn(
+                arrays, state, window,
+                jax.device_put(staged), jax.device_put(advs), hop_dt,
+            )
+            with self._state_lock:
+                if self.vqt_params is not params:
+                    continue  # rebuilt mid-step: recompute under the new set
+                for s in self._resets_in_flight:
+                    fresh = init_state_batch(1, params.n_buckets)
+                    new_state = reset_state_row(new_state, fresh, s)
+                    new_window = new_window.at[s].set(0)
+                self.analysis_state = new_state
+                self._window = new_window
+            return outputs, gains
+        raise RuntimeError("rebuild storm: step_multi() could not complete")
 
     def step(self, pipelined: bool = False, dt: float | None = None):
         """One analysis update over all streams. Returns (outputs, gains).
