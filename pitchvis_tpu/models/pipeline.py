@@ -173,12 +173,44 @@ def pipeline_step(
         analysis_params, vqt_params.range, state.analysis, x_vqt, dt_b
     )
 
-    new_ml = state.ml
+    new_ml, ml_midi, led, new_balls, viewer = derived_stages(
+        vqt_params.range, outputs, dt_b,
+        ml_model=ml_model, ml_params=ml_params, ml_state=state.ml,
+        with_led=with_led, balls_state=state.balls, with_viewer=with_viewer,
+    )
+
+    return (
+        PipelineState(ring=ring, analysis=new_analysis, ml=new_ml, balls=new_balls),
+        PipelineOutputs(
+            x_vqt=x_vqt, gain=ring.gain, analysis=outputs, ml_midi=ml_midi,
+            led=led, viewer=viewer,
+        ),
+    )
+
+
+def derived_stages(
+    rng_cfg,
+    outputs: AnalysisOutputs,
+    dt_b,
+    *,
+    ml_model=None,
+    ml_params=None,
+    ml_state: MlState | None = None,
+    with_led: bool = False,
+    balls_state=None,
+    with_viewer: bool = False,
+):
+    """Post-analysis output stages shared by pipeline_step and the ingest-fed
+    StreamServer: fused ML inference (rolling smoothed-VQT history,
+    ml_system.rs:24-38), the LED color block (io/led.py), and every
+    display-derived quantity of update_display (models/viewer.py). Returns
+    (new_ml_state, ml_midi, led, new_balls_state, viewer); disabled stages
+    pass their state through and emit None."""
+    new_ml = ml_state
     ml_midi = None
     if ml_model is not None:
-        # fused ML stage (ml_system.rs:24-38): rolling smoothed-VQT history
         new_ml, ml_midi = ml_step_batch(
-            ml_model, ml_params, state.ml, outputs.x_vqt_smoothed
+            ml_model, ml_params, ml_state, outputs.x_vqt_smoothed
         )
 
     led = None
@@ -186,10 +218,10 @@ def pipeline_step(
         from ..io.led import led_frame_values
 
         led = jax.vmap(
-            lambda m, c, s: led_frame_values(vqt_params.range, m, c, s)
+            lambda m, c, s: led_frame_values(rng_cfg, m, c, s)
         )(outputs.peaks, outputs.peak_center, outputs.peak_size)
 
-    new_balls = state.balls
+    new_balls = balls_state
     viewer = None
     if with_viewer:
         from .viewer import (
@@ -201,13 +233,12 @@ def pipeline_step(
             update_balls,
         )
 
-        rng_cfg = vqt_params.range
         new_balls, ball_out = jax.vmap(
             lambda bs, p, c, s, cal, acc, dev, d: update_balls(
                 rng_cfg, bs, p, c, s, cal, acc, dev, d
             )
         )(
-            state.balls, outputs.peaks, outputs.peak_center, outputs.peak_size,
+            balls_state, outputs.peaks, outputs.peak_center, outputs.peak_size,
             outputs.calmness, outputs.pitch_accuracy, outputs.pitch_deviation,
             dt_b,
         )
@@ -226,13 +257,7 @@ def pipeline_step(
             calmness_histogram=jax.vmap(calmness_histogram)(outputs.calmness),
         )
 
-    return (
-        PipelineState(ring=ring, analysis=new_analysis, ml=new_ml, balls=new_balls),
-        PipelineOutputs(
-            x_vqt=x_vqt, gain=ring.gain, analysis=outputs, ml_midi=ml_midi,
-            led=led, viewer=viewer,
-        ),
-    )
+    return new_ml, ml_midi, led, new_balls, viewer
 
 
 @partial(

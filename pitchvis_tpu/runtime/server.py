@@ -21,12 +21,35 @@ import time
 import jax
 import numpy as np
 
+from flax import struct
+
 from ..core.config import AnalysisParameters, VqtParameters
 from ..kernel.builder import get_kernel
-from ..models.analysis import analysis_step_batch, init_state_batch
+from ..models.analysis import AnalysisOutputs, analysis_step_batch, init_state_batch
 from ..ops.vqt import make_vqt_arrays, vqt_db_auto
-from ..models.pipeline import build_rebuilt_arrays, reset_state_row
+from ..models.pipeline import build_rebuilt_arrays, derived_stages, reset_state_row
 from .native import NativeRingBank, NativeResamplerBank, available as native_available
+
+
+class ServeOutputs(struct.PyTreeNode):
+    """Per-hop outputs when any fused output stage (ML / LED / viewer) is
+    enabled on the server; mirrors models.pipeline.PipelineOutputs minus the
+    device-ring diagnostics (gains come from the native ingest)."""
+
+    analysis: AnalysisOutputs
+    ml_midi: object = None  # (B, 128) MIDI strengths when ml_model is set
+    led: object = None  # (B, n_buckets, 3) u8 LED colors when with_led
+    viewer: object = None  # models.pipeline.ViewerOutputs when with_viewer
+
+
+class CompactOutputs(struct.PyTreeNode):
+    """fetch="led": only what an LED/display consumer reads per hop — cuts
+    the per-hop fetch from the ~10 MB full analysis pytree (B=512) to
+    ~0.9 MB of u8 colors plus two scalars per stream."""
+
+    led: object  # (B, n_buckets, 3) u8
+    scene_calmness: object  # (B,)
+    tuning_inaccuracy: object  # (B,)
 
 
 class StreamServer:
@@ -44,6 +67,12 @@ class StreamServer:
         hop_seconds: float = 1.0 / 60.0,
         max_lag_seconds: float = 0.25,
         max_catchup_hops: int = 1,
+        ml_model=None,
+        ml_params=None,
+        ml_t_window: int | None = None,
+        with_led: bool = False,
+        with_viewer: bool = False,
+        fetch: str = "full",
     ):
         """``path="pallas"`` serves the fused Pallas VQT kernel (the repo's
         fastest); ``fast=True`` additionally stores the weights in bf16
@@ -65,13 +94,27 @@ class StreamServer:
           rebuild()/restore, so push-then-serve warmups see all audio.
         * ``"snapshot"`` — re-ship the trailing window every hop (simplest
           data path; kept for parity tests and one-shot analyses).
-        """
+
+        Fused output stages (the same stages models.pipeline fuses into its
+        step): ``ml_model``/``ml_params`` adds the ML inference with its
+        rolling smoothed-VQT history; ``with_led`` the per-stream LED color
+        block; ``with_viewer`` every display-derived output (pitch balls
+        with fade carry, chroma, bloom, spectrogram row, bass spiral,
+        calmness histogram). When any is enabled, step() returns
+        ``ServeOutputs``; otherwise the bare analysis outputs (unchanged
+        API). ``fetch="led"`` (implies with_led) returns ``CompactOutputs``
+        — just LED bytes + scene scalars, ~10x fewer fetch bytes for
+        display-only deployments."""
         if not native_available():
             raise RuntimeError(
                 "native runtime unavailable — use models.pipeline.StreamingPipeline"
             )
         if ingest not in ("delta", "snapshot"):
             raise ValueError(f"ingest must be 'delta' or 'snapshot', got {ingest!r}")
+        if fetch not in ("full", "led"):
+            raise ValueError(f"fetch must be 'full' or 'led', got {fetch!r}")
+        if fetch == "led":
+            with_led = True
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
@@ -87,6 +130,16 @@ class StreamServer:
         self.rings = NativeRingBank(n_streams, capacity)
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
         self.n_streams = n_streams
+        # fused output stages (mirroring models.pipeline.pipeline_step)
+        self.ml_model, self.ml_params = ml_model, ml_params
+        if ml_model is not None and ml_t_window is None:
+            from ..models.pitch_mlp import DEFAULT_T
+
+            ml_t_window = DEFAULT_T
+        self._ml_t = ml_t_window
+        self.with_led, self.with_viewer, self.fetch = with_led, with_viewer, fetch
+        self.ml_state = self._init_ml(n_streams)
+        self.balls_state = self._init_balls(n_streams)
         self._last_step = None
         self._pending = None  # in-flight (outputs, gains) when pipelining
         # serializes the read-modify-write of analysis_state between the
@@ -108,6 +161,34 @@ class StreamServer:
 
         self._refresh_dispatch()
 
+    # -- fused-stage state helpers --------------------------------------------
+    def _init_ml(self, n: int):
+        if self.ml_model is None:
+            return None
+        from ..models.ml_system import init_ml_state_batch
+
+        return init_ml_state_batch(n, self._ml_t, self.vqt_params.n_buckets)
+
+    def _init_balls(self, n: int):
+        if not self.with_viewer:
+            return None
+        import jax.numpy as jnp
+
+        from ..models.viewer import BallState
+
+        nb = self.vqt_params.n_buckets
+        return jax.vmap(lambda _: BallState.init(nb))(jnp.arange(n))
+
+    def _fresh_rows(self):
+        """One freshly initialized (B=1) row of the full carried state tuple
+        (analysis, ml, balls) — the device side of stream-slot recycling.
+        Call with self._state_lock held (reads the live n_buckets)."""
+        return (
+            init_state_batch(1, self.vqt_params.n_buckets),
+            self._init_ml(1),
+            self._init_balls(1),
+        )
+
     def _refresh_dispatch(self) -> None:
         """(Re)builds the per-parameter-set dispatch plan; called at init and
         after every rebuild(). Three bandwidth/latency decisions live here:
@@ -128,15 +209,43 @@ class StreamServer:
         """
         path, arrays = self.path, self.arrays
         aparams, rng = self.analysis_params, self.vqt_params.range
+        ml_model, with_led, with_viewer = self.ml_model, self.with_led, self.with_viewer
+        fetch = self.fetch
+        any_stage = ml_model is not None or with_led or with_viewer
 
-        def fused(arrays, state, x, dt):
+        import jax.numpy as jnp
+
+        def advance(state, x_vqt, mlp, dt):
+            """Analysis + fused output stages over the carried state tuple
+            (analysis, ml, balls). Returns (new_state, packed outputs)."""
+            analysis, ml, balls = state
+            new_analysis, outputs = analysis_step_batch(aparams, rng, analysis, x_vqt, dt)
+            dt_b = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (x_vqt.shape[0],))
+            new_ml, ml_midi, led, new_balls, viewer = derived_stages(
+                rng, outputs, dt_b,
+                ml_model=ml_model, ml_params=mlp, ml_state=ml,
+                with_led=with_led, balls_state=balls, with_viewer=with_viewer,
+            )
+            if fetch == "led":
+                packed = CompactOutputs(
+                    led=led,
+                    scene_calmness=outputs.scene_calmness,
+                    tuning_inaccuracy=outputs.tuning_inaccuracy,
+                )
+            elif any_stage:
+                packed = ServeOutputs(
+                    analysis=outputs, ml_midi=ml_midi, led=led, viewer=viewer
+                )
+            else:
+                packed = outputs  # bare analysis outputs: the original API
+            return (new_analysis, new_ml, new_balls), packed
+
+        def fused(arrays, state, mlp, x, dt):
             x_vqt = vqt_db_auto(arrays, x, path=path)
-            return analysis_step_batch(aparams, rng, state, x_vqt, dt)
+            return advance(state, x_vqt, mlp, dt)
 
         self._step_fn = jax.jit(fused)
         self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
-
-        import jax.numpy as jnp
 
         snap_len = self._snap_len
 
@@ -151,30 +260,31 @@ class StreamServer:
                 rolled = jnp.concatenate([window[:, hop:], chunk], axis=1)
             return jnp.where(advanced[:, None], rolled, window)
 
-        def fused_delta(arrays, state, window, chunk, advanced, dt):
+        def fused_delta(arrays, state, mlp, window, chunk, advanced, dt):
             window = roll_window(window, chunk, advanced)
             x_vqt = vqt_db_auto(arrays, window, path=path)
-            new_state, outputs = analysis_step_batch(aparams, rng, state, x_vqt, dt)
-            return new_state, window, outputs
+            new_state, packed = advance(state, x_vqt, mlp, dt)
+            return new_state, window, packed
 
-        def fused_delta_multi(arrays, state, window, chunks, advs, dt_hop):
+        def fused_delta_multi(arrays, state, mlp, window, chunks, advs, dt_hop):
             # K hops in one dispatch (lax.scan over the hop axis) — the
             # throughput twin of models.pipeline.pipeline_step_multi, fed by
-            # the native ingest rings. Only the LAST hop's outputs are
-            # returned (intermediate pure outputs are dead code for the
-            # caller and get DCE'd), so fetch bytes stay flat in K.
+            # the native ingest rings. Every hop advances the carried state
+            # (incl. ML history and ball fades); only the LAST hop's outputs
+            # are returned (intermediate pure outputs are dead code and get
+            # DCE'd), so fetch bytes stay flat in K.
             def body(carry, inp):
                 state, window = carry
                 chunk, adv = inp
                 window = roll_window(window, chunk, adv)
                 x_vqt = vqt_db_auto(arrays, window, path=path)
-                state, _ = analysis_step_batch(aparams, rng, state, x_vqt, dt_hop)
+                state, _ = advance(state, x_vqt, mlp, dt_hop)
                 return (state, window), None
 
             (state, window), _ = jax.lax.scan(
                 body, (state, window), (chunks[:-1], advs[:-1])
             )
-            return fused_delta(arrays, state, window, chunks[-1], advs[-1], dt_hop)
+            return fused_delta(arrays, state, mlp, window, chunks[-1], advs[-1], dt_hop)
 
         self._delta_fn = jax.jit(fused_delta)
         self._delta_multi_fn = jax.jit(fused_delta_multi)
@@ -227,11 +337,12 @@ class StreamServer:
             for bank in self._resamplers.values():
                 bank.reset(stream)
         with self._state_lock:
-            # n_buckets read INSIDE the lock: a layout-changing rebuild()
+            # fresh rows built INSIDE the lock: a layout-changing rebuild()
             # landing between an unlocked read and the row write would make
             # the fresh row shape-mismatched and lose the reset
-            fresh = init_state_batch(1, self.vqt_params.n_buckets)
-            self.analysis_state = reset_state_row(self.analysis_state, fresh, stream)
+            state = (self.analysis_state, self.ml_state, self.balls_state)
+            state = reset_state_row(state, self._fresh_rows(), stream)
+            self.analysis_state, self.ml_state, self.balls_state = state
             if self._window is not None:
                 # the recycled slot's device window still holds the OLD
                 # client's audio (delta mode never re-ships it)
@@ -249,6 +360,13 @@ class StreamServer:
         re-initialized when it changes (EMA state is bin-indexed).
         Raises ValueError for parameter sets this server cannot host
         (different sample rate, n_fft beyond the ring capacity)."""
+        layout_would_change = vqt_params.range != self.vqt_params.range
+        if layout_would_change and self.ml_model is not None:
+            raise ValueError(
+                "bin-layout changes are incompatible with the attached ML "
+                "model (its params are trained for the current layout); "
+                "construct a new server with matching ml_params"
+            )
         kernel, arrays, layout_changed = build_rebuilt_arrays(
             self.vqt_params, vqt_params, max_n_fft=self.rings.capacity,
             path=self.path, fast=self.fast,
@@ -261,6 +379,7 @@ class StreamServer:
                 self.analysis_state = init_state_batch(
                     self.n_streams, vqt_params.n_buckets
                 )
+                self.balls_state = self._init_balls(self.n_streams)
             self._refresh_dispatch()
             # the window length (tail/n_fft) may have changed; the delta
             # path re-materializes it from the ring on the next step (the
@@ -287,7 +406,7 @@ class StreamServer:
         for _ in range(3):  # retried only if a rebuild lands mid-step
             with self._state_lock:
                 arrays, params = self.arrays, self.vqt_params
-                state = self.analysis_state
+                state = (self.analysis_state, self.ml_state, self.balls_state)
                 step_fn, snap_len, host_dtype = (
                     self._step_fn, self._snap_len, self._host_dtype,
                 )
@@ -298,7 +417,7 @@ class StreamServer:
             if host_dtype is not None:
                 windows = windows.astype(host_dtype)
             x = jax.device_put(windows)
-            new_state, outputs = step_fn(arrays, state, x, dt)
+            new_state, outputs = step_fn(arrays, state, self.ml_params, x, dt)
             with self._state_lock:
                 if self.vqt_params is not params:
                     continue  # rebuilt mid-step: recompute under the new set
@@ -306,9 +425,8 @@ class StreamServer:
                 # in `new_state` was computed from the captured pre-reset
                 # state and would otherwise resurrect the old client)
                 for s in self._resets_in_flight:
-                    fresh = init_state_batch(1, params.n_buckets)
-                    new_state = reset_state_row(new_state, fresh, s)
-                self.analysis_state = new_state
+                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
+                self.analysis_state, self.ml_state, self.balls_state = new_state
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 
@@ -325,7 +443,7 @@ class StreamServer:
         for _ in range(3):  # retried only if a rebuild lands mid-step
             with self._state_lock:
                 arrays, params = self.arrays, self.vqt_params
-                state = self.analysis_state
+                state = (self.analysis_state, self.ml_state, self.balls_state)
                 fn, snap_len, host_dtype = (
                     self._delta_fn, self._snap_len, self._host_dtype,
                 )
@@ -349,7 +467,7 @@ class StreamServer:
                 # that underran still decay, like a stalled snapshot);
                 # catch-up hops represent exactly hop/sr seconds of audio
                 new_state, new_window, outputs = fn(
-                    arrays, new_state, new_window,
+                    arrays, new_state, self.ml_params, new_window,
                     jax.device_put(chunks), jax.device_put(adv),
                     dt if k == 0 else hop_dt,
                 )
@@ -358,10 +476,9 @@ class StreamServer:
                 if self.vqt_params is not params:
                     continue  # rebuilt mid-step: recompute under the new set
                 for s in self._resets_in_flight:
-                    fresh = init_state_batch(1, params.n_buckets)
-                    new_state = reset_state_row(new_state, fresh, s)
+                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
                     new_window = new_window.at[s].set(0)
-                self.analysis_state = new_state
+                self.analysis_state, self.ml_state, self.balls_state = new_state
                 self._window = new_window
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
@@ -383,7 +500,7 @@ class StreamServer:
         for _ in range(3):  # retried only if a rebuild lands mid-step
             with self._state_lock:
                 arrays, params = self.arrays, self.vqt_params
-                state = self.analysis_state
+                state = (self.analysis_state, self.ml_state, self.balls_state)
                 fn, snap_len, host_dtype = (
                     self._delta_multi_fn, self._snap_len, self._host_dtype,
                 )
@@ -404,17 +521,16 @@ class StreamServer:
                 )
             staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
             new_state, new_window, outputs = fn(
-                arrays, state, window,
+                arrays, state, self.ml_params, window,
                 jax.device_put(staged), jax.device_put(advs), hop_dt,
             )
             with self._state_lock:
                 if self.vqt_params is not params:
                     continue  # rebuilt mid-step: recompute under the new set
                 for s in self._resets_in_flight:
-                    fresh = init_state_batch(1, params.n_buckets)
-                    new_state = reset_state_row(new_state, fresh, s)
+                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
                     new_window = new_window.at[s].set(0)
-                self.analysis_state = new_state
+                self.analysis_state, self.ml_state, self.balls_state = new_state
                 self._window = new_window
             return outputs, gains
         raise RuntimeError("rebuild storm: step_multi() could not complete")

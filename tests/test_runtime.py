@@ -703,7 +703,8 @@ class TestDispatchOptimizations:
             import jax
 
             want = srv._step_fn(
-                srv.arrays, srv.analysis_state, jax.device_put(windows), 1.0 / 60.0
+                srv.arrays, (srv.analysis_state, None, None), None,
+                jax.device_put(windows), 1.0 / 60.0,
             )[1]
             got, _ = srv.step(dt=1.0 / 60.0)
             np.testing.assert_array_equal(
@@ -733,11 +734,11 @@ class TestDispatchOptimizations:
 
             real_fn = srv._step_fn
 
-            def racing_fn(arrays, state, x, dt):
+            def racing_fn(arrays, state, mlp, x, dt):
                 # fires after the capture, before the write-back — the
                 # tightest possible race window
                 srv.reset_stream(0)
-                return real_fn(arrays, state, x, dt)
+                return real_fn(arrays, state, mlp, x, dt)
 
             srv._step_fn = racing_fn
             try:
@@ -968,9 +969,9 @@ class TestDeltaIngest:
                 srv.step(dt=1.0 / 60.0)
             real_fn = srv._delta_fn
 
-            def racing_fn(arrays, state, window, chunk, advanced, dt):
+            def racing_fn(arrays, state, mlp, window, chunk, advanced, dt):
                 srv.reset_stream(0)  # lands after the capture
-                return real_fn(arrays, state, window, chunk, advanced, dt)
+                return real_fn(arrays, state, mlp, window, chunk, advanced, dt)
 
             srv._delta_fn = racing_fn
             try:
@@ -1038,5 +1039,207 @@ class TestDeltaIngest:
         try:
             with pytest.raises(RuntimeError, match="delta"):
                 srv.step_multi(2)
+        finally:
+            srv.close()
+
+
+class TestServerFusedStages:
+    """Fused output stages on the ingest server (ML / LED / viewer /
+    compact fetch) — parity with the stages models.pipeline fuses into its
+    step (reference: one Bevy Update pass runs vqt -> analysis -> display,
+    pitchvis_viewer/src/app/common.rs:2076-2118)."""
+
+    def _serve(self, small_params, n_hops=3, **kw):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        srv = StreamServer(2, small_params, buffer_seconds=1.0, **kw)
+        t = np.arange(int(sr * 0.8)) / sr
+        srv.push(0, (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32))
+        outs = []
+        phase = len(t) / sr
+        for _ in range(n_hops):
+            c = (0.1 * np.sin(2 * np.pi * f * (np.arange(hop) / sr + phase))).astype(np.float32)
+            phase += hop / sr
+            srv.push(0, c)
+            out, gains = srv.step(dt=1.0 / 60.0)
+            outs.append(out)
+        return srv, outs
+
+    def test_led_and_viewer_match_post_hoc(self, small_params):
+        """The fused LED block and the pure viewer outputs must equal the
+        same functions applied post-hoc to the analysis outputs."""
+        import jax
+
+        from pitchvis_tpu.io.led import led_frame_values
+        from pitchvis_tpu.models.viewer import bass_spiral, chroma_vector
+        from pitchvis_tpu.runtime.server import ServeOutputs
+
+        srv, outs = self._serve(small_params, with_led=True, with_viewer=True)
+        try:
+            out = outs[-1]
+            assert isinstance(out, ServeOutputs)
+            a = out.analysis
+            rng_cfg = small_params.range
+            want_led = jax.vmap(
+                lambda m, c, s: led_frame_values(rng_cfg, m, c, s)
+            )(a.peaks, a.peak_center, a.peak_size)
+            np.testing.assert_array_equal(np.asarray(out.led), np.asarray(want_led))
+            want_chroma = jax.vmap(lambda xs: chroma_vector(xs, rng_cfg))(
+                a.x_vqt_smoothed
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.viewer.chroma), np.asarray(want_chroma), atol=1e-6
+            )
+            want_bass = jax.vmap(lambda p, c, s: bass_spiral(rng_cfg, p, c, s))(
+                a.peaks, a.peak_center, a.peak_size
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.viewer.bass.visible), np.asarray(want_bass.visible)
+            )
+            # the analysis outputs themselves are unchanged by fusing stages
+            srv2, outs2 = self._serve(small_params)
+            np.testing.assert_array_equal(
+                np.asarray(a.x_vqt_smoothed), np.asarray(outs2[-1].x_vqt_smoothed)
+            )
+            srv2.close()
+        finally:
+            srv.close()
+
+    def test_ml_history_carries_like_manual_stepping(self, small_params):
+        """The fused ML stage must equal ml_step_batch applied hop-by-hop
+        with an externally carried history."""
+        import jax
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.models.ml_system import init_ml_state_batch, ml_step_batch
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+
+        nb = small_params.n_buckets
+        T = 3
+        model = PitchMLP(input_bins=T * nb, mlp_size=32, mlp_layers=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, T * nb)))
+
+        srv, outs = self._serve(
+            small_params, ml_model=model, ml_params=params, ml_t_window=T
+        )
+        try:
+            ml = init_ml_state_batch(2, T, nb)
+            for out in outs:
+                ml, midi = ml_step_batch(model, params, ml, out.analysis.x_vqt_smoothed)
+            np.testing.assert_allclose(
+                np.asarray(outs[-1].ml_midi), np.asarray(midi), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(srv.ml_state.history), np.asarray(ml.history), atol=1e-6
+            )
+        finally:
+            srv.close()
+
+    def test_fetch_led_compact(self, small_params):
+        """fetch="led" returns only the LED bytes + scene scalars, equal to
+        the full-mode LED block."""
+        from pitchvis_tpu.runtime.server import CompactOutputs
+
+        srv_c, outs_c = self._serve(small_params, fetch="led")
+        srv_f, outs_f = self._serve(small_params, with_led=True)
+        try:
+            out = outs_c[-1]
+            assert isinstance(out, CompactOutputs)
+            np.testing.assert_array_equal(
+                np.asarray(out.led), np.asarray(outs_f[-1].led)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.scene_calmness),
+                np.asarray(outs_f[-1].analysis.scene_calmness),
+            )
+            # the compact pytree is an order of magnitude smaller to fetch
+            import jax
+
+            size = lambda o: sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(o))
+            assert size(out) < size(outs_f[-1]) / 5
+        finally:
+            srv_c.close()
+            srv_f.close()
+
+    def test_step_multi_with_stages_matches_single_hops(self, small_params):
+        """ML history and ball fades must advance per hop inside the fused
+        multi-hop scan, not once per dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        nb = small_params.n_buckets
+        T = 3
+        model = PitchMLP(input_bins=T * nb, mlp_size=32, mlp_layers=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, T * nb)))
+        kw = dict(
+            buffer_seconds=1.0, ml_model=model, ml_params=params,
+            ml_t_window=T, with_viewer=True, with_led=True,
+        )
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        hop_dt = hop / sr
+
+        single = StreamServer(2, small_params, max_catchup_hops=0, **kw)
+        multi = StreamServer(2, small_params, **kw)
+        try:
+            t = np.arange(int(sr * 0.8)) / sr
+            tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+            for srv in (single, multi):
+                srv.push(0, tone)
+                srv.step(dt=hop_dt)
+            phase = len(t) / sr
+            for _ in range(3):
+                c = (0.1 * np.sin(2 * np.pi * f * (np.arange(hop) / sr + phase))).astype(np.float32)
+                phase += hop / sr
+                for srv in (single, multi):
+                    srv.push(0, c)
+                out_s, _ = single.step(dt=hop_dt)
+            out_m, _ = multi.step_multi(3)
+            np.testing.assert_allclose(
+                np.asarray(out_m.ml_midi), np.asarray(out_s.ml_midi), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_m.viewer.balls.rgba),
+                np.asarray(out_s.viewer.balls.rgba),
+                atol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_m.led), np.asarray(out_s.led)
+            )
+        finally:
+            single.close()
+            multi.close()
+
+    def test_reset_clears_ml_and_ball_rows(self, small_params):
+        import jax
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+
+        nb = small_params.n_buckets
+        T = 3
+        model = PitchMLP(input_bins=T * nb, mlp_size=32, mlp_layers=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, T * nb)))
+        srv, outs = self._serve(
+            small_params, ml_model=model, ml_params=params, ml_t_window=T,
+            with_viewer=True,
+        )
+        try:
+            from pitchvis_tpu.models.viewer import BallState
+
+            assert np.abs(np.asarray(srv.ml_state.history[0])).max() > 0
+            srv.reset_stream(0)
+            assert np.abs(np.asarray(srv.ml_state.history[0])).max() == 0
+            fresh = BallState.init(nb)
+            np.testing.assert_array_equal(
+                np.asarray(srv.balls_state.scale[0]), np.asarray(fresh.scale)
+            )
         finally:
             srv.close()
