@@ -92,20 +92,23 @@ def warm(args) -> int:
         "pipe.step(np.zeros((n, hop), np.float32), hop / params.sr)\n"
         "print(f'warmed pipeline step ({n} streams, {kw[\"path\"]}'\n"
         "      f'{\", fast\" if kw[\"fast\"] else \"\"}): {time.perf_counter()-t0:.1f}s')\n"
-        "# the StreamServer deployment shape uses DIFFERENT programs (a\n"
-        "# standalone VQT jit + analysis_step_batch on snapshot windows):\n"
-        "# warm those too so `demo --serve` / StreamServer also start fast\n"
-        "import jax\n"
-        "from pitchvis_tpu.core.config import AnalysisParameters\n"
-        "from pitchvis_tpu.models.analysis import analysis_step_batch, init_state_batch\n"
-        "from pitchvis_tpu.ops.vqt import vqt_db_auto\n"
-        "t0 = time.perf_counter()\n"
-        "vqt_fn = jax.jit(lambda a, x: vqt_db_auto(a, x, path=kw['path']))\n"
-        "xv = vqt_fn(pipe.arrays, np.zeros((n, params.n_fft), np.float32))\n"
-        "st = init_state_batch(n, params.n_buckets)\n"
-        "st, out = analysis_step_batch(AnalysisParameters(), params.range, st, xv, 1/60)\n"
-        "np.asarray(out.peaks)\n"
-        "print(f'warmed server step ({n} streams): {time.perf_counter()-t0:.1f}s')\n"
+        "# the StreamServer deployment shape uses a DIFFERENT program (the\n"
+        "# fused delta-ingest hop); warm a real server so `demo --serve` /\n"
+        "# StreamServer processes also start fast\n"
+        "from pitchvis_tpu.runtime.native import available\n"
+        "if available():\n"
+        "    import jax\n"
+        "    from pitchvis_tpu.runtime.server import StreamServer\n"
+        "    t0 = time.perf_counter()\n"
+        "    srv = StreamServer(n, params, buffer_seconds=1.0, **kw)\n"
+        "    srv.push(0, np.zeros(hop, np.float32))\n"
+        "    out, _ = srv.step(dt=hop / params.sr)\n"
+        "    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, 'ravel')]\n"
+        "    np.asarray(leaves[0].ravel()[0])\n"
+        "    srv.close()\n"
+        "    print(f'warmed server step ({n} streams): {time.perf_counter()-t0:.1f}s')\n"
+        "else:\n"
+        "    print('server warm skipped: native runtime unavailable')\n"
     )
     return _run([sys.executable, "-c", code, *args])
 
