@@ -1042,6 +1042,54 @@ class TestDeltaIngest:
         finally:
             srv.close()
 
+    def test_concurrent_write_consume_continuity(self):
+        """SPSC contract under fire: a producer thread writes a strictly
+        increasing ramp while this thread consumes; every consumed chunk
+        must be a contiguous run of the ramp (no duplication, no tearing),
+        with gaps allowed ONLY at max_lag skip-aheads (values still
+        monotone)."""
+        import threading
+
+        from pitchvis_tpu.runtime.native import NativeRingBank
+
+        bank = NativeRingBank(2, 4096)
+        N = 200_000
+        stop = threading.Event()
+
+        def producer():
+            i = 0
+            rng = np.random.default_rng(7)
+            while i < N and not stop.is_set():
+                n = int(rng.integers(50, 400))
+                bank.write(0, np.arange(i, i + n, dtype=np.float32), agc=False)
+                i += n
+
+        th = threading.Thread(target=producer)
+        th.start()
+        try:
+            hop = 128
+            last_end = None
+            consumed = 0
+            glitches = 0
+            while consumed < N - 4096:
+                chunks, _, adv = bank.consume(hop, max_lag=2048)
+                if not adv[0]:
+                    continue
+                c = chunks[0]
+                # internal contiguity: strictly +1 steps
+                assert np.all(np.diff(c) == 1.0), c[:8]
+                if last_end is not None:
+                    if c[0] != last_end + 1.0:
+                        glitches += 1  # max_lag skip-ahead: forward only
+                        assert c[0] > last_end, (c[0], last_end)
+                last_end = c[-1]
+                consumed = int(last_end) + 1
+        finally:
+            stop.set()
+            th.join(timeout=30)
+            bank.close()
+        assert consumed >= N - 4096
+
 
 class TestServerFusedStages:
     """Fused output stages on the ingest server (ML / LED / viewer /
