@@ -120,3 +120,52 @@ class TestServingPaths:
         # the *254-floor quantization absorbs bf16 to within 4 levels
         assert (led_diff > 4).mean() <= 1e-4
         assert led_diff[agree].max() <= 4
+
+
+class TestIngestServerPath:
+    """The ingest StreamServer (native C++ AGC at push, delta device-resident
+    windows, fused LED stage) held to the SAME committed golden. The only
+    implementation difference vs the golden generator is where the AGC
+    recurrence runs (C++ -O3 loop vs XLA f32 scan) — identical math, float
+    rounding may differ in the last ulp — so discrete decisions are bounded
+    by a flip fraction and continuous stages carry a small budget."""
+
+    def test_server_delta_matches_golden(self, golden):
+        from pitchvis_tpu.runtime import native
+
+        if not native.available():
+            pytest.skip("native runtime not built")
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        params = SERIAL_VQT_PARAMETERS
+        name = "arpeggio"
+        sig = golden[f"in_{name}"]
+        hop = int(params.sr / 60.0)
+        k_total = len(sig) // hop
+        srv = StreamServer(1, params, buffer_seconds=2.0, with_led=True)
+        try:
+            rec = {k: [] for k in ("peaks", "calmness", "led", "scene")}
+            for i in range(k_total):
+                srv.push(0, sig[i * hop : (i + 1) * hop])
+                out, _ = srv.step(dt=hop / params.sr)
+                rec["peaks"].append(np.asarray(out.analysis.peaks[0]))
+                rec["calmness"].append(np.asarray(out.analysis.calmness[0]))
+                rec["scene"].append(np.asarray(out.analysis.scene_calmness[0]))
+                rec["led"].append(np.asarray(out.led[0]))
+        finally:
+            srv.close()
+        peaks = np.stack(rec["peaks"])
+        flips = peaks != golden[f"{name}_peaks"]
+        assert flips.mean() <= 2e-4, f"peak flips {flips.mean():.2e}"
+        np.testing.assert_allclose(
+            np.stack(rec["calmness"]), golden[f"{name}_calmness"], atol=0.02
+        )
+        np.testing.assert_allclose(
+            np.stack(rec["scene"]), golden[f"{name}_scene_calmness"], atol=5e-3
+        )
+        led_diff = np.abs(
+            np.stack(rec["led"]).astype(np.int32)
+            - golden[f"{name}_led"].astype(np.int32)
+        )
+        agree = ~flips
+        assert led_diff[agree].max() <= 4
