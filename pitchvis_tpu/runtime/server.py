@@ -73,6 +73,7 @@ class StreamServer:
         with_led: bool = False,
         with_viewer: bool = False,
         fetch: str = "full",
+        mesh=None,
     ):
         """``path="pallas"`` serves the fused Pallas VQT kernel (the repo's
         fastest); ``fast=True`` additionally stores the weights in bf16
@@ -104,7 +105,17 @@ class StreamServer:
         ``ServeOutputs``; otherwise the bare analysis outputs (unchanged
         API). ``fetch="led"`` (implies with_led) returns ``CompactOutputs``
         — just LED bytes + scene scalars, ~10x fewer fetch bytes for
-        display-only deployments."""
+        display-only deployments.
+
+        ``mesh`` (a ``jax.sharding.Mesh``, e.g. ``parallel.sharding.
+        make_mesh()``) shards the stream batch over the mesh's chips: the
+        fused programs are wrapped in ``shard_map`` (the Pallas kernel is a
+        Mosaic custom call GSPMD cannot split on its own), each chip serves
+        its contiguous slice of streams, and the program stays
+        collective-free (streams are independent). ``n_streams`` must be
+        divisible by the mesh size. One server process then drives every
+        local chip; multi-HOST scale-out composes this with per-host
+        servers (runtime/multihost_serve.py)."""
         if not native_available():
             raise RuntimeError(
                 "native runtime unavailable — use models.pipeline.StreamingPipeline"
@@ -115,6 +126,12 @@ class StreamServer:
             raise ValueError(f"fetch must be 'full' or 'led', got {fetch!r}")
         if fetch == "led":
             with_led = True
+        if mesh is not None and n_streams % mesh.size != 0:
+            raise ValueError(
+                f"n_streams {n_streams} must divide evenly over the "
+                f"{mesh.size}-device mesh"
+            )
+        self.mesh = mesh
         self.vqt_params = vqt_params or VqtParameters()
         self.analysis_params = analysis_params or AnalysisParameters()
         self.path = path
@@ -140,6 +157,14 @@ class StreamServer:
         self.with_led, self.with_viewer, self.fetch = with_led, with_viewer, fetch
         self.ml_state = self._init_ml(n_streams)
         self.balls_state = self._init_balls(n_streams)
+        if mesh is not None:
+            from ..parallel.sharding import replicate
+
+            self.analysis_state = self._put_state(self.analysis_state)
+            self.ml_state = self._put_state(self.ml_state)
+            self.balls_state = self._put_state(self.balls_state)
+            if self.ml_params is not None:
+                self.ml_params = replicate(mesh, self.ml_params)
         self._last_step = None
         self._pending = None  # in-flight (outputs, gains) when pipelining
         # serializes the read-modify-write of analysis_state between the
@@ -160,6 +185,34 @@ class StreamServer:
         self._resampler_lock = threading.Lock()
 
         self._refresh_dispatch()
+
+    # -- device placement (single chip or sharded over self.mesh) -------------
+    def _put_batch(self, x):
+        """Host batch array -> device(s); stream axis sharded over the mesh
+        when one is configured (each chip receives only its slice)."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        from ..parallel.sharding import shard_batch
+
+        return shard_batch(self.mesh, x)
+
+    def _put_scan_batch(self, x):
+        """(K, B, ...) multi-hop staging: hop axis replicated, stream axis
+        sharded."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P(None, tuple(self.mesh.axis_names)))
+        )
+
+    def _put_state(self, tree):
+        if self.mesh is None or tree is None:
+            return tree
+        from ..parallel.sharding import shard_batch
+
+        return jax.tree.map(lambda a: shard_batch(self.mesh, a), tree)
 
     # -- fused-stage state helpers --------------------------------------------
     def _init_ml(self, n: int):
@@ -244,7 +297,6 @@ class StreamServer:
             x_vqt = vqt_db_auto(arrays, x, path=path)
             return advance(state, x_vqt, mlp, dt)
 
-        self._step_fn = jax.jit(fused)
         self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
 
         snap_len = self._snap_len
@@ -286,8 +338,39 @@ class StreamServer:
             )
             return fused_delta(arrays, state, mlp, window, chunks[-1], advs[-1], dt_hop)
 
-        self._delta_fn = jax.jit(fused_delta)
-        self._delta_multi_fn = jax.jit(fused_delta_multi)
+        if self.mesh is None:
+            self._step_fn = jax.jit(fused)
+            self._delta_fn = jax.jit(fused_delta)
+            self._delta_multi_fn = jax.jit(fused_delta_multi)
+        else:
+            # shard_map boundary: the Pallas kernel is a Mosaic custom call
+            # GSPMD cannot split on its own (parallel/sharding.py has the
+            # full rationale); each chip runs the fused program on its local
+            # stream slice — collective-free by construction
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.sharding import replicate
+
+            mesh = self.mesh
+            batch = P(tuple(mesh.axis_names))
+            scan_batch = P(None, tuple(mesh.axis_names))
+            rep = P()
+            self._step_fn = jax.jit(jax.shard_map(
+                fused, mesh=mesh,
+                in_specs=(rep, batch, rep, batch, rep),
+                out_specs=(batch, batch), check_vma=False,
+            ))
+            self._delta_fn = jax.jit(jax.shard_map(
+                fused_delta, mesh=mesh,
+                in_specs=(rep, batch, rep, batch, batch, batch, rep),
+                out_specs=(batch, batch, batch), check_vma=False,
+            ))
+            self._delta_multi_fn = jax.jit(jax.shard_map(
+                fused_delta_multi, mesh=mesh,
+                in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
+                out_specs=(batch, batch, batch), check_vma=False,
+            ))
+            self.arrays = replicate(mesh, self.arrays)
         self._host_dtype = None
         if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
             import ml_dtypes
@@ -342,11 +425,12 @@ class StreamServer:
             # the fresh row shape-mismatched and lose the reset
             state = (self.analysis_state, self.ml_state, self.balls_state)
             state = reset_state_row(state, self._fresh_rows(), stream)
+            state = self._put_state(state)  # re-pin mesh sharding (no-op otherwise)
             self.analysis_state, self.ml_state, self.balls_state = state
             if self._window is not None:
                 # the recycled slot's device window still holds the OLD
                 # client's audio (delta mode never re-ships it)
-                self._window = self._window.at[stream].set(0)
+                self._window = self._put_batch(self._window.at[stream].set(0))
             self._resets_in_flight.add(int(stream))
 
     def rebuild(self, vqt_params: VqtParameters) -> None:
@@ -416,7 +500,7 @@ class StreamServer:
             windows, gains = self.rings.snapshot(snap_len)
             if host_dtype is not None:
                 windows = windows.astype(host_dtype)
-            x = jax.device_put(windows)
+            x = self._put_batch(windows)
             new_state, outputs = step_fn(arrays, state, self.ml_params, x, dt)
             with self._state_lock:
                 if self.vqt_params is not params:
@@ -426,6 +510,8 @@ class StreamServer:
                 # state and would otherwise resurrect the old client)
                 for s in self._resets_in_flight:
                     new_state = reset_state_row(new_state, self._fresh_rows(), s)
+                if self._resets_in_flight:
+                    new_state = self._put_state(new_state)
                 self.analysis_state, self.ml_state, self.balls_state = new_state
             return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
@@ -453,7 +539,7 @@ class StreamServer:
                 w, _ = self.rings.snapshot(snap_len)
                 if host_dtype is not None:
                     w = w.astype(host_dtype)
-                window = jax.device_put(w)
+                window = self._put_batch(w)
                 self.rings.mark_consumed()
             new_state, new_window = state, window
             outputs = gains = None
@@ -468,7 +554,7 @@ class StreamServer:
                 # catch-up hops represent exactly hop/sr seconds of audio
                 new_state, new_window, outputs = fn(
                     arrays, new_state, self.ml_params, new_window,
-                    jax.device_put(chunks), jax.device_put(adv),
+                    self._put_batch(chunks), self._put_batch(adv),
                     dt if k == 0 else hop_dt,
                 )
                 gains = g
@@ -478,6 +564,11 @@ class StreamServer:
                 for s in self._resets_in_flight:
                     new_state = reset_state_row(new_state, self._fresh_rows(), s)
                     new_window = new_window.at[s].set(0)
+                if self._resets_in_flight:
+                    # row updates may drop the mesh sharding; re-pin it (a
+                    # no-op device_put when already correctly placed)
+                    new_state = self._put_state(new_state)
+                    new_window = self._put_batch(new_window)
                 self.analysis_state, self.ml_state, self.balls_state = new_state
                 self._window = new_window
             return outputs, gains
@@ -510,7 +601,7 @@ class StreamServer:
                 w, _ = self.rings.snapshot(snap_len)
                 if host_dtype is not None:
                     w = w.astype(host_dtype)
-                window = jax.device_put(w)
+                window = self._put_batch(w)
                 self.rings.mark_consumed()
             chunks = np.empty((k, self.n_streams, self._hop), np.float32)
             advs = np.empty((k, self.n_streams), bool)
@@ -522,7 +613,7 @@ class StreamServer:
             staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
             new_state, new_window, outputs = fn(
                 arrays, state, self.ml_params, window,
-                jax.device_put(staged), jax.device_put(advs), hop_dt,
+                self._put_scan_batch(staged), self._put_scan_batch(advs), hop_dt,
             )
             with self._state_lock:
                 if self.vqt_params is not params:
@@ -530,6 +621,11 @@ class StreamServer:
                 for s in self._resets_in_flight:
                     new_state = reset_state_row(new_state, self._fresh_rows(), s)
                     new_window = new_window.at[s].set(0)
+                if self._resets_in_flight:
+                    # row updates may drop the mesh sharding; re-pin it (a
+                    # no-op device_put when already correctly placed)
+                    new_state = self._put_state(new_state)
+                    new_window = self._put_batch(new_window)
                 self.analysis_state, self.ml_state, self.balls_state = new_state
                 self._window = new_window
             return outputs, gains

@@ -149,3 +149,105 @@ class TestMultihost:
         sh = multihost_stream_sharding(mesh)
         x = jax.device_put(np.zeros((16, 8), np.float32), sh)
         assert len(x.sharding.device_set) == len(jax.devices())
+
+
+class TestShardedStreamServer:
+    """StreamServer(mesh=...): one ingest server drives every local chip —
+    the fused delta program is shard_map-partitioned over the stream axis
+    (Pallas kernel included), staying collective-free."""
+
+    def _drive(self, small_params, mesh=None, hops=3):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        B = 8
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        srv = StreamServer(
+            B, small_params, buffer_seconds=1.0, path="pallas", fast=True,
+            mesh=mesh,
+        )
+        t = np.arange(int(sr * 0.8)) / sr
+        for s in range(B):  # distinct tone per stream: cross-slice bleed shows
+            tone = (0.1 * np.sin(2 * np.pi * f * (s % 3 + 1) / 2 * t)).astype(np.float32)
+            srv.push(s, tone)
+        out = None
+        phase = len(t) / sr
+        for _ in range(hops):
+            for s in range(B):
+                c = (0.1 * np.sin(
+                    2 * np.pi * f * (s % 3 + 1) / 2 * (np.arange(hop) / sr + phase)
+                )).astype(np.float32)
+                srv.push(s, c)
+            phase += hop / sr
+            out, gains = srv.step(dt=1.0 / 60.0)
+        return srv, out, gains
+
+    def test_sharded_matches_single_server(self, small_params):
+        from pitchvis_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(8)
+        srv_s, out_s, gains_s = self._drive(small_params, mesh=mesh)
+        srv_r, out_r, gains_r = self._drive(small_params, mesh=None)
+        try:
+            assert len(out_s.x_vqt_smoothed.sharding.device_set) == 8
+            np.testing.assert_array_equal(
+                np.asarray(out_s.peaks), np.asarray(out_r.peaks)
+            )
+            # per-device batch tiling changes the Pallas kernel's padded
+            # shapes -> last-ulp accumulation differences, same budget as
+            # TestShardedPallasServing
+            np.testing.assert_allclose(
+                np.asarray(out_s.x_vqt_smoothed),
+                np.asarray(out_r.x_vqt_smoothed),
+                atol=2e-2,
+            )
+            np.testing.assert_array_equal(gains_s, gains_r)
+        finally:
+            srv_s.close()
+            srv_r.close()
+
+    def test_sharded_delta_collective_free(self, small_params):
+        import jax
+
+        from pitchvis_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(8)
+        srv, out, _ = self._drive(small_params, mesh=mesh, hops=1)
+        try:
+            hop = srv._hop
+            chunks = srv._put_batch(
+                np.zeros((srv.n_streams, hop), srv._host_dtype or np.float32)
+            )
+            advs = srv._put_batch(np.ones(srv.n_streams, bool))
+            args = (
+                srv.arrays,
+                (srv.analysis_state, srv.ml_state, srv.balls_state),
+                srv.ml_params, srv._window, chunks, advs,
+                np.float32(1.0 / 60.0),
+            )
+            text = srv._delta_fn.lower(*args).compile().as_text()
+            for op in (
+                "all-reduce", "all-gather", "collective-permute", "all-to-all",
+                "reduce-scatter",
+            ):
+                assert op not in text, f"collective {op} in sharded server hop"
+        finally:
+            srv.close()
+
+    def test_sharded_step_multi_and_reset(self, small_params):
+        from pitchvis_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(8)
+        srv, out, _ = self._drive(small_params, mesh=mesh, hops=2)
+        try:
+            srv.reset_stream(3)  # row update must keep the mesh placement
+            hop = srv._hop
+            for s in range(srv.n_streams):
+                srv.push(s, np.zeros(2 * hop, np.float32))
+            out, gains = srv.step_multi(2)
+            assert len(out.x_vqt_smoothed.sharding.device_set) == 8
+            assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+            assert not np.asarray(out.peaks[3]).any()  # reset slot silenced
+        finally:
+            srv.close()
