@@ -105,12 +105,18 @@ def save_server_state(path: str, server) -> None:
     audio, heads, gains = server.rings.export_state()
     with server._state_lock:
         state = server.analysis_state
+        ml_state = server.ml_state
+        balls_state = server.balls_state
         vqt_params = server.vqt_params
     np.savez_compressed(
         os.path.join(path, "server_rings.npz"), audio=audio, heads=heads, gains=gains
     )
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(os.path.join(path, "server_analysis_state"), state, force=True)
+    if ml_state is not None:
+        ckpt.save(os.path.join(path, "server_ml_state"), ml_state, force=True)
+    if balls_state is not None:
+        ckpt.save(os.path.join(path, "server_balls_state"), balls_state, force=True)
     ckpt.wait_until_finished()
     ckpt.close()
     meta = {
@@ -120,17 +126,34 @@ def save_server_state(path: str, server) -> None:
         "capacity": server.rings.capacity,
         "path": server.path,
         "fast": server.fast,
+        # round-4 serving config (ml_model/mesh are code/topology, not data —
+        # the caller re-attaches them at restore_server())
+        "ingest": server.ingest,
+        "hop": server._hop,
+        "max_lag": server._max_lag,
+        "max_catchup": server._max_catchup,
+        "with_led": server.with_led,
+        "with_viewer": server.with_viewer,
+        "fetch": server.fetch,
+        "ml_t_window": server._ml_t,
+        "has_ml_state": ml_state is not None,
     }
     with open(os.path.join(path, "server_meta.json"), "w") as f:
         json.dump(meta, f)
 
 
-def restore_server(path: str):
+def restore_server(path: str, ml_model=None, ml_params=None, mesh=None):
     """Rebuilds a StreamServer from save_server_state: same parameters and
-    serving flags, ring audio/write-positions/AGC gains and analysis carries
-    restored, so spectra and calmness trajectories continue where the dead
-    process left off (restart drill: tests/test_runtime.py). Producers
-    re-attach to their previous slots afterwards."""
+    serving config (ingest mode, hop pacing, fused output stages), ring
+    audio/write-positions/AGC gains and the full carried state (analysis +
+    ML history + ball fades) restored, so trajectories continue where the
+    dead process left off (restart drill: tests/test_runtime.py). Producers
+    re-attach to their previous slots afterwards.
+
+    ``ml_model``/``ml_params`` re-attach the (unserializable) flax module a
+    checkpointed ML-serving server used — required when the checkpoint
+    carries an ML history. ``mesh`` re-attaches a device mesh (topology is
+    not checkpointable)."""
     import numpy as np
     import orbax.checkpoint as ocp
 
@@ -142,6 +165,11 @@ def restore_server(path: str):
         meta = json.load(f)
     vqt_params = _vqt_params_from_dict(meta["vqt_params"])
     analysis_params = _analysis_params_from_dict(meta["analysis_params"])
+    if meta.get("has_ml_state") and ml_model is None:
+        raise ValueError(
+            "checkpoint carries an ML history; pass ml_model/ml_params to "
+            "restore_server to continue identical serving"
+        )
 
     server = StreamServer(
         meta["n_streams"],
@@ -150,18 +178,45 @@ def restore_server(path: str):
         buffer_seconds=meta["capacity"] / vqt_params.sr,
         path=meta["path"],
         fast=meta["fast"],
+        ingest=meta.get("ingest", "delta"),
+        hop_seconds=meta.get("hop", int(vqt_params.sr / 60.0)) / vqt_params.sr,
+        max_lag_seconds=meta.get("max_lag", int(vqt_params.sr * 0.25)) / vqt_params.sr,
+        max_catchup_hops=meta.get("max_catchup", 1),
+        ml_model=ml_model,
+        ml_params=ml_params,
+        ml_t_window=meta.get("ml_t_window"),
+        with_led=meta.get("with_led", False),
+        with_viewer=meta.get("with_viewer", False),
+        fetch=meta.get("fetch", "full"),
+        mesh=mesh,
     )
     if server.rings.capacity != meta["capacity"]:  # defensive: rounding drift
         raise RuntimeError(
             f"restored capacity {server.rings.capacity} != saved {meta['capacity']}"
         )
+    # exact integers survive the float seconds roundtrip defensively
+    if "hop" in meta:
+        server._hop = int(meta["hop"])
+    if "max_lag" in meta:
+        server._max_lag = int(meta["max_lag"])
     rings = np.load(os.path.join(path, "server_rings.npz"))
     server.rings.import_state(rings["audio"], rings["heads"], rings["gains"])
 
     ckpt = ocp.StandardCheckpointer()
     template = init_state_batch(meta["n_streams"], vqt_params.n_buckets)
-    server.analysis_state = ckpt.restore(
-        os.path.join(path, "server_analysis_state"), template
+    # _put_state re-pins the mesh sharding and is the identity otherwise
+    server.analysis_state = server._put_state(
+        ckpt.restore(os.path.join(path, "server_analysis_state"), template)
     )
+    if meta.get("has_ml_state") and server.ml_state is not None:
+        server.ml_state = server._put_state(
+            ckpt.restore(os.path.join(path, "server_ml_state"), server.ml_state)
+        )
+    if server.balls_state is not None and os.path.isdir(
+        os.path.join(path, "server_balls_state")
+    ):
+        server.balls_state = server._put_state(
+            ckpt.restore(os.path.join(path, "server_balls_state"), server.balls_state)
+        )
     ckpt.close()
     return server

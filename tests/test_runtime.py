@@ -1291,3 +1291,68 @@ class TestServerFusedStages:
             )
         finally:
             srv.close()
+
+
+class TestServerCheckpointConfig:
+    """Round-4 checkpoint coverage: the serving config (ingest mode, hop
+    pacing, fused stages) and the full carried state (ML history, ball
+    fades) survive a restart."""
+
+    def test_restart_drill_with_fused_stages(self, tmp_path, small_params):
+        import jax
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.models.pitch_mlp import PitchMLP
+        from pitchvis_tpu.runtime.checkpoint import restore_server, save_server_state
+        from pitchvis_tpu.runtime.server import ServeOutputs, StreamServer
+
+        nb = small_params.n_buckets
+        T = 3
+        model = PitchMLP(input_bins=T * nb, mlp_size=32, mlp_layers=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, T * nb)))
+        kw = dict(
+            buffer_seconds=1.0, ml_model=model, ml_params=params,
+            ml_t_window=T, with_viewer=True, with_led=True,
+        )
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+
+        srv = StreamServer(2, small_params, **kw)
+        t = np.arange(int(sr * 0.8)) / sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        srv.push(0, tone)
+        for _ in range(3):
+            srv.step(dt=hop / sr)
+        save_server_state(str(tmp_path / "ck"), srv)
+
+        # continuing the ORIGINAL server = the uninterrupted reference
+        chunk = (0.1 * np.sin(2 * np.pi * f * (np.arange(hop) / sr + len(t) / sr))).astype(np.float32)
+        srv.push(0, chunk)
+        want, _ = srv.step(dt=hop / sr)
+        srv.close()
+
+        # a checkpoint with an ML history demands the model back
+        with pytest.raises(ValueError, match="ml_model"):
+            restore_server(str(tmp_path / "ck"))
+
+        srv2 = restore_server(str(tmp_path / "ck"), ml_model=model, ml_params=params)
+        try:
+            assert srv2.ingest == "delta" and srv2.with_led and srv2.with_viewer
+            assert srv2._hop == int(sr / 60.0)  # exact integer, no float drift
+            srv2.push(0, chunk)
+            got, _ = srv2.step(dt=hop / sr)
+            assert isinstance(got, ServeOutputs)
+            np.testing.assert_allclose(
+                np.asarray(got.ml_midi), np.asarray(want.ml_midi), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.viewer.balls.rgba),
+                np.asarray(want.viewer.balls.rgba),
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.analysis.peaks), np.asarray(want.analysis.peaks)
+            )
+        finally:
+            srv2.close()
