@@ -158,7 +158,8 @@ int64_t pv_rb_consume(void* handle, float* out, float* gains, uint8_t* advanced,
   for (int64_t s = 0; s < n_streams; ++s) {
     StreamRing& r = *bank->rings[s];
     const uint64_t head = r.head.load(std::memory_order_acquire);
-    uint64_t pos = r.consumed.load(std::memory_order_relaxed);
+    uint64_t loaded = r.consumed.load(std::memory_order_relaxed);
+    uint64_t pos = loaded;
     if (head < pos) pos = 0;  // ring was reset since the last consume
     uint64_t avail = head - pos;
     if (avail > (uint64_t)max_lag) {  // skip-ahead: drop the stale middle
@@ -175,7 +176,12 @@ int64_t pv_rb_consume(void* handle, float* out, float* gains, uint8_t* advanced,
       std::memset(dst, 0, n * sizeof(float));  // deterministic, never selected
       advanced[s] = 0;
     }
-    r.consumed.store(pos, std::memory_order_relaxed);
+    // CAS, not a plain store: a pv_rb_reset racing this consume sets
+    // consumed=0, and blindly writing the stale cursor back would make the
+    // new client's first `loaded` samples silently skippable. On CAS
+    // failure the reset's 0 wins (the advanced row's chunk came from the
+    // OLD client's audio and that slot's state is being recycled anyway).
+    r.consumed.compare_exchange_strong(loaded, pos, std::memory_order_relaxed);
     if (gains) gains[s] = r.gain.load(std::memory_order_relaxed);
   }
   return moved;
@@ -190,6 +196,35 @@ void pv_rb_mark_consumed(void* handle) {
   for (auto& rp : bank->rings) {
     rp->consumed.store(rp->head.load(std::memory_order_acquire),
                        std::memory_order_relaxed);
+  }
+}
+
+// Window materialization for the delta path: snapshot + mark_consumed fused
+// PER STREAM against the SAME head value — two separate calls would splice
+// out any samples pushed between them (the gap audio would be in neither
+// the materialized window nor any future consume). The cursor is set to
+// exactly the head the copy used, so a chunk racing the copy stays
+// unconsumed and arrives in the next pv_rb_consume.
+void pv_rb_snapshot_consume(void* handle, float* out, float* gains,
+                            int64_t window) {
+  auto* bank = static_cast<RingBank*>(handle);
+  const int64_t cap = bank->capacity;
+  const int64_t n_streams = (int64_t)bank->rings.size();
+  for (int64_t s = 0; s < n_streams; ++s) {
+    StreamRing& r = *bank->rings[s];
+    uint64_t loaded = r.consumed.load(std::memory_order_relaxed);
+    const uint64_t head = r.head.load(std::memory_order_acquire);
+    float* dst = out + s * window;
+    const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)window);
+    const int64_t pad = window - avail;
+    std::memset(dst, 0, pad * sizeof(float));
+    for (int64_t i = 0; i < avail; ++i) {
+      dst[pad + i] = r.buf[(head - avail + i) % cap];
+    }
+    // CAS for the same reset race as pv_rb_consume: a reset's consumed=0
+    // must win over this stale head
+    r.consumed.compare_exchange_strong(loaded, head, std::memory_order_relaxed);
+    if (gains) gains[s] = r.gain.load(std::memory_order_relaxed);
   }
 }
 

@@ -165,10 +165,10 @@ def restore_server(path: str, ml_model=None, ml_params=None, mesh=None):
         meta = json.load(f)
     vqt_params = _vqt_params_from_dict(meta["vqt_params"])
     analysis_params = _analysis_params_from_dict(meta["analysis_params"])
-    if meta.get("has_ml_state") and ml_model is None:
+    if meta.get("has_ml_state") and (ml_model is None or ml_params is None):
         raise ValueError(
-            "checkpoint carries an ML history; pass ml_model/ml_params to "
-            "restore_server to continue identical serving"
+            "checkpoint carries an ML history; pass BOTH ml_model and "
+            "ml_params to restore_server to continue identical serving"
         )
 
     server = StreamServer(

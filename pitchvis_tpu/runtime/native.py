@@ -59,6 +59,10 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
     ]
     lib.pv_rb_mark_consumed.argtypes = [ctypes.c_void_p]
+    lib.pv_rb_snapshot_consume.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
     lib.pv_rb_gain.restype = ctypes.c_double
     lib.pv_rb_gain.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.pv_rb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -216,6 +220,16 @@ class NativeRingBank:
         """Aligns every read cursor with its write head — call right after
         materializing a full-window snapshot so consume() continues from it."""
         self._lib.pv_rb_mark_consumed(self._handle)
+
+    def snapshot_consume(self, window: int) -> tuple[np.ndarray, np.ndarray]:
+        """snapshot + mark_consumed fused per stream against ONE head read:
+        samples pushed during the copy stay unconsumed (a separate
+        mark_consumed afterwards would splice them out of the audio). The
+        delta path's window (re)materialization primitive."""
+        out = np.empty((self.n_streams, window), np.float32)
+        gains = np.empty(self.n_streams, np.float32)
+        self._lib.pv_rb_snapshot_consume(self._handle, _fptr(out), _fptr(gains), window)
+        return out, gains
 
     def gain(self, stream: int) -> float:
         return float(self._lib.pv_rb_gain(self._handle, stream))

@@ -144,6 +144,14 @@ class StreamServer:
         self.kernel = get_kernel(self.vqt_params)
         self.arrays = make_vqt_arrays(self.kernel, path=path, fast=fast)
         capacity = max(int(round(self.vqt_params.sr * buffer_seconds)), self.vqt_params.n_fft)
+        if self._hop > capacity:
+            # pv_rb_consume's all-or-nothing read could then NEVER be
+            # satisfied (max_lag clamps to capacity < hop): every stream
+            # would silently freeze forever
+            raise ValueError(
+                f"hop_seconds ({self._hop} samples) exceeds the ring "
+                f"capacity ({capacity}); raise buffer_seconds or lower the hop"
+            )
         self.rings = NativeRingBank(n_streams, capacity)
         self.analysis_state = init_state_batch(n_streams, self.vqt_params.n_buckets)
         self.n_streams = n_streams
@@ -360,9 +368,11 @@ class StreamServer:
                 in_specs=(rep, batch, rep, batch, rep),
                 out_specs=(batch, batch), check_vma=False,
             ))
+            # dt is per-stream (B,) on the delta path (catch-up hops advance
+            # only the draining streams' clocks) -> batch spec, not rep
             self._delta_fn = jax.jit(jax.shard_map(
                 fused_delta, mesh=mesh,
-                in_specs=(rep, batch, rep, batch, batch, batch, rep),
+                in_specs=(rep, batch, rep, batch, batch, batch, batch),
                 out_specs=(batch, batch, batch), check_vma=False,
             ))
             self._delta_multi_fn = jax.jit(jax.shard_map(
@@ -460,10 +470,12 @@ class StreamServer:
             self.arrays = arrays
             self.vqt_params = vqt_params
             if layout_changed:
-                self.analysis_state = init_state_batch(
-                    self.n_streams, vqt_params.n_buckets
+                # fresh bin-indexed carries are created on the default
+                # device; re-pin the mesh sharding (identity otherwise)
+                self.analysis_state = self._put_state(
+                    init_state_batch(self.n_streams, vqt_params.n_buckets)
                 )
-                self.balls_state = self._init_balls(self.n_streams)
+                self.balls_state = self._put_state(self._init_balls(self.n_streams))
             self._refresh_dispatch()
             # the window length (tail/n_fft) may have changed; the delta
             # path re-materializes it from the ring on the next step (the
@@ -488,33 +500,63 @@ class StreamServer:
             return self._dispatch_delta(dt)
 
         for _ in range(3):  # retried only if a rebuild lands mid-step
-            with self._state_lock:
-                arrays, params = self.arrays, self.vqt_params
-                state = (self.analysis_state, self.ml_state, self.balls_state)
-                step_fn, snap_len, host_dtype = (
-                    self._step_fn, self._snap_len, self._host_dtype,
-                )
-                # `state` includes every reset applied so far; anything
-                # added to this set from here on landed mid-flight
-                self._resets_in_flight.clear()
+            arrays, params, state, step_fn, snap_len, host_dtype, _ = (
+                self._capture("_step_fn")
+            )
             windows, gains = self.rings.snapshot(snap_len)
             if host_dtype is not None:
                 windows = windows.astype(host_dtype)
             x = self._put_batch(windows)
             new_state, outputs = step_fn(arrays, state, self.ml_params, x, dt)
-            with self._state_lock:
-                if self.vqt_params is not params:
-                    continue  # rebuilt mid-step: recompute under the new set
-                # re-apply resets that raced the fused dispatch (their row
-                # in `new_state` was computed from the captured pre-reset
-                # state and would otherwise resurrect the old client)
-                for s in self._resets_in_flight:
-                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
-                if self._resets_in_flight:
-                    new_state = self._put_state(new_state)
-                self.analysis_state, self.ml_state, self.balls_state = new_state
-            return outputs, gains
+            if self._writeback(params, new_state, None):
+                return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
+
+    def _capture(self, fn_attr: str):
+        """Captures the dispatch plan + carried state under the lock; also
+        clears the resets-in-flight set (everything added after this point
+        landed mid-flight and is re-applied by _writeback)."""
+        with self._state_lock:
+            arrays, params = self.arrays, self.vqt_params
+            state = (self.analysis_state, self.ml_state, self.balls_state)
+            fn = getattr(self, fn_attr)
+            snap_len, host_dtype = self._snap_len, self._host_dtype
+            window = self._window
+            self._resets_in_flight.clear()
+        return arrays, params, state, fn, snap_len, host_dtype, window
+
+    def _materialize_window(self, snap_len: int, host_dtype):
+        """(Re)builds the device-resident window from the ring — a FUSED
+        native snapshot+mark against one head read per stream, so samples
+        racing the copy stay unconsumed (two separate calls would splice
+        them out of the audio: in neither the window nor any consume)."""
+        w, _ = self.rings.snapshot_consume(snap_len)
+        if host_dtype is not None:
+            w = w.astype(host_dtype)
+        return self._put_batch(w)
+
+    def _writeback(self, params, new_state, new_window) -> bool:
+        """Commits a hop's carried state; False = a rebuild landed mid-step
+        (caller recomputes under the new parameter set). Resets that raced
+        the dispatch are re-applied (their rows were computed from captured
+        pre-reset state and would otherwise resurrect the old client)."""
+        with self._state_lock:
+            if self.vqt_params is not params:
+                return False
+            for s in self._resets_in_flight:
+                new_state = reset_state_row(new_state, self._fresh_rows(), s)
+                if new_window is not None:
+                    new_window = new_window.at[s].set(0)
+            if self._resets_in_flight:
+                # row updates may drop the mesh sharding; re-pin it (a
+                # no-op device_put when already correctly placed)
+                new_state = self._put_state(new_state)
+                if new_window is not None:
+                    new_window = self._put_batch(new_window)
+            self.analysis_state, self.ml_state, self.balls_state = new_state
+            if new_window is not None:
+                self._window = new_window
+            return True
 
     def _dispatch_delta(self, dt: float):
         """Delta-ingest hop: consume the newly pushed `hop` samples per
@@ -525,22 +567,13 @@ class StreamServer:
         carry follows the same capture/write-back discipline as
         analysis_state, and is re-materialized from the ring whenever it is
         invalid (first step, post-rebuild, post-restore)."""
-        hop_dt = self._hop / self.vqt_params.sr
+        hop_dt = np.float32(self._hop / self.vqt_params.sr)
         for _ in range(3):  # retried only if a rebuild lands mid-step
-            with self._state_lock:
-                arrays, params = self.arrays, self.vqt_params
-                state = (self.analysis_state, self.ml_state, self.balls_state)
-                fn, snap_len, host_dtype = (
-                    self._delta_fn, self._snap_len, self._host_dtype,
-                )
-                window = self._window
-                self._resets_in_flight.clear()
+            arrays, params, state, fn, snap_len, host_dtype, window = (
+                self._capture("_delta_fn")
+            )
             if window is None or window.shape[1] != snap_len:
-                w, _ = self.rings.snapshot(snap_len)
-                if host_dtype is not None:
-                    w = w.astype(host_dtype)
-                window = self._put_batch(w)
-                self.rings.mark_consumed()
+                window = self._materialize_window(snap_len, host_dtype)
             new_state, new_window = state, window
             outputs = gains = None
             for k in range(1 + self._max_catchup):
@@ -549,29 +582,23 @@ class StreamServer:
                     break  # backlog drained; nothing would advance
                 if host_dtype is not None:
                     chunks = chunks.astype(host_dtype)
-                # hop 0 advances EMAs by the caller's wall-clock dt (streams
-                # that underran still decay, like a stalled snapshot);
-                # catch-up hops represent exactly hop/sr seconds of audio
+                # per-stream dt: hop 0 advances every stream by the caller's
+                # wall-clock dt (streams that underran still decay, like a
+                # stalled snapshot); a catch-up hop advances ONLY the
+                # draining streams' audio clocks — wall time did not pass
+                # again, so frozen neighbors must not double-decay
+                if k == 0:
+                    dt_b = np.full(self.n_streams, dt, np.float32)
+                else:
+                    dt_b = np.where(adv, hop_dt, np.float32(0.0)).astype(np.float32)
                 new_state, new_window, outputs = fn(
                     arrays, new_state, self.ml_params, new_window,
                     self._put_batch(chunks), self._put_batch(adv),
-                    dt if k == 0 else hop_dt,
+                    self._put_batch(dt_b),
                 )
                 gains = g
-            with self._state_lock:
-                if self.vqt_params is not params:
-                    continue  # rebuilt mid-step: recompute under the new set
-                for s in self._resets_in_flight:
-                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
-                    new_window = new_window.at[s].set(0)
-                if self._resets_in_flight:
-                    # row updates may drop the mesh sharding; re-pin it (a
-                    # no-op device_put when already correctly placed)
-                    new_state = self._put_state(new_state)
-                    new_window = self._put_batch(new_window)
-                self.analysis_state, self.ml_state, self.balls_state = new_state
-                self._window = new_window
-            return outputs, gains
+            if self._writeback(params, new_state, new_window):
+                return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 
     def step_multi(self, k: int, dt: float | None = None):
@@ -589,20 +616,11 @@ class StreamServer:
         hop_dt = (self._hop / self.vqt_params.sr) if dt is None else dt
         self._last_step = time.monotonic()
         for _ in range(3):  # retried only if a rebuild lands mid-step
-            with self._state_lock:
-                arrays, params = self.arrays, self.vqt_params
-                state = (self.analysis_state, self.ml_state, self.balls_state)
-                fn, snap_len, host_dtype = (
-                    self._delta_multi_fn, self._snap_len, self._host_dtype,
-                )
-                window = self._window
-                self._resets_in_flight.clear()
+            arrays, params, state, fn, snap_len, host_dtype, window = (
+                self._capture("_delta_multi_fn")
+            )
             if window is None or window.shape[1] != snap_len:
-                w, _ = self.rings.snapshot(snap_len)
-                if host_dtype is not None:
-                    w = w.astype(host_dtype)
-                window = self._put_batch(w)
-                self.rings.mark_consumed()
+                window = self._materialize_window(snap_len, host_dtype)
             chunks = np.empty((k, self.n_streams, self._hop), np.float32)
             advs = np.empty((k, self.n_streams), bool)
             gains = None
@@ -615,20 +633,8 @@ class StreamServer:
                 arrays, state, self.ml_params, window,
                 self._put_scan_batch(staged), self._put_scan_batch(advs), hop_dt,
             )
-            with self._state_lock:
-                if self.vqt_params is not params:
-                    continue  # rebuilt mid-step: recompute under the new set
-                for s in self._resets_in_flight:
-                    new_state = reset_state_row(new_state, self._fresh_rows(), s)
-                    new_window = new_window.at[s].set(0)
-                if self._resets_in_flight:
-                    # row updates may drop the mesh sharding; re-pin it (a
-                    # no-op device_put when already correctly placed)
-                    new_state = self._put_state(new_state)
-                    new_window = self._put_batch(new_window)
-                self.analysis_state, self.ml_state, self.balls_state = new_state
-                self._window = new_window
-            return outputs, gains
+            if self._writeback(params, new_state, new_window):
+                return outputs, gains
         raise RuntimeError("rebuild storm: step_multi() could not complete")
 
     def step(self, pipelined: bool = False, dt: float | None = None):

@@ -220,11 +220,11 @@ class TestShardedStreamServer:
                 np.zeros((srv.n_streams, hop), srv._host_dtype or np.float32)
             )
             advs = srv._put_batch(np.ones(srv.n_streams, bool))
+            dt_b = srv._put_batch(np.full(srv.n_streams, 1.0 / 60.0, np.float32))
             args = (
                 srv.arrays,
                 (srv.analysis_state, srv.ml_state, srv.balls_state),
-                srv.ml_params, srv._window, chunks, advs,
-                np.float32(1.0 / 60.0),
+                srv.ml_params, srv._window, chunks, advs, dt_b,
             )
             text = srv._delta_fn.lower(*args).compile().as_text()
             for op in (

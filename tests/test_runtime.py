@@ -1090,6 +1090,65 @@ class TestDeltaIngest:
             bank.close()
         assert consumed >= N - 4096
 
+    def test_snapshot_consume_loses_no_samples(self):
+        """Window materialization is a FUSED snapshot+mark: samples pushed
+        after it are fully consumable (a separate mark_consumed after the
+        copy would splice out anything pushed in between)."""
+        from pitchvis_tpu.runtime.native import NativeRingBank
+
+        bank = NativeRingBank(1, 1000)
+        try:
+            bank.write(0, np.arange(100, dtype=np.float32), agc=False)
+            win, _ = bank.snapshot_consume(64)
+            np.testing.assert_array_equal(win[0], np.arange(36, 100, dtype=np.float32))
+            bank.write(0, np.arange(100, 108, dtype=np.float32), agc=False)
+            chunks, _, adv = bank.consume(8)
+            assert adv[0]
+            np.testing.assert_array_equal(
+                chunks[0], np.arange(100, 108, dtype=np.float32)
+            )
+        finally:
+            bank.close()
+
+    def test_catchup_hop_does_not_double_decay_neighbors(self, small_params):
+        """A bursty neighbor's catch-up hop must advance ONLY the draining
+        stream's clock: the steady stream's trajectory stays bit-identical
+        to the snapshot path through the burst."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        tt = np.arange(hop) / sr
+
+        servers = {
+            ingest: StreamServer(2, small_params, buffer_seconds=1.0, ingest=ingest)
+            for ingest in ("snapshot", "delta")
+        }
+        try:
+            for srv in servers.values():
+                srv.push(0, tone)
+                srv.push(1, tone)
+            phase = len(tone) / sr
+            for i in range(8):
+                chunk = (0.1 * np.sin(2 * np.pi * f * (tt + phase))).astype(np.float32)
+                phase += hop / sr
+                for srv in servers.values():
+                    srv.push(0, chunk)
+                    if i == 3:  # stream 1 bursts two hops at once
+                        srv.push(1, np.tile(chunk, 2))
+                    elif i != 4:  # and skips the next frame (rate-matched)
+                        srv.push(1, chunk)
+                outs = {k: srv.step(dt=1.0 / 60.0) for k, srv in servers.items()}
+                # stream 0 (steady) must never see the neighbor's burst
+                np.testing.assert_array_equal(
+                    np.asarray(outs["delta"][0].x_vqt_smoothed[0]),
+                    np.asarray(outs["snapshot"][0].x_vqt_smoothed[0]),
+                    err_msg=f"hop {i}",
+                )
+        finally:
+            for srv in servers.values():
+                srv.close()
 
 class TestServerFusedStages:
     """Fused output stages on the ingest server (ML / LED / viewer /
