@@ -251,3 +251,27 @@ class TestShardedStreamServer:
             assert not np.asarray(out.peaks[3]).any()  # reset slot silenced
         finally:
             srv.close()
+
+    def test_sharded_snapshot_mode(self, small_params):
+        """ingest="snapshot" + mesh: the re-shipped-window program is also
+        shard_map-partitioned (scalar dt spec, unlike the delta path)."""
+        from pitchvis_tpu.parallel.sharding import make_mesh
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        mesh = make_mesh(8)
+        srv = StreamServer(
+            8, small_params, buffer_seconds=1.0, path="pallas", fast=True,
+            mesh=mesh, ingest="snapshot",
+        )
+        try:
+            f = small_params.range.min_freq * 2.0 ** (
+                30.0 / small_params.range.buckets_per_octave
+            )
+            t = np.arange(int(small_params.sr * 0.8)) / small_params.sr
+            srv.push(0, (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32))
+            out, _ = srv.step(dt=1.0 / 60.0)
+            assert len(out.x_vqt_smoothed.sharding.device_set) == 8
+            assert np.asarray(out.peaks[0]).any()
+            assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+        finally:
+            srv.close()
