@@ -24,6 +24,7 @@ from .models.analysis import (
     init_state_batch,
 )
 from .models.pipeline import PipelineState, StreamingPipeline, pipeline_step
+from .runtime.server import CompactOutputs, ServeOutputs, StreamServer
 from .ops.vqt import (
     Vqt,
     VqtArrays,
@@ -56,6 +57,9 @@ __all__ = [
     "PipelineState",
     "StreamingPipeline",
     "pipeline_step",
+    "StreamServer",
+    "ServeOutputs",
+    "CompactOutputs",
     "build_kernel",
     "get_kernel",
     "kernel_stats",
