@@ -173,6 +173,7 @@ def serve(args) -> int:
     input_sr = args.input_sr or sr
     hop = int(input_sr / args.fps)  # read cadence follows the producer rate
 
+    server = None
     try:
         from .runtime.server import StreamServer
 
@@ -260,6 +261,8 @@ def serve(args) -> int:
     finally:
         if led_out is not None:
             led_out.close()
+        if server is not None and server.stats["hops"]:
+            print(f"serving stats: {server.stats}", file=sys.stderr)
     return 0
 
 

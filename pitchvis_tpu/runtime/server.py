@@ -175,6 +175,16 @@ class StreamServer:
                 self.ml_params = replicate(mesh, self.ml_params)
         self._last_step = None
         self._pending = None  # in-flight (outputs, gains) when pipelining
+        # serving observability (the reference surfaces its runtime stats in
+        # the debug UI, common.rs:244-318): updated by the analysis thread,
+        # read by anyone (plain ints; last-writer-wins is fine for counters)
+        self.stats = {
+            "hops": 0,  # fused dispatches (incl. catch-up + multi inner hops)
+            "catchup_hops": 0,  # extra hops draining bursty backlogs
+            "advanced": 0,  # stream-hops that consumed audio
+            "frozen": 0,  # stream-hops frozen by producer underrun
+            "materializations": 0,  # full-window rebuilds (init/rebuild/restore)
+        }
         # serializes the read-modify-write of analysis_state between the
         # analysis thread (step) and the control plane (reset_stream): a
         # reset landing mid-step would otherwise be overwritten by step's
@@ -533,6 +543,7 @@ class StreamServer:
         w, _ = self.rings.snapshot_consume(snap_len)
         if host_dtype is not None:
             w = w.astype(host_dtype)
+        self.stats["materializations"] += 1
         return self._put_batch(w)
 
     def _writeback(self, params, new_state, new_window) -> bool:
@@ -597,6 +608,11 @@ class StreamServer:
                     self._put_batch(dt_b),
                 )
                 gains = g
+                n_adv = int(adv.sum())
+                self.stats["hops"] += 1
+                self.stats["catchup_hops"] += int(k > 0)
+                self.stats["advanced"] += n_adv
+                self.stats["frozen"] += self.n_streams - n_adv
             if self._writeback(params, new_state, new_window):
                 return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
@@ -629,6 +645,10 @@ class StreamServer:
                     self._hop, self._max_lag
                 )
             staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
+            n_adv = int(advs.sum())
+            self.stats["hops"] += k
+            self.stats["advanced"] += n_adv
+            self.stats["frozen"] += k * self.n_streams - n_adv
             new_state, new_window, outputs = fn(
                 arrays, state, self.ml_params, window,
                 self._put_scan_batch(staged), self._put_scan_batch(advs), hop_dt,

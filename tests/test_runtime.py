@@ -1149,6 +1149,71 @@ class TestDeltaIngest:
         finally:
             for srv in servers.values():
                 srv.close()
+    def test_stats_counters(self, small_params):
+        """Serving observability: hop/catch-up/underrun counters track the
+        consume outcomes (the reference's debug-UI runtime stats)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        srv = StreamServer(2, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            srv.push(0, tone)
+            srv.step(dt=1.0 / 60.0)  # materialize + hop (nothing advances)
+            assert srv.stats["materializations"] == 1
+            assert srv.stats["hops"] == 1 and srv.stats["advanced"] == 0
+            tt = np.arange(hop) / sr
+            chunk = (0.1 * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+            srv.push(0, chunk)  # stream 1 underruns
+            srv.step(dt=1.0 / 60.0)
+            assert srv.stats["advanced"] == 1 and srv.stats["frozen"] >= 3
+            srv.push(0, np.tile(chunk, 2))  # burst -> catch-up hop
+            srv.step(dt=1.0 / 60.0)
+            assert srv.stats["catchup_hops"] == 1
+        finally:
+            srv.close()
+
+    def test_randomized_schedule_stays_sane(self, small_params):
+        """Model-based fuzz: a random interleaving of push (random sizes),
+        step, step_multi, reset_stream, and a live rebuild must keep every
+        output finite, every invariant of the consume cursors intact, and
+        never deadlock (bounded op count)."""
+        from dataclasses import replace
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        rng = np.random.default_rng(42)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        srv = StreamServer(3, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            rebuilt = False
+            for i in range(60):
+                op = rng.choice(["push", "push", "push", "step", "step",
+                                 "multi", "reset", "rebuild"])
+                if op == "push":
+                    s = int(rng.integers(3))
+                    n = int(rng.integers(1, 3 * hop))
+                    srv.push(s, (rng.standard_normal(n) * 0.05).astype(np.float32))
+                elif op == "step":
+                    out, gains = srv.step(dt=1.0 / 60.0)
+                    assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all(), i
+                    assert np.isfinite(gains).all(), i
+                elif op == "multi":
+                    out, _ = srv.step_multi(int(rng.integers(1, 4)))
+                    assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all(), i
+                elif op == "reset":
+                    srv.reset_stream(int(rng.integers(3)))
+                elif op == "rebuild" and not rebuilt:
+                    srv.rebuild(replace(small_params, quality=small_params.quality * 1.2))
+                    rebuilt = True
+            # cursors never overtake heads (consume-side invariant)
+            for s in range(3):
+                chunks, _, adv = srv.rings.consume(hop, srv._max_lag)
+                assert np.isfinite(chunks).all()
+        finally:
+            srv.close()
 
 class TestServerFusedStages:
     """Fused output stages on the ingest server (ML / LED / viewer /
