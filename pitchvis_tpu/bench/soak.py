@@ -211,6 +211,7 @@ def soak_server(
         "resets": resets,
         "rebuild_wall_s": rebuilds,
         "outputs_finite": finite,
+        "serving_stats": dict(server.stats),
     }
 
 

@@ -1,12 +1,16 @@
 """Multi-stream serving runtime.
 
 Combines the native lock-free ring bank (ingest side, written by arbitrary
-producer threads) with the jitted device pipeline (compute side): the
-analysis thread snapshots all streams' trailing windows in one native call,
-stages them onto the device, and runs VQT + analysis for the whole batch.
-This is the production counterpart of the reference's audio-thread /
-main-thread split (pitchvis_viewer/src/vqt_system.rs:40-68) scaled to
-thousands of streams per chip.
+producer threads) with the jitted device pipeline (compute side). In the
+default ``ingest="delta"`` mode the rolling analysis windows live ON the
+device: each hop the analysis thread consumes only the newly pushed samples
+per stream (native read cursors, freeze-on-underrun) and the fused program
+rolls the windows, runs the VQT + analysis (+ optional ML/LED/viewer
+stages), optionally sharded over every local chip. This is the production
+counterpart of the reference's audio-thread / main-thread split
+(pitchvis_viewer/src/vqt_system.rs:40-68) scaled to thousands of streams
+per chip; ``ingest="snapshot"`` keeps the original re-ship-the-window data
+path for parity tests and one-shot analyses.
 
 AGC runs in the native ingest (per-chunk, like the reference's audio
 callback), so the device pipeline receives pre-gained samples; the device
