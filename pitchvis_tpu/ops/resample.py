@@ -115,3 +115,96 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int, taps_per_phase: int = 24) -
     rs = PolyphaseResampler(sr_in, sr_out, n, taps_per_phase)
     _, out = rs.process(rs.init_state(x.shape[0]), jnp.asarray(x[..., :n]))
     return np.asarray(out)
+
+
+class FftChunkResampler:
+    """Streaming FFT-domain resampler — the algorithm family of rubato's
+    `FftFixedIn` (/root/reference/pitchvis_audio/src/audio_wasm.rs:176-209):
+    fixed-size input chunks are windowed, rFFT'd, the spectrum is multiplied
+    by an antialiasing rolloff and truncated (or zero-padded) to the output
+    length, inverse-transformed at the new rate, and windowed-overlap-added.
+
+    This is the repo's *independent validation oracle* for the serving-path
+    `PolyphaseResampler` — a from-scratch second implementation of the
+    reference's resampling design, agreeing with the polyphase to within the
+    filters' passband spec (tests/test_stream.py::TestResamplerCrossValidation).
+    Host-side f64 NumPy by design; the serving path stays polyphase.
+
+    Structure: FFT sizes n_in = c*M and n_out = c*L span the SAME wall-clock
+    interval at the two rates; 50%-overlapped sqrt-Hann analysis/synthesis
+    windows give exact COLA, so apart from the antialiasing filter the
+    round trip is an identity on band-limited content.
+    """
+
+    def __init__(self, sr_in: int, sr_out: int, c: int = 32, cutoff: float = 0.95):
+        g = math.gcd(sr_in, sr_out)
+        l, m = sr_out // g, sr_in // g
+        while (c * l) % 2 or (c * m) % 2 or c * m < 4096:
+            c *= 2
+        self.sr_in, self.sr_out = sr_in, sr_out
+        self._l, self._m = l, m
+        self.n_in, self.n_out = c * m, c * l
+        self.h_in, self.h_out = self.n_in // 2, self.n_out // 2
+
+        def sqrt_hann(n: int) -> np.ndarray:
+            return np.sqrt(0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n))
+
+        self._w_in = sqrt_hann(self.n_in)
+        self._w_out = sqrt_hann(self.n_out)
+
+        # antialiasing rolloff below the tighter Nyquist (rubato's `cutoff`):
+        # unity passband, raised-cosine transition from cutoff*nyq to nyq.
+        n_bins = min(self.n_in // 2 + 1, self.n_out // 2 + 1)
+        f = np.arange(n_bins) * sr_in / self.n_in
+        nyq = 0.5 * min(sr_in, sr_out)
+        filt = np.ones(n_bins)
+        hi = f >= nyq
+        trans = (f >= cutoff * nyq) & ~hi
+        filt[trans] = 0.5 + 0.5 * np.cos(
+            np.pi * (f[trans] - cutoff * nyq) / (nyq - cutoff * nyq)
+        )
+        filt[hi] = 0.0
+        self._filt = filt
+        self._n_bins = n_bins
+
+        # streaming state: pending input + synthesis overlap tail
+        self._pending = np.zeros(0, np.float64)
+        self._ola = np.zeros(self.n_out - self.h_out, np.float64)
+        self._primed = False
+
+    @property
+    def delay_secs(self) -> float:
+        """Windowed OLA adds no filter delay; the first analysis window is
+        centered h_in samples in, so output sample 0 corresponds to input
+        sample 0 once the first half-window warmup is discarded."""
+        return 0.0
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed input samples; returns whatever output samples completed.
+        The first h_out returned samples are the half-window warmup ramp."""
+        self._pending = np.concatenate([self._pending, np.asarray(chunk, np.float64)])
+        outs = []
+        while len(self._pending) >= self.n_in:
+            seg = self._pending[: self.n_in]
+            self._pending = self._pending[self.h_in :]
+            spec = np.fft.rfft(seg * self._w_in)
+            out_spec = np.zeros(self.n_out // 2 + 1, np.complex128)
+            out_spec[: self._n_bins] = spec[: self._n_bins] * self._filt
+            y = np.fft.irfft(out_spec, self.n_out) * (self.n_out / self.n_in)
+            y *= self._w_out
+            y[: self.n_out - self.h_out] += self._ola
+            outs.append(y[: self.h_out])
+            self._ola = y[self.h_out :]
+        if outs:
+            return np.concatenate(outs)
+        return np.zeros(0, np.float64)
+
+    def resample(self, x: np.ndarray) -> np.ndarray:
+        """Offline: resample a full 1-D signal, time-aligned so y[j]
+        estimates x at t = j / sr_out. A half-window zero lead-in completes
+        the COLA sum at the signal start; the tail is flushed with zeros."""
+        x = np.asarray(x, np.float64)
+        pad = np.zeros(self.h_in)
+        y = self.process(np.concatenate([pad, x, pad, pad]))
+        n_exp = len(x) * self._l // self._m
+        return y[self.h_out : self.h_out + n_exp]

@@ -204,6 +204,111 @@ class TestResamplerSpecContract:
         assert abs(measured - rs.delay_secs) < 1.0 / sr_out
 
 
+class TestResamplerCrossValidation:
+    """Mutual validation of the serving-path PolyphaseResampler against an
+    INDEPENDENT second implementation of the reference's resampling design:
+    `FftChunkResampler`, the FFT-domain chunk algorithm family of rubato's
+    `FftFixedIn` (audio_wasm.rs:176-209 — fixed input chunks, spectrum
+    antialias + truncation, overlap-add). rubato's exact output is not
+    reproducible here (no Rust toolchain), so two from-scratch designs
+    agreeing to the filters' passband spec is the strongest available
+    substitute (ROADMAP item 1 honesty framing)."""
+
+    @staticmethod
+    def _align_poly(yp: np.ndarray, delay_out_samples: float, n: int) -> np.ndarray:
+        """Remove the polyphase group delay with an exact fractional shift
+        (FFT phase ramp) so the two outputs share a time base."""
+        spec = np.fft.rfft(yp[:n].astype(np.float64))
+        f = np.fft.rfftfreq(n)
+        return np.fft.irfft(spec * np.exp(2j * np.pi * f * delay_out_samples), n)
+
+    @staticmethod
+    def _poly_delay_out(sr_in: int, sr_out: int = 22050) -> float:
+        from pitchvis_tpu.ops.resample import make_spec
+
+        spec = make_spec(sr_in, sr_out)
+        return (spec.taps_per_phase * spec.l - 1) / 2.0 / (spec.l * sr_in) * sr_out
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_fft_oracle_matches_analytic(self, sr_in):
+        """The oracle itself is validated against closed-form truth: a
+        two-tone resampled by FftChunkResampler matches the analytically
+        resampled signal to > 120 dB SNR."""
+        from pitchvis_tpu.ops.resample import FftChunkResampler
+
+        sr_out = 22050
+        t = np.arange(sr_in) / sr_in
+        x = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.25 * np.sin(2 * np.pi * 1320.0 * t)
+        y = FftChunkResampler(sr_in, sr_out).resample(x)
+        ty = np.arange(len(y)) / sr_out
+        ref = 0.5 * np.sin(2 * np.pi * 440.0 * ty) + 0.25 * np.sin(2 * np.pi * 1320.0 * ty)
+        sl = slice(1000, len(y) - 1000)
+        snr = 10 * np.log10(np.mean(ref[sl] ** 2) / np.mean((y[sl] - ref[sl]) ** 2))
+        assert snr > 120.0, snr
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_polyphase_matches_fft_oracle_tones(self, sr_in):
+        from pitchvis_tpu.ops.resample import FftChunkResampler
+
+        sr_out = 22050
+        t = np.arange(sr_in) / sr_in
+        x = (
+            0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.25 * np.sin(2 * np.pi * 1320.0 * t)
+        ).astype(np.float32)
+        y = FftChunkResampler(sr_in, sr_out).resample(x)
+        yp = resample(x, sr_in, sr_out)[0]
+        n = min(len(y), len(yp))
+        ypa = self._align_poly(yp, self._poly_delay_out(sr_in), n)
+        sl = slice(2000, n - 2000)
+        snr = 10 * np.log10(np.mean(y[sl] ** 2) / np.mean((ypa[sl] - y[sl]) ** 2))
+        assert snr > 70.0, snr  # measured ~88-91 dB (f32 polyphase floor)
+
+    @pytest.mark.parametrize("sr_in", [44100, 48000])
+    def test_polyphase_matches_fft_oracle_noise(self, sr_in):
+        """Band-limited (50 Hz - 5 kHz, the VQT analysis band) noise through
+        both implementations agrees sample-for-sample after group-delay
+        alignment — the broadband version of the tone contract."""
+        from pitchvis_tpu.ops.resample import FftChunkResampler
+
+        sr_out = 22050
+        rng = np.random.default_rng(1)
+        n = sr_in
+        w = np.fft.rfft(rng.standard_normal(n))
+        fr = np.fft.rfftfreq(n, 1 / sr_in)
+        w[(fr < 50) | (fr > 5000)] = 0
+        x = np.fft.irfft(w, n)
+        x = (0.2 * x / np.abs(x).max()).astype(np.float32)
+        y = FftChunkResampler(sr_in, sr_out).resample(x)
+        yp = resample(x, sr_in, sr_out)[0]
+        nn = min(len(y), len(yp))
+        ypa = self._align_poly(yp, self._poly_delay_out(sr_in), nn)
+        sl = slice(2000, nn - 2000)
+        snr = 10 * np.log10(np.mean(y[sl] ** 2) / np.mean((ypa[sl] - y[sl]) ** 2))
+        assert snr > 50.0, snr  # measured ~61-65 dB
+
+    def test_fft_streaming_ragged_chunks_match_offline(self):
+        """FftChunkResampler's streaming process() is chunk-size invariant
+        (bit-exact), like the polyphase streaming contract above."""
+        from pitchvis_tpu.ops.resample import FftChunkResampler
+
+        sr_in, sr_out = 48000, 22050
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(sr_in // 2) * 0.1).astype(np.float32)
+        offline = FftChunkResampler(sr_in, sr_out).resample(x)
+
+        r = FftChunkResampler(sr_in, sr_out)
+        xs = np.concatenate([np.zeros(r.h_in), x, np.zeros(2 * r.h_in)])
+        outs, i = [], 0
+        while i < len(xs):
+            c = int(rng.integers(1, 5000))
+            outs.append(r.process(xs[i : i + c]))
+            i += c
+        ys = np.concatenate([o for o in outs if len(o)])
+        np.testing.assert_array_equal(
+            ys[r.h_out : r.h_out + len(offline)], offline
+        )
+
+
 class TestPipeline:
     def test_step_multi_matches_sequential(self, small_params):
         """K hops via the scanned multi-step equal K sequential steps."""
