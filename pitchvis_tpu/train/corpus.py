@@ -228,6 +228,7 @@ def train_demo(
     seed: int = 0,
     target_frames: int | None = None,
     metrics_copy: str | None = "artifacts/TRAIN_DEMO.json",
+    tuned: bool = False,
 ) -> dict:
     """Font -> corpus -> labeled dataset -> training -> committed metrics.
 
@@ -236,7 +237,7 @@ def train_demo(
     dataset size is n_files * seconds_per_file * ~3.7 frames/s."""
     from ..core.config import TRAIN_VQT_PARAMETERS
     from .dataset import generate_dataset
-    from .train import TrainConfig, train
+    from .train import TrainConfig, train, tuned_config
 
     os.makedirs(out_dir, exist_ok=True)
     font_path = os.path.join(out_dir, "train_font.sf2")
@@ -265,11 +266,13 @@ def train_demo(
         raise RuntimeError(f"corpus produced {n_frames} frames < target {target_frames}")
 
     t0 = time.time()
-    cfg = TrainConfig(n_buckets=TRAIN_VQT_PARAMETERS.n_buckets, epochs=epochs, seed=seed)
+    mk = tuned_config if tuned else TrainConfig
+    cfg = mk(n_buckets=TRAIN_VQT_PARAMETERS.n_buckets, epochs=epochs, seed=seed)
     params, metrics = train(data, cfg, checkpoint_dir=os.path.join(out_dir, "ckpt"))
     wall["train"] = time.time() - t0
 
     report = {
+        "recipe": "tuned (AdamW warmup-cosine)" if tuned else "reference hparams",
         "n_files": n_files,
         "seconds_per_file": seconds_per_file,
         "n_frames": n_frames,
@@ -301,12 +304,22 @@ def main(argv: list[str] | None = None) -> int:
         "--quick", action="store_true",
         help="tiny smoke run (4 files x 10 s, 2 epochs)",
     )
+    ap.add_argument(
+        "--tuned", action="store_true",
+        help="modernized optimizer recipe (AdamW + warmup-cosine) instead of "
+        "the reference's hyperparameters; writes TRAIN_DEMO_TUNED.json",
+    )
     args = ap.parse_args(argv)
     if args.quick:
         args.files, args.seconds, args.epochs = 4, 10.0, 2
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    metrics_copy = None
+    if not args.quick:
+        metrics_copy = (
+            "artifacts/TRAIN_DEMO_TUNED.json" if args.tuned else "artifacts/TRAIN_DEMO.json"
+        )
     report = train_demo(
         out_dir=args.out,
         n_files=args.files,
@@ -315,7 +328,8 @@ def main(argv: list[str] | None = None) -> int:
         n_workers=args.workers,
         seed=args.seed,
         target_frames=args.target_frames,
-        metrics_copy=None if args.quick else "artifacts/TRAIN_DEMO.json",
+        metrics_copy=metrics_copy,
+        tuned=args.tuned,
     )
     print(json.dumps({
         "n_frames": report["n_frames"],

@@ -42,6 +42,30 @@ class TrainConfig:
     eps: float = 1.1920929e-7
     train_fraction: float = 0.8
     seed: int = 0
+    # --- tuned-mode knobs (defaults reproduce the reference exactly) ---
+    # schedule: "const" = reference (fixed lr, additive torch-Adam decay);
+    # "warmup_cosine" = linear warmup then cosine decay with DECOUPLED
+    # weight decay (AdamW) — converges far past the reference's plateau.
+    schedule: str = "const"
+    warmup_frac: float = 0.05
+    steps_hint: int = 0  # total steps for the schedule; set by train()
+
+
+def tuned_config(**overrides) -> TrainConfig:
+    """A deliberately-better-than-reference recipe: same model, same data,
+    same split/eval — only the optimizer is modernized (AdamW, lr 3e-4,
+    5% linear warmup, cosine decay, batch 1024). The reference's lr=1e-5
+    constant-lr torch-Adam (train.py:144) leaves the model far from
+    converged at 32 epochs; this recipe is the framework's "beat the
+    baseline" training mode. Reference hparams remain the default."""
+    base = dict(
+        learning_rate=3e-4,
+        batch_size=1024,
+        eps=1e-8,
+        schedule="warmup_cosine",
+    )
+    base.update(overrides)
+    return TrainConfig(**base)
 
 
 def window_data(flat: np.ndarray, cfg: TrainConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -72,6 +96,23 @@ def make_model(cfg: TrainConfig) -> PitchMLP:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.schedule == "warmup_cosine":
+        total = max(cfg.steps_hint, 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=max(int(total * cfg.warmup_frac), 1),
+            decay_steps=total,
+        )
+        # decoupled (AdamW) decay: applied after the moment update, scaled
+        # by the live lr — unlike the reference's additive torch-Adam decay.
+        return optax.chain(
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
+    # reference-exact: torch Adam semantics (decay added to the gradient
+    # BEFORE the moment update), constant lr (train.py:144).
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps),
@@ -131,6 +172,8 @@ def train(
     train_idx, test_idx = perm[:n_train], perm[n_train:]
 
     model = make_model(cfg)
+    per_epoch = max((n_train - cfg.batch_size) // cfg.batch_size + 1, 0)
+    cfg = dataclasses.replace(cfg, steps_hint=cfg.epochs * per_epoch)
     tx = make_optimizer(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key, jnp.zeros((1, 1, cfg.t_window * cfg.n_buckets)))

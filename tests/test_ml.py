@@ -91,3 +91,39 @@ class TestTraining:
         a = model.apply(params, jnp.asarray(x[:4]))
         b = model.apply(restored, jnp.asarray(x[:4]))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_tuned_recipe_learns(self):
+        """The tuned (AdamW warmup-cosine) mode trains at least as well as
+        the reference recipe on the synthetic task, and its schedule really
+        decays (peak lr is only hit after warmup)."""
+        from pitchvis_tpu.train.train import make_optimizer, tuned_config
+        import dataclasses
+        import optax
+
+        cfg = tuned_config(
+            n_buckets=48, t_window=3, mlp_size=64, mlp_layers=2, epochs=10,
+            batch_size=32, learning_rate=2e-3,
+        )
+        assert cfg.schedule == "warmup_cosine"
+        data = synthetic_dataset()
+        params, metrics = train(data, cfg)
+        assert metrics["f1_micro"] > 0.6
+
+        # the schedule shape: 0 at step 0, peak at warmup end, ~0 at the end
+        sched_cfg = dataclasses.replace(cfg, steps_hint=100)
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, sched_cfg.learning_rate,
+            max(int(100 * sched_cfg.warmup_frac), 1), 100,
+        )
+        assert float(lr(0)) < float(lr(5))
+        np.testing.assert_allclose(float(lr(5)), sched_cfg.learning_rate, rtol=1e-5)
+        assert float(lr(99)) < 0.1 * sched_cfg.learning_rate
+
+    def test_default_config_is_reference_exact(self):
+        """Guards the parity contract: TrainConfig() must keep the
+        reference's hyperparameters (train.py:108-146) untouched."""
+        cfg = TrainConfig()
+        assert cfg.schedule == "const"
+        assert cfg.learning_rate == 1e-5
+        assert cfg.batch_size == 300
+        assert cfg.eps == 1.1920929e-7
