@@ -417,7 +417,12 @@ class TestStreamServerSoak:
         steps = 0
         t0 = _time.monotonic()
         try:
-            while _time.monotonic() - t0 < 6.0:
+            # liveness as a DEADLINE, not a rate: 3 steps must complete
+            # within 120 s (plenty even when the burst-throttled 1-core host
+            # is simultaneously running another job); a rate assertion over
+            # a fixed window is flaky under contention — bench/soak.py on
+            # the real chip owns all rate claims
+            while steps < 3 and _time.monotonic() - t0 < 120.0:
                 out, gains = server.step()
                 assert np.all(np.isfinite(np.asarray(out.x_vqt_smoothed)))
                 assert np.all(np.isfinite(gains))
@@ -426,11 +431,7 @@ class TestStreamServerSoak:
             stop.set()
             for t in threads:
                 t.join(timeout=30)
-        # liveness, not throughput: >=2 proves the analysis thread makes
-        # progress under full producer contention (the absolute rate is
-        # burst-throttle noise on this 1-core host; the real-chip soak in
-        # bench/soak.py owns the rate claims)
-        assert steps >= 2, f"step rate collapsed: {steps} steps in 6s"
+        assert steps >= 3, f"analysis thread stalled: {steps} steps in 120s"
         assert sum(writes) > 100, f"producers starved: {writes}"
 
         # quiesced: every stream's window must hold ITS band's value
