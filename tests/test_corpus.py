@@ -70,3 +70,26 @@ class TestCorpusBuild:
         p1 = build_midi_corpus(str(tmp_path / "a"), 1, seconds_per_file=8.0, seed=1)
         p2 = build_midi_corpus(str(tmp_path / "b"), 1, seconds_per_file=8.0, seed=2)
         assert open(p1[0], "rb").read() != open(p2[0], "rb").read()
+
+
+class TestTunedCli:
+    def test_tuned_flag_reaches_train_demo(self, monkeypatch):
+        """--tuned selects the tuned recipe and the TUNED metrics artifact;
+        --quick suppresses the artifact copy entirely."""
+        from pitchvis_tpu.train import corpus
+
+        calls = []
+
+        def fake_train_demo(**kw):
+            calls.append(kw)
+            return {"n_frames": 1, "metrics": {"f1_micro": 0.0, "accuracy": 0.0}}
+
+        monkeypatch.setattr(corpus, "train_demo", fake_train_demo)
+        assert corpus.main(["--tuned"]) == 0
+        assert calls[-1]["tuned"] is True
+        assert calls[-1]["metrics_copy"] == "artifacts/TRAIN_DEMO_TUNED.json"
+        assert corpus.main([]) == 0
+        assert calls[-1]["tuned"] is False
+        assert calls[-1]["metrics_copy"] == "artifacts/TRAIN_DEMO.json"
+        assert corpus.main(["--quick", "--tuned"]) == 0
+        assert calls[-1]["metrics_copy"] is None
