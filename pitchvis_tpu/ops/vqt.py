@@ -279,6 +279,13 @@ class Vqt:
     def n_buckets(self) -> int:
         return self.params.n_buckets
 
+    @property
+    def delay(self) -> float:
+        """Algorithmic latency in seconds — the reference's `vqt.delay`
+        (vqt.rs:505, 756: (n_fft - window_center)/sr). Alias of
+        `delay_secs` for drop-in familiarity."""
+        return self.delay_secs
+
     def calculate_vqt_instant_in_db(self, x) -> np.ndarray:
         """Single-frame convenience wrapper (vqt.rs:866). x: (n_fft,)."""
         x = jnp.asarray(x, dtype=jnp.float32)[None, :]

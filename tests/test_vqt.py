@@ -32,6 +32,11 @@ class TestParity:
         b = Vqt(small_params, path="time").calculate_vqt_batch_in_db(x)
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-4
 
+    def test_delay_alias(self, small_params):
+        """vqt.delay (the reference's attribute name) == delay_secs > 0."""
+        v = Vqt(small_params)
+        assert v.delay == v.delay_secs > 0.0
+
     def test_exact_in_f64(self, small_params, small_kernel):
         """With float64 enabled the JAX graph reproduces the oracle to 1e-8:
         the reformulation is algebraically exact; only dtype differs."""
