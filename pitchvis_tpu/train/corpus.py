@@ -309,17 +309,30 @@ def main(argv: list[str] | None = None) -> int:
         help="modernized optimizer recipe (AdamW + warmup-cosine) instead of "
         "the reference's hyperparameters; writes TRAIN_DEMO_TUNED.json",
     )
+    ap.add_argument(
+        "--full", action="store_true",
+        help="full reference-scale run (1535 files x 60 s -> ~346k frames, "
+        "matching pitchvis_train/train.py:31's 346,616-frame corpus; tuned "
+        "recipe, 20 epochs); writes TRAIN_DEMO_FULLSCALE.json",
+    )
     args = ap.parse_args(argv)
     if args.quick:
         args.files, args.seconds, args.epochs = 4, 10.0, 2
+    if args.full:
+        args.files, args.epochs, args.tuned = 1535, 20, True
+        if args.out == ap.get_default("out"):
+            args.out = "artifacts/train_demo_full"
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
     metrics_copy = None
     if not args.quick:
-        metrics_copy = (
-            "artifacts/TRAIN_DEMO_TUNED.json" if args.tuned else "artifacts/TRAIN_DEMO.json"
-        )
+        if args.full:
+            metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE.json"
+        elif args.tuned:
+            metrics_copy = "artifacts/TRAIN_DEMO_TUNED.json"
+        else:
+            metrics_copy = "artifacts/TRAIN_DEMO.json"
     report = train_demo(
         out_dir=args.out,
         n_files=args.files,

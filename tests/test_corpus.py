@@ -93,3 +93,26 @@ class TestTunedCli:
         assert calls[-1]["metrics_copy"] == "artifacts/TRAIN_DEMO.json"
         assert corpus.main(["--quick", "--tuned"]) == 0
         assert calls[-1]["metrics_copy"] is None
+
+    def test_full_preset(self, monkeypatch):
+        """--full reproduces the committed reference-scale run: 1535 files,
+        20 epochs, tuned recipe, FULLSCALE artifact, train_demo_full out dir
+        (unless --out overrides it)."""
+        from pitchvis_tpu.train import corpus
+
+        calls = []
+
+        def fake_train_demo(**kw):
+            calls.append(kw)
+            return {"n_frames": 1, "metrics": {"f1_micro": 0.0, "accuracy": 0.0}}
+
+        monkeypatch.setattr(corpus, "train_demo", fake_train_demo)
+        assert corpus.main(["--full"]) == 0
+        kw = calls[-1]
+        assert kw["n_files"] == 1535
+        assert kw["epochs"] == 20
+        assert kw["tuned"] is True
+        assert kw["out_dir"] == "artifacts/train_demo_full"
+        assert kw["metrics_copy"] == "artifacts/TRAIN_DEMO_FULLSCALE.json"
+        assert corpus.main(["--full", "--out", "/tmp/elsewhere"]) == 0
+        assert calls[-1]["out_dir"] == "/tmp/elsewhere"
