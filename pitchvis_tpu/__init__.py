@@ -24,6 +24,7 @@ from .models.analysis import (
     init_state_batch,
 )
 from .models.pipeline import PipelineState, StreamingPipeline, pipeline_step
+from .runtime.loop import ServeLoop
 from .runtime.server import CompactOutputs, ServeOutputs, StreamServer
 from .ops.vqt import (
     Vqt,
@@ -58,6 +59,7 @@ __all__ = [
     "StreamingPipeline",
     "pipeline_step",
     "StreamServer",
+    "ServeLoop",
     "ServeOutputs",
     "CompactOutputs",
     "build_kernel",

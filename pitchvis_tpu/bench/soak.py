@@ -15,6 +15,11 @@ that number and writes the evidence to ``artifacts/SOAK.json``:
   at a host-transfer-feasible stream count with concurrent producer
   threads, pipelined stepping, churn, and one live rebuild for the same
   duration; records sustained hop rate and p50/p95 hop times.
+* **serve_loop leg** — the self-driving loop (``StreamServer.serve()``)
+  pacing 60 Hz hops on its own thread at the interactive stream count,
+  with producers + a consumer (``wait_next`` per published hop) + churn +
+  one live rebuild; records the consumer-observed publish rate,
+  inter-publish p50/p95, and the loop's deadline-skip counters.
 
 Run:  python -m pitchvis_tpu.bench.soak [--streams 3840] [--minutes 3] ...
 (also ``python -m pitchvis_tpu.xtask soak``). The driver-facing capacity
@@ -215,14 +220,132 @@ def soak_server(
     }
 
 
+def soak_serve_loop(
+    n_streams: int = 512,
+    minutes: float = 3.0,
+    rate_hz: float = 60.0,
+    n_producers: int = 4,
+    path: str = "pallas",
+    fast: bool = True,
+    reset_every_s: float = 5.0,
+) -> dict:
+    """Self-driving-loop leg: ``StreamServer.serve()`` owns the dispatch
+    cadence while producers push and the main thread plays consumer
+    (``wait_next`` + one-element fetch per published hop — the honesty
+    barrier a real display client provides); churn and one live rebuild
+    run on the control plane mid-soak. Records the consumer-observed
+    publish rate and inter-publish p50/p95 against the 60 Hz target."""
+    import dataclasses as dc
+
+    from ..core.config import VqtParameters
+    from ..runtime.server import StreamServer
+
+    params = VqtParameters()
+    server = StreamServer(
+        n_streams, params, buffer_seconds=2.0, path=path, fast=fast
+    )
+    sr = int(params.sr)
+    stop = threading.Event()
+    writes = [0] * n_producers
+
+    def producer(k: int):
+        rng = np.random.default_rng(k)
+        t = np.arange(sr // 10) / sr
+        lo, hi = k * n_streams // n_producers, (k + 1) * n_streams // n_producers
+        chunks = [
+            (0.1 * np.sin(2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t)).astype(np.float32)
+            for s in range(lo, hi)
+        ]
+        while not stop.is_set():
+            t0 = time.monotonic()
+            for s in range(lo, hi):
+                if stop.is_set():
+                    return
+                server.push(s, chunks[s - lo])
+                writes[k] += len(chunks[s - lo])
+            time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
+
+    threads = [threading.Thread(target=producer, args=(k,), daemon=True) for k in range(n_producers)]
+
+    out, _ = server.step(dt=1.0 / 60.0)  # compile before the loop starts pacing
+    np.asarray(out.peaks[0])
+
+    for th in threads:
+        th.start()
+    rng = np.random.default_rng(1)
+    deadline = time.monotonic() + minutes * 60.0
+    rebuild_at = time.monotonic() + minutes * 30.0
+    next_reset = time.monotonic() + reset_every_s
+    resets = 0
+    rebuilds = []
+    publish_t = []
+    last_seq = 0
+    t_start = time.monotonic()
+    loop = server.serve(rate_hz=rate_hz, pipelined=True)
+    try:
+        while time.monotonic() < deadline:
+            nxt = loop.wait_next(seq=last_seq, timeout=30.0)
+            if nxt is None:
+                continue
+            last_seq, outputs, _gains = nxt
+            np.asarray(outputs.scene_calmness[0])  # consumer fetch = barrier
+            publish_t.append(time.monotonic())
+            now = publish_t[-1]
+            if now >= next_reset:
+                server.reset_stream(int(rng.integers(0, n_streams)))
+                resets += 1
+                next_reset = now + reset_every_s
+            if rebuild_at is not None and now >= rebuild_at:
+                t0 = time.monotonic()
+                server.rebuild(dc.replace(params, quality=params.quality * 1.1))
+                rebuilds.append(round(time.monotonic() - t0, 2))
+                rebuild_at = None
+        final = loop.stop()
+        finite = bool(np.isfinite(np.asarray(final[1].x_vqt_smoothed)).all())
+        loop_stats = dict(loop.stats)
+        serving_stats = dict(server.stats)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=10)
+        server.close()
+    wall = time.monotonic() - t_start
+    gaps = sorted(np.diff(publish_t)) if len(publish_t) > 1 else [float("nan")]
+    return {
+        "leg": "serve_loop",
+        "n_streams": n_streams,
+        "rate_hz": rate_hz,
+        "path": path,
+        "fast": fast,
+        "wall_s": round(wall, 1),
+        "published": loop_stats["published"],
+        "published_per_s": round(loop_stats["published"] / wall, 2),
+        # the consumer always reads the NEWEST hop (latest-wins, like a
+        # display client); it observes fewer publishes than the loop makes
+        # when its own fetch round-trip exceeds the publish period
+        "consumer_observed": len(publish_t),
+        "consumer_gap_p50_ms": round(float(gaps[len(gaps) // 2]) * 1e3, 1),
+        "consumer_gap_p95_ms": round(float(gaps[int(len(gaps) * 0.95)]) * 1e3, 1),
+        "samples_ingested": sum(writes),
+        "ingest_realtime_fraction": round(sum(writes) / (n_streams * sr * wall), 3),
+        "resets": resets,
+        "rebuild_wall_s": rebuilds,
+        "outputs_finite": finite,
+        "loop_stats": loop_stats,
+        "serving_stats": serving_stats,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--streams", type=int, default=3840)
     ap.add_argument("--server-streams", type=int, default=1024)
+    ap.add_argument("--loop-streams", type=int, default=512)
     ap.add_argument("--minutes", type=float, default=3.0)
     ap.add_argument("--out", default="artifacts/SOAK.json")
     ap.add_argument("--skip-server", action="store_true")
     ap.add_argument("--skip-pipeline", action="store_true")
+    ap.add_argument("--skip-loop", action="store_true")
     args = ap.parse_args(argv)
 
     from ..utils.compile_cache import enable_compilation_cache
@@ -233,14 +356,20 @@ def main(argv: list[str] | None = None) -> int:
     if not args.skip_pipeline:
         report["pipeline"] = soak_pipeline(args.streams, args.minutes)
         print(json.dumps(report["pipeline"]), flush=True)
-    if not args.skip_server:
-        from ..runtime.native import available
+    from ..runtime.native import available
 
+    if not args.skip_server:
         if available():
             report["server"] = soak_server(args.server_streams, args.minutes)
             print(json.dumps(report["server"]), flush=True)
         else:
             report["server"] = {"skipped": "native library unavailable"}
+    if not args.skip_loop:
+        if available():
+            report["serve_loop"] = soak_serve_loop(args.loop_streams, args.minutes)
+            print(json.dumps(report["serve_loop"]), flush=True)
+        else:
+            report["serve_loop"] = {"skipped": "native library unavailable"}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -1,0 +1,151 @@
+"""Self-driving serve loop: the server owns the dispatch cadence.
+
+`StreamServer.serve(rate_hz=60)` starts a background analysis thread that
+paces hops on a monotonic deadline grid and atomically publishes each hop's
+(outputs, gains) for any number of consumers — the server-side counterpart
+of the reference viewer's Update schedule invoking `update_vqt_system`
+every frame (pitchvis_viewer/src/app/common.rs:2082-2118): there the
+windowing framework drives the cadence; here the serving runtime does, so
+producers push() and consumers latest()/wait_next() without anyone running
+a step loop of their own.
+
+Lateness policy: a stalled host (GC pause, throttle window) SKIPS the
+missed deadlines instead of bursting dispatches to catch up — the delta
+ingest already drains the accumulated audio backlog via its bounded
+catch-up hops inside the next step (runtime/server.py::_dispatch_delta),
+which keeps the audio clock correct without flooding the device queue.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+
+class ServeLoop:
+    """Handle for a running serve loop (created by ``StreamServer.serve``).
+
+    Consumer API (any thread):
+
+    * ``latest()`` — newest published ``(seq, outputs, gains)`` or ``None``
+      before the first hop completes. ``seq`` increments per published hop.
+    * ``wait_next(seq=None, timeout=None)`` — block until a hop newer than
+      ``seq`` (default: newest already published) lands; ``None`` on
+      timeout or loop exit.
+    * ``stop()`` — stop pacing, join the thread, publish the in-flight
+      pipelined tail, and re-raise any error the loop thread hit.
+
+    Also a context manager (``with server.serve() as loop:`` stops on exit).
+    """
+
+    def __init__(self, server, rate_hz: float, pipelined: bool, on_outputs=None):
+        if rate_hz <= 0:
+            raise ValueError("rate_hz must be positive")
+        self._server = server
+        self._period = 1.0 / float(rate_hz)
+        self._pipelined = pipelined
+        self._on_outputs = on_outputs
+        self._cond = threading.Condition()
+        self._latest = None  # (seq, outputs, gains)
+        self._seq = 0
+        self._stop_evt = threading.Event()
+        self.error: BaseException | None = None
+        # hops = step() calls; published may lag by one when pipelined;
+        # skipped_deadlines counts grid slots dropped while the host stalled
+        self.stats = {"hops": 0, "published": 0, "skipped_deadlines": 0}
+        self._thread = threading.Thread(
+            target=self._run, name="pitchvis-serve-loop", daemon=True
+        )
+        self._thread.start()
+
+    # -- loop thread -----------------------------------------------------------
+    def _publish(self, outputs, gains) -> None:
+        with self._cond:
+            self._seq += 1
+            self.stats["published"] = self._seq
+            self._latest = (self._seq, outputs, gains)
+            self._cond.notify_all()
+
+    def _run(self) -> None:
+        try:
+            next_t = time.monotonic()
+            while not self._stop_evt.is_set():
+                result = self._server.step(pipelined=self._pipelined)
+                self.stats["hops"] += 1
+                if result is not None:  # None = pipelined priming hop
+                    self._publish(*result)
+                    if self._on_outputs is not None:
+                        self._on_outputs(*self._latest)
+                next_t += self._period
+                now = time.monotonic()
+                if now > next_t:
+                    skipped = int((now - next_t) / self._period)
+                    self.stats["skipped_deadlines"] += skipped
+                    next_t += skipped * self._period
+                else:
+                    self._stop_evt.wait(next_t - now)
+        except BaseException as e:  # surfaced via stop()/wait_next()
+            self.error = e
+            with self._cond:
+                self._cond.notify_all()
+
+    # -- consumer API ----------------------------------------------------------
+    @property
+    def running(self) -> bool:
+        return self._thread.is_alive()
+
+    def latest(self):
+        with self._cond:
+            return self._latest
+
+    def wait_next(self, seq: int | None = None, timeout: float | None = None):
+        """Blocks until a hop with sequence number > ``seq`` is published
+        (``seq=None`` = newer than anything already published). Returns the
+        ``(seq, outputs, gains)`` triple, or ``None`` if the timeout expires
+        or the loop stops first. Raises if the loop thread failed."""
+        with self._cond:
+            target = self._seq if seq is None else seq
+
+            def ready():
+                return (
+                    self._seq > target
+                    or self.error is not None
+                    or (self._stop_evt.is_set() and not self._thread.is_alive())
+                )
+
+            self._cond.wait_for(ready, timeout)
+            if self.error is not None:
+                raise RuntimeError("serve loop failed") from self.error
+            return self._latest if self._seq > target else None
+
+    def stop(self):
+        """Stops pacing and joins the loop thread; publishes the pipelined
+        in-flight tail so no ingested hop is lost; re-raises a loop error."""
+        self._stop_evt.set()
+        self._thread.join()
+        if self._server._serve_loop is self:
+            self._server._serve_loop = None
+        if self.error is not None:
+            raise RuntimeError("serve loop failed") from self.error
+        if self._pipelined:
+            tail = self._server.flush()
+            if tail is not None:
+                self._publish(*tail)
+                if self._on_outputs is not None:
+                    self._on_outputs(*self._latest)
+        return self.latest()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is not None and self.running:
+            # caller is already unwinding: don't mask their exception with
+            # a loop error; it stays readable on .error
+            self._stop_evt.set()
+            self._thread.join()
+            if self._server._serve_loop is self:
+                self._server._serve_loop = None
+            return False
+        self.stop()
+        return False

@@ -179,6 +179,7 @@ class StreamServer:
                 self.ml_params = replicate(mesh, self.ml_params)
         self._last_step = None
         self._pending = None  # in-flight (outputs, gains) when pipelining
+        self._serve_loop = None  # active self-driving loop (see serve())
         # serving observability (the reference surfaces its runtime stats in
         # the debug UI, common.rs:244-318): updated by the analysis thread,
         # read by anyone (plain ints; last-writer-wins is fine for counters)
@@ -688,7 +689,33 @@ class StreamServer:
         prev, self._pending = self._pending, None
         return prev
 
+    def serve(self, rate_hz: float = 60.0, pipelined: bool = True, on_outputs=None):
+        """Starts the self-driving dispatch loop: a background analysis
+        thread paces ``step(pipelined=...)`` at ``rate_hz`` and publishes
+        each hop's (outputs, gains) for consumers (``latest()`` /
+        ``wait_next()`` on the returned :class:`runtime.loop.ServeLoop`).
+        The server owns the serving cadence — producers only ``push()``,
+        consumers only read — mirroring the reference viewer's framework-
+        driven Update schedule (common.rs:2082-2118). ``on_outputs(seq,
+        outputs, gains)``, if given, runs on the loop thread per hop.
+        One loop per server; ``stop()`` (or the context manager) releases
+        it. The control plane (push / reset_stream / rebuild / checkpoint)
+        stays available while serving — step()'s existing race rules cover
+        the loop thread exactly as they cover a caller-driven thread."""
+        from .loop import ServeLoop
+
+        if self._serve_loop is not None and self._serve_loop.running:
+            raise RuntimeError("server is already serving (stop() the active loop)")
+        self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs)
+        return self._serve_loop
+
     def close(self) -> None:
+        loop = self._serve_loop
+        if loop is not None and loop.running:
+            try:
+                loop.stop()
+            except RuntimeError:
+                pass  # the loop error stays readable on loop.error
         self.rings.close()
         with self._resampler_lock:
             for bank in self._resamplers.values():

@@ -245,6 +245,122 @@ class TestPipelinedServing:
         server.close()
 
 
+class TestServeLoop:
+    """StreamServer.serve(): the self-driving dispatch loop (the server
+    owns the cadence, like the reference viewer's framework-driven Update
+    schedule, common.rs:2082-2118)."""
+
+    def _tone(self, small_params, seconds=1.5):
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        t = np.arange(int(small_params.sr * seconds)) / small_params.sr
+        return (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def test_publishes_and_detects_tone(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params))
+        loop = server.serve(rate_hz=120.0, pipelined=False)
+        try:
+            first = loop.wait_next(timeout=60.0)
+            assert first is not None
+            seq1 = first[0]
+            later = loop.wait_next(seq=seq1 + 1, timeout=60.0)
+            assert later is not None and later[0] >= seq1 + 2
+        finally:
+            final = loop.stop()
+        assert not loop.running
+        assert server._serve_loop is None
+        seq, outputs, gains = final
+        peaks0 = np.where(np.asarray(outputs.peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        assert not np.asarray(outputs.peaks[1]).any()
+        assert gains[0] > 1.0
+        assert loop.stats["published"] == loop.stats["hops"]  # non-pipelined
+        server.close()
+
+    def test_pipelined_tail_is_flushed(self, small_params):
+        """With pipelined=True the last in-flight hop is published by
+        stop(), so published == hops and no ingested hop is lost."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params))
+        seen = []
+        loop = server.serve(rate_hz=120.0, on_outputs=lambda s, o, g: seen.append(s))
+        assert loop.wait_next(timeout=60.0) is not None
+        loop.stop()
+        assert loop.stats["hops"] >= 2
+        assert loop.stats["published"] == loop.stats["hops"]
+        assert seen == list(range(1, loop.stats["published"] + 1))
+        server.close()
+
+    def test_second_serve_rejected_until_stop(self, small_params):
+        import pytest
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        loop = server.serve(rate_hz=60.0)
+        with pytest.raises(RuntimeError, match="already serving"):
+            server.serve()
+        loop.stop()
+        server.serve(rate_hz=60.0).stop()  # free to serve again
+        server.close()
+
+    def test_loop_error_propagates(self, small_params):
+        import pytest
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        original_step = server.step
+
+        def exploding_step(*a, **kw):
+            if server.stats["hops"] >= 1:
+                raise ValueError("injected fault")
+            return original_step(*a, **kw)
+
+        server.step = exploding_step
+        loop = server.serve(rate_hz=200.0, pipelined=False)
+        with pytest.raises(RuntimeError, match="serve loop failed"):
+            loop.wait_next(seq=10_000, timeout=60.0)
+        with pytest.raises(RuntimeError, match="serve loop failed"):
+            loop.stop()
+        assert isinstance(loop.error, ValueError)
+        server.step = original_step
+        server.close()  # close() swallows the already-surfaced loop error
+
+    def test_control_plane_during_serve(self, small_params):
+        """reset_stream and a same-layout rebuild land safely while the
+        loop thread is dispatching."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        tone = self._tone(small_params)
+        server.push(0, tone)
+        server.push(1, tone)
+        with server.serve(rate_hz=120.0) as loop:
+            assert loop.wait_next(timeout=60.0) is not None
+            server.reset_stream(1)
+            server.rebuild(small_params)
+            after = loop.wait_next(timeout=60.0)
+            assert after is not None
+        # post-stop: slot 1 stays silent, slot 0 still serves its tone
+        out, _ = server.step(dt=1.0 / 60.0)
+        assert np.asarray(out.peaks[0]).any()
+        assert not np.asarray(out.peaks[1]).any()
+        server.close()
+
+    def test_close_stops_active_loop(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        loop = server.serve(rate_hz=60.0)
+        server.close()
+        assert not loop.running
+
+
 class TestStreamChurn:
     def test_reset_stream_recycles_slot(self, small_params):
         """Serving churn: after a client disconnects, reset_stream() must
