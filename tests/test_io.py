@@ -284,9 +284,12 @@ class TestCompileCache:
         try:
             got = enable_compilation_cache(d, min_compile_secs=0.0)
             assert got == d
-            # a compile large enough to be worth caching
-            x = jnp.ones((64, 64))
-            jax.jit(lambda a: (a @ a.T).sum())(x).block_until_ready()
+            # a computation no other test compiles: the persistent cache
+            # layer keeps an in-process memory of cache KEYS, so an HLO
+            # already compiled earlier in the suite (under any cache dir)
+            # would hit that layer and never write to this fresh dir
+            x = jnp.full((63, 65), 1.000123)
+            jax.jit(lambda a: ((a * 0.9917) @ a.T).sum() + 42.125)(x).block_until_ready()
             entries = list(__import__("os").listdir(d))
             assert entries, "no cache entry written"
         finally:
