@@ -31,11 +31,16 @@ class ServeLoop:
       before the first hop completes. ``seq`` increments per published hop.
     * ``wait_next(seq=None, timeout=None)`` — block until a hop newer than
       ``seq`` (default: newest already published) lands; ``None`` on
-      timeout or loop exit.
+      timeout or once the loop has stopped.
     * ``stop()`` — stop pacing, join the thread, publish the in-flight
-      pipelined tail, and re-raise any error the loop thread hit.
+      pipelined tail, and re-raise any error the loop thread hit. Safe to
+      call from the ``on_outputs`` callback (i.e. the loop thread itself):
+      it then only signals and returns — a later ``stop()``/``close()``
+      from any other thread completes the teardown. Idempotent.
 
-    Also a context manager (``with server.serve() as loop:`` stops on exit).
+    Also a context manager (``with server.serve() as loop:`` stops on
+    exit; if the body is already raising, teardown never masks that
+    exception — a loop error stays readable on ``.error``).
     """
 
     def __init__(self, server, rate_hz: float, pipelined: bool, on_outputs=None):
@@ -48,6 +53,7 @@ class ServeLoop:
         self._cond = threading.Condition()
         self._latest = None  # (seq, outputs, gains)
         self._seq = 0
+        self._done = False  # loop thread has exited (set under _cond)
         self._stop_evt = threading.Event()
         self.error: BaseException | None = None
         # hops = step() calls; published may lag by one when pipelined;
@@ -86,7 +92,12 @@ class ServeLoop:
                     self._stop_evt.wait(next_t - now)
         except BaseException as e:  # surfaced via stop()/wait_next()
             self.error = e
+        finally:
+            # _done set BEFORE notify so a waiter that wakes cannot re-sleep
+            # past a clean shutdown (is_alive() races the thread's last
+            # instants; this flag does not)
             with self._cond:
+                self._done = True
                 self._cond.notify_all()
 
     # -- consumer API ----------------------------------------------------------
@@ -105,28 +116,30 @@ class ServeLoop:
         or the loop stops first. Raises if the loop thread failed."""
         with self._cond:
             target = self._seq if seq is None else seq
-
-            def ready():
-                return (
-                    self._seq > target
-                    or self.error is not None
-                    or (self._stop_evt.is_set() and not self._thread.is_alive())
-                )
-
-            self._cond.wait_for(ready, timeout)
+            self._cond.wait_for(
+                lambda: self._seq > target or self.error is not None or self._done,
+                timeout,
+            )
             if self.error is not None:
                 raise RuntimeError("serve loop failed") from self.error
             return self._latest if self._seq > target else None
 
-    def stop(self):
-        """Stops pacing and joins the loop thread; publishes the pipelined
-        in-flight tail so no ingested hop is lost; re-raises a loop error."""
-        self._stop_evt.set()
+    def _teardown(self, raise_error: bool):
+        """Joins the loop thread and unwinds shared state; both shutdown
+        paths (stop, context-manager exit) funnel through here so they
+        cannot drift. Idempotent."""
         self._thread.join()
-        if self._server._serve_loop is self:
-            self._server._serve_loop = None
+        with self._server._state_lock:
+            if self._server._serve_loop is self:
+                self._server._serve_loop = None
         if self.error is not None:
-            raise RuntimeError("serve loop failed") from self.error
+            # a hop dispatched before the failure may still sit in the
+            # pipeline slot; drain it so the next pipelined consumer does
+            # not receive an arbitrarily old frame as its first result
+            self._server.flush()
+            if raise_error:
+                raise RuntimeError("serve loop failed") from self.error
+            return self.latest()
         if self._pipelined:
             tail = self._server.flush()
             if tail is not None:
@@ -135,17 +148,21 @@ class ServeLoop:
                     self._on_outputs(*self._latest)
         return self.latest()
 
+    def stop(self):
+        """Stops pacing and joins the loop thread; publishes the pipelined
+        in-flight tail so no ingested hop is lost; re-raises a loop error.
+        From the loop thread itself (``on_outputs``), only signals."""
+        self._stop_evt.set()
+        if threading.current_thread() is self._thread:
+            return self.latest()
+        return self._teardown(raise_error=True)
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        if exc[0] is not None and self.running:
-            # caller is already unwinding: don't mask their exception with
-            # a loop error; it stays readable on .error
-            self._stop_evt.set()
-            self._thread.join()
-            if self._server._serve_loop is self:
-                self._server._serve_loop = None
-            return False
-        self.stop()
+        self._stop_evt.set()
+        # when the body is already raising, never mask its exception with a
+        # loop error (it stays readable on .error); otherwise surface it
+        self._teardown(raise_error=exc[0] is None)
         return False

@@ -704,10 +704,16 @@ class StreamServer:
         the loop thread exactly as they cover a caller-driven thread."""
         from .loop import ServeLoop
 
-        if self._serve_loop is not None and self._serve_loop.running:
-            raise RuntimeError("server is already serving (stop() the active loop)")
-        self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs)
-        return self._serve_loop
+        # check-and-assign under the state lock: two racing serve() calls
+        # must not both start loops stepping the same server (their
+        # pipelined _pending swaps would interleave)
+        with self._state_lock:
+            if self._serve_loop is not None and self._serve_loop.running:
+                raise RuntimeError(
+                    "server is already serving (stop() the active loop)"
+                )
+            self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs)
+            return self._serve_loop
 
     def close(self) -> None:
         loop = self._serve_loop

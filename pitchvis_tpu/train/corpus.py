@@ -301,15 +301,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--target-frames", type=int, default=None)
     ap.add_argument(
-        "--quick", action="store_true",
-        help="tiny smoke run (4 files x 10 s, 2 epochs)",
-    )
-    ap.add_argument(
         "--tuned", action="store_true",
         help="modernized optimizer recipe (AdamW + warmup-cosine) instead of "
         "the reference's hyperparameters; writes TRAIN_DEMO_TUNED.json",
     )
-    ap.add_argument(
+    scale = ap.add_mutually_exclusive_group()
+    scale.add_argument(
+        "--quick", action="store_true",
+        help="tiny smoke run (4 files x 10 s, 2 epochs)",
+    )
+    scale.add_argument(
         "--full", action="store_true",
         help="full reference-scale run (1535 files x 60 s -> ~346k frames, "
         "matching pitchvis_train/train.py:31's 346,616-frame corpus; tuned "

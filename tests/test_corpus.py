@@ -116,3 +116,14 @@ class TestTunedCli:
         assert kw["metrics_copy"] == "artifacts/TRAIN_DEMO_FULLSCALE.json"
         assert corpus.main(["--full", "--out", "/tmp/elsewhere"]) == 0
         assert calls[-1]["out_dir"] == "/tmp/elsewhere"
+
+    def test_quick_and_full_mutually_exclusive(self, monkeypatch):
+        """--quick --full would otherwise silently produce a hybrid run
+        (full's 1535 files at quick's 10 s clips, no artifact copy)."""
+        import pytest
+
+        from pitchvis_tpu.train import corpus
+
+        monkeypatch.setattr(corpus, "train_demo", lambda **kw: 0 / 0)
+        with pytest.raises(SystemExit):
+            corpus.main(["--quick", "--full"])

@@ -322,14 +322,69 @@ class TestServeLoop:
             return original_step(*a, **kw)
 
         server.step = exploding_step
-        loop = server.serve(rate_hz=200.0, pipelined=False)
+        # pipelined: the first (priming) hop leaves an in-flight result in
+        # the pipeline slot before the second hop explodes
+        loop = server.serve(rate_hz=200.0, pipelined=True)
         with pytest.raises(RuntimeError, match="serve loop failed"):
             loop.wait_next(seq=10_000, timeout=60.0)
         with pytest.raises(RuntimeError, match="serve loop failed"):
             loop.stop()
         assert isinstance(loop.error, ValueError)
+        # the failed loop's stale in-flight hop must NOT leak into the
+        # next pipelined consumer as its first result
+        assert server._pending is None
         server.step = original_step
+        assert server.step(pipelined=True) is None  # fresh priming hop
+        server.flush()
         server.close()  # close() swallows the already-surfaced loop error
+
+    def test_wait_next_unblocks_on_clean_stop(self, small_params):
+        """A consumer blocked with timeout=None wakes when the loop stops
+        (loop exit notifies; a stopped loop returns None, not a hang)."""
+        import threading
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        loop = server.serve(rate_hz=200.0, pipelined=False)
+        results = []
+
+        def consumer():
+            results.append(loop.wait_next(seq=10_000_000, timeout=None))
+
+        th = threading.Thread(target=consumer, daemon=True)
+        th.start()
+        assert loop.wait_next(timeout=60.0) is not None  # loop is live
+        loop.stop()
+        th.join(timeout=60.0)
+        assert not th.is_alive(), "wait_next(timeout=None) hung across stop()"
+        assert results == [None]
+        server.close()
+
+    def test_stop_from_on_outputs_callback(self, small_params):
+        """stop() on the loop thread (inside on_outputs) signals without
+        self-joining; the loop winds down and an outer stop() completes
+        teardown with no error."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        holder = {}
+
+        def cb(seq, outputs, gains):
+            lp = holder.get("loop")
+            if lp is not None and seq >= 3:
+                lp.stop()
+
+        loop = server.serve(rate_hz=200.0, pipelined=False, on_outputs=cb)
+        holder["loop"] = loop
+        loop.wait_next(seq=2, timeout=120.0)
+        loop._thread.join(timeout=120.0)
+        assert not loop.running
+        assert loop.error is None
+        final = loop.stop()  # completes teardown from the caller thread
+        assert final is not None and final[0] >= 3
+        assert loop.stats["published"] <= 6  # stopped promptly after signal
+        server.close()
 
     def test_control_plane_during_serve(self, small_params):
         """reset_stream and a same-layout rebuild land safely while the
