@@ -352,7 +352,16 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_compilation_cache()
 
-    report: dict = {"minutes_per_leg": args.minutes}
+    # skipped legs keep their previous results (re-run one leg without
+    # discarding the others' committed evidence)
+    report: dict = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                report = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            report = {}
+    report["minutes_per_leg"] = args.minutes
     if not args.skip_pipeline:
         report["pipeline"] = soak_pipeline(args.streams, args.minutes)
         print(json.dumps(report["pipeline"]), flush=True)

@@ -21,6 +21,9 @@ from __future__ import annotations
 import threading
 import time
 
+import jax
+import numpy as np
+
 
 class ServeLoop:
     """Handle for a running serve loop (created by ``StreamServer.serve``).
@@ -43,12 +46,22 @@ class ServeLoop:
     exception — a loop error stays readable on ``.error``).
     """
 
-    def __init__(self, server, rate_hz: float, pipelined: bool, on_outputs=None):
+    def __init__(
+        self,
+        server,
+        rate_hz: float,
+        pipelined: bool,
+        on_outputs=None,
+        sync: str = "element",
+    ):
         if rate_hz <= 0:
             raise ValueError("rate_hz must be positive")
+        if sync not in ("element", "host", "none"):
+            raise ValueError(f"sync must be 'element', 'host' or 'none', got {sync!r}")
         self._server = server
         self._period = 1.0 / float(rate_hz)
         self._pipelined = pipelined
+        self._sync = sync
         self._on_outputs = on_outputs
         self._cond = threading.Condition()
         self._latest = None  # (seq, outputs, gains)
@@ -66,11 +79,31 @@ class ServeLoop:
 
     # -- loop thread -----------------------------------------------------------
     def _publish(self, outputs, gains) -> None:
+        outputs = self._synced(outputs)
         with self._cond:
             self._seq += 1
             self.stats["published"] = self._seq
             self._latest = (self._seq, outputs, gains)
             self._cond.notify_all()
+
+    def _synced(self, outputs):
+        """Applies the publish sync policy. Rationale: step() results are
+        ASYNC jax arrays; publishing raw dispatches at full rate floods a
+        networked device queue and starves consumer reads behind in-flight
+        work (measured on the axon tunnel: consumers saw 17 of 5,473
+        published hops, p50 gap 2.8 s). The 'element' barrier (default)
+        fetches ONE scalar per hop — the loop self-paces to the real hop
+        round-trip, so published hops are device-complete and a consumer
+        read only pays its own transfer. 'host' additionally materializes
+        the whole pytree (pair with fetch='led' compact outputs). 'none'
+        publishes raw dispatch handles (co-located chips, max rate)."""
+        if self._sync == "none":
+            return outputs
+        if self._sync == "host":
+            return jax.tree.map(lambda a: np.asarray(a), outputs)
+        leaf = jax.tree.leaves(outputs)[0]
+        np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])  # completion barrier
+        return outputs
 
     def _run(self) -> None:
         try:

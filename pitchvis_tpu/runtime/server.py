@@ -689,7 +689,13 @@ class StreamServer:
         prev, self._pending = self._pending, None
         return prev
 
-    def serve(self, rate_hz: float = 60.0, pipelined: bool = True, on_outputs=None):
+    def serve(
+        self,
+        rate_hz: float = 60.0,
+        pipelined: bool = True,
+        on_outputs=None,
+        sync: str = "element",
+    ):
         """Starts the self-driving dispatch loop: a background analysis
         thread paces ``step(pipelined=...)`` at ``rate_hz`` and publishes
         each hop's (outputs, gains) for consumers (``latest()`` /
@@ -698,6 +704,12 @@ class StreamServer:
         consumers only read — mirroring the reference viewer's framework-
         driven Update schedule (common.rs:2082-2118). ``on_outputs(seq,
         outputs, gains)``, if given, runs on the loop thread per hop.
+        ``sync`` is the publish policy: ``"element"`` (default) barriers
+        each hop on a one-scalar fetch so published outputs are
+        device-complete and the loop self-paces to the true hop round-trip
+        (protects consumers on networked devices); ``"host"`` materializes
+        the whole output pytree to numpy before publishing (pair with
+        ``fetch="led"``); ``"none"`` publishes raw async dispatch handles.
         One loop per server; ``stop()`` (or the context manager) releases
         it. The control plane (push / reset_stream / rebuild / checkpoint)
         stays available while serving — step()'s existing race rules cover
@@ -712,7 +724,7 @@ class StreamServer:
                 raise RuntimeError(
                     "server is already serving (stop() the active loop)"
                 )
-            self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs)
+            self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs, sync)
             return self._serve_loop
 
     def close(self) -> None:

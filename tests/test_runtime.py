@@ -415,6 +415,35 @@ class TestServeLoop:
         server.close()
         assert not loop.running
 
+    def test_sync_host_publishes_numpy(self, small_params):
+        """sync='host' materializes the published pytree — consumers get
+        numpy and never touch the device."""
+        import jax
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params))
+        with server.serve(rate_hz=120.0, sync="host") as loop:
+            trip = loop.wait_next(timeout=60.0)
+        assert trip is not None
+        for leaf in jax.tree.leaves(trip[1]):
+            assert isinstance(leaf, np.ndarray)
+        peaks0 = np.where(trip[1].peaks[0])[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        server.close()
+
+    def test_sync_rejected_values(self, small_params):
+        import pytest
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        with pytest.raises(ValueError, match="sync"):
+            server.serve(sync="bogus")
+        assert server._serve_loop is None  # nothing leaked half-started
+        server.close()
+
 
 class TestStreamChurn:
     def test_reset_stream_recycles_slot(self, small_params):
