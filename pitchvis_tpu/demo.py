@@ -69,6 +69,14 @@ def main(argv=None) -> int:
         "one hop; the hop never waits on device compute)",
     )
     parser.add_argument(
+        "--loop",
+        action="store_true",
+        help="with --serve: self-driving serve loop (server.serve()) — a "
+        "producer thread feeds the ring while the serving runtime owns the "
+        "hop cadence and this process consumes published hops at its own "
+        "pace (requires the native runtime)",
+    )
+    parser.add_argument(
         "--path",
         default="time",
         choices=["time", "freq", "pallas"],
@@ -184,6 +192,9 @@ def serve(args) -> int:
         else:
             step = lambda: server.step()[0]
     except RuntimeError:  # no native runtime: device-ring pipeline fallback
+        if args.loop:
+            print("--loop needs the native runtime (make -C native)", file=sys.stderr)
+            return 2
         if input_sr != sr:
             print(
                 "--input-sr needs the native runtime (make -C native)",
@@ -231,6 +242,12 @@ def serve(args) -> int:
     # stdin serving ends at pipe EOF; a live ALSA device never EOFs, so
     # --seconds bounds it (<= 0: run until ctrl-c)
     max_hops = int(args.seconds * args.fps) if args.alsa and args.seconds > 0 else None
+
+    if args.loop:
+        return _serve_with_loop(
+            args, server, driver, push, led_out, params, max_hops
+        )
+
     hops = 0
     try:
         while max_hops is None or hops < max_hops:
@@ -263,6 +280,86 @@ def serve(args) -> int:
             led_out.close()
         if server is not None and server.stats["hops"]:
             print(f"serving stats: {server.stats}", file=sys.stderr)
+    return 0
+
+
+def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> int:
+    """--serve --loop: the decoupled live architecture. A producer thread
+    feeds the native ring at the capture cadence while the serving runtime
+    owns the hop clock (`server.serve()`); this thread is just a consumer
+    reading published hops at its own pace — capture never stalls behind a
+    slow analysis window and vice versa (the reference's audio-callback /
+    main-thread split, pitchvis_viewer/src/vqt_system.rs:59-67, with the
+    main loop moved into the runtime)."""
+    import threading
+    import time
+
+    from .io.led import led_frame
+
+    done = threading.Event()
+
+    def producer():
+        try:
+            hops = 0
+            while max_hops is None or hops < max_hops:
+                chunk = driver.read_chunk()
+                if chunk is None:
+                    break
+                push(0, chunk)
+                hops += 1
+        finally:
+            done.set()
+
+    prod = threading.Thread(target=producer, daemon=True)
+    loop = server.serve(rate_hz=args.fps)
+    prod.start()
+    last = 0
+    prev_advanced = -1
+    try:
+        while True:
+            trip = loop.wait_next(seq=last, timeout=0.5)
+            if trip is not None:
+                last, out, _gains = trip
+                out = getattr(out, "analysis", out)
+                peaks = np.asarray(out.peaks[0])
+                centers = np.asarray(out.peak_center[0])
+                sizes = np.asarray(out.peak_size[0])
+                notes = ", ".join(
+                    note_name(
+                        centers[p], params.range.buckets_per_octave, params.range.min_freq
+                    )
+                    + f"({sizes[p]:.1f}dB)"
+                    for p in np.where(peaks)[0]
+                )
+                print(
+                    f"{time.strftime('%H:%M:%S')} #{last} "
+                    f"calm={float(out.scene_calmness[0]):.2f} {notes}"
+                )
+                if led_out is not None:
+                    led_out.write(
+                        led_frame(
+                            params.range, out.peaks[0], out.peak_center[0], out.peak_size[0]
+                        )
+                    )
+                    led_out.flush()
+            if done.is_set():
+                # producer finished: consume until the ring is drained
+                # (advanced stops moving once no full hop remains)
+                advanced = server.stats["advanced"]
+                if advanced == prev_advanced:
+                    break
+                prev_advanced = advanced
+    except KeyboardInterrupt:
+        pass
+    finally:
+        loop.stop()
+        prod.join(timeout=10)
+        if led_out is not None:
+            led_out.close()
+        print(
+            f"serving stats: {server.stats}; loop stats: {loop.stats}",
+            file=sys.stderr,
+        )
     return 0
 
 

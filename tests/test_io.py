@@ -336,6 +336,41 @@ class TestServeDemo:
         assert "A4" in stdout, f"no A4 detection in serve output:\n{stdout[-2000:]}"
         assert "serving stdin: 44100 Hz in -> 22050 Hz" in proc.stderr.decode()
 
+    def test_serve_loop_mode(self):
+        """--serve --loop: producer thread feeds the ring, the serving
+        runtime owns the hop cadence (server.serve()), this process
+        consumes published hops; drains the ring after stdin EOF."""
+        import os
+        import subprocess
+        import sys
+
+        sr = 22050
+        t = np.arange(int(sr * 1.2)) / sr
+        tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pitchvis_tpu.demo",
+                "--serve",
+                "--loop",
+                "--fps",
+                "30",
+            ],
+            input=tone.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        stdout = proc.stdout.decode()
+        assert "A4" in stdout, f"no A4 detection in loop output:\n{stdout[-2000:]}"
+        assert "loop stats" in proc.stderr.decode()
+
 
 class TestAlsaCapture:
     """io/alsa.py against the stub libasound (native/alsa_stub.c): the same
