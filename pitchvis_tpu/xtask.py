@@ -10,7 +10,9 @@ xtask/src/main.rs:14-39):
                                                # persistent compile cache
     python -m pitchvis_tpu.xtask clean         # remove caches/artifacts
     python -m pitchvis_tpu.xtask train-demo    # one-command realistic-scale
-                                               # training run (train/corpus.py)
+                                               # training run (train/corpus.py;
+                                               # --tuned recipe, --full =
+                                               # reference corpus scale)
     python -m pitchvis_tpu.xtask soak [args]   # sustained capacity soak with
                                                # churn + live rebuild
 """
