@@ -264,10 +264,33 @@ def bench_latency(
             out, _ = srv.step_multi(k, dt=dt_hop)
             _sync(out)
             mtimes.append((time.perf_counter() - t0) / k)
-        srv.close()
         mtimes.sort()
         result["server_multi_hop_ms"] = round(mtimes[len(mtimes) // 2] * 1e3, 2)
         result["server_multi_k"] = k
+
+        # the self-driving loop (serve()): consumer-observed gap between
+        # published device-complete hops at the 60 Hz target cadence
+        loop = srv.serve(rate_hz=60.0)
+        gaps = []
+        last = 0
+        prev_t = None
+        while len(gaps) < iters:
+            trip = loop.wait_next(seq=last, timeout=30.0)
+            if trip is None:
+                break
+            last = trip[0]
+            now = time.perf_counter()
+            if prev_t is not None:
+                gaps.append(now - prev_t)
+            prev_t = now
+        loop.stop()
+        if gaps:
+            gaps.sort()
+            result["serve_loop_gap_p50_ms"] = round(gaps[len(gaps) // 2] * 1e3, 2)
+            result["serve_loop_gap_p95_ms"] = round(
+                gaps[int(len(gaps) * 0.95)] * 1e3, 2
+            )
+        srv.close()
     return result
 
 

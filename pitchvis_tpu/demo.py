@@ -314,7 +314,8 @@ def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> i
     loop = server.serve(rate_hz=args.fps)
     prod.start()
     last = 0
-    prev_advanced = -1
+    drain_check = None  # (advanced, time) snapshot once the producer is done
+    settle_left = None  # published hops to serve after the ring drains
     try:
         while True:
             trip = loop.wait_next(seq=last, timeout=0.5)
@@ -342,13 +343,22 @@ def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> i
                         )
                     )
                     led_out.flush()
-            if done.is_set():
-                # producer finished: consume until the ring is drained
-                # (advanced stops moving once no full hop remains)
-                advanced = server.stats["advanced"]
-                if advanced == prev_advanced:
+            if settle_left is not None:
+                if trip is not None:
+                    settle_left -= 1
+                if settle_left <= 0:
                     break
-                prev_advanced = advanced
+            elif done.is_set() and last > 0:
+                # producer finished AND at least one hop published (the
+                # first hops may still be compiling): drain until advanced
+                # stops moving for >=1 s, then serve a short settle window
+                # so the analysis EMAs surface the trailing audio's peaks
+                advanced = server.stats["advanced"]
+                now = time.monotonic()
+                if drain_check is None or advanced != drain_check[0]:
+                    drain_check = (advanced, now)
+                elif now - drain_check[1] >= 1.0:
+                    settle_left = max(2, int(args.fps // 2))
     except KeyboardInterrupt:
         pass
     finally:

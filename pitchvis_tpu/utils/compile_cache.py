@@ -41,6 +41,16 @@ def enable_compilation_cache(
 
         path = os.path.join(_cache_dir(), "xla")
     os.makedirs(path, exist_ok=True)
+    if path != jax.config.jax_compilation_cache_dir:
+        # JAX pins the cache object at its first get/put; a later config
+        # re-point is silently ignored (writes keep landing in the OLD dir)
+        # unless the cache is explicitly reset
+        try:
+            from jax._src.compilation_cache import reset_cache
+
+            reset_cache()
+        except (ImportError, AttributeError):  # private API; best effort
+            pass
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     return path

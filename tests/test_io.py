@@ -284,10 +284,13 @@ class TestCompileCache:
         try:
             got = enable_compilation_cache(d, min_compile_secs=0.0)
             assert got == d
-            # a computation no other test compiles: the persistent cache
-            # layer keeps an in-process memory of cache KEYS, so an HLO
-            # already compiled earlier in the suite (under any cache dir)
-            # would hit that layer and never write to this fresh dir
+            # two suite-order hazards, both regression-covered here:
+            # (1) JAX pins the cache object at first use, so if an earlier
+            # test initialized it (corpus CLI tests do), a config re-point
+            # is silently ignored — enable_compilation_cache now resets the
+            # pinned cache when the dir changes; (2) the cache keeps an
+            # in-process memory of KEYS, so use a computation no other test
+            # compiles or the put never happens
             x = jnp.full((63, 65), 1.000123)
             jax.jit(lambda a: ((a * 0.9917) @ a.T).sum() + 42.125)(x).block_until_ready()
             entries = list(__import__("os").listdir(d))
