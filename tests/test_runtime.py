@@ -444,6 +444,27 @@ class TestServeLoop:
         assert server._serve_loop is None  # nothing leaked half-started
         server.close()
 
+    def test_checkpoint_while_serving(self, tmp_path, small_params):
+        """save_server_state from the control plane while the serve loop
+        dispatches; the restored server picks up the stream and finds the
+        same tone."""
+        from pitchvis_tpu.runtime.checkpoint import restore_server, save_server_state
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params))
+        with server.serve(rate_hz=120.0) as loop:
+            assert loop.wait_next(timeout=60.0) is not None
+            save_server_state(str(tmp_path / "ckpt"), server)
+            assert loop.wait_next(timeout=60.0) is not None  # still serving
+        server.close()
+
+        restored = restore_server(str(tmp_path / "ckpt"))
+        out, _gains = restored.step(dt=1.0 / 60.0)
+        peaks0 = np.where(np.asarray(out.peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        restored.close()
+
 
 class TestStreamChurn:
     def test_reset_stream_recycles_slot(self, small_params):
