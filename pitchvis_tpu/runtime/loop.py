@@ -53,14 +53,22 @@ class ServeLoop:
         pipelined: bool,
         on_outputs=None,
         sync: str = "element",
+        hops_per_dispatch: int = 1,
     ):
         if rate_hz <= 0:
             raise ValueError("rate_hz must be positive")
         if sync not in ("element", "host", "none"):
             raise ValueError(f"sync must be 'element', 'host' or 'none', got {sync!r}")
+        if hops_per_dispatch < 1:
+            raise ValueError("hops_per_dispatch must be >= 1")
+        if hops_per_dispatch > 1 and server.ingest != "delta":
+            raise ValueError("hops_per_dispatch > 1 requires ingest='delta'")
         self._server = server
-        self._period = 1.0 / float(rate_hz)
-        self._pipelined = pipelined
+        self._k = int(hops_per_dispatch)
+        # throughput mode dispatches k hops at a time; the deadline grid
+        # spaces DISPATCHES so the audio cadence still averages rate_hz
+        self._period = self._k / float(rate_hz)
+        self._pipelined = pipelined and self._k == 1
         self._sync = sync
         self._on_outputs = on_outputs
         self._cond = threading.Condition()
@@ -109,8 +117,14 @@ class ServeLoop:
         try:
             next_t = time.monotonic()
             while not self._stop_evt.is_set():
-                result = self._server.step(pipelined=self._pipelined)
-                self.stats["hops"] += 1
+                if self._k > 1:
+                    # throughput mode: k ingest-fed hops in ONE fused
+                    # dispatch (the amortized step_multi program); the
+                    # newest hop's outputs are published
+                    result = self._server.step_multi(self._k)
+                else:
+                    result = self._server.step(pipelined=self._pipelined)
+                self.stats["hops"] += self._k
                 if result is not None:  # None = pipelined priming hop
                     self._publish(*result)
                     if self._on_outputs is not None:

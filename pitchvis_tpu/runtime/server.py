@@ -695,6 +695,7 @@ class StreamServer:
         pipelined: bool = True,
         on_outputs=None,
         sync: str = "element",
+        hops_per_dispatch: int = 1,
     ):
         """Starts the self-driving dispatch loop: a background analysis
         thread paces ``step(pipelined=...)`` at ``rate_hz`` and publishes
@@ -710,6 +711,12 @@ class StreamServer:
         (protects consumers on networked devices); ``"host"`` materializes
         the whole output pytree to numpy before publishing (pair with
         ``fetch="led"``); ``"none"`` publishes raw async dispatch handles.
+        ``hops_per_dispatch=k`` (requires ``ingest="delta"``) is the
+        THROUGHPUT mode: each dispatch scan-amortizes k ingest-fed hops
+        (``step_multi`` — the per-hop charge divides by k, how the
+        multi-thousand-stream capacity is actually served), publishes the
+        newest hop, and the deadline grid spaces dispatches k/rate_hz
+        apart so the audio cadence still averages ``rate_hz``.
         One loop per server; ``stop()`` (or the context manager) releases
         it. The control plane (push / reset_stream / rebuild / checkpoint)
         stays available while serving — step()'s existing race rules cover
@@ -724,7 +731,9 @@ class StreamServer:
                 raise RuntimeError(
                     "server is already serving (stop() the active loop)"
                 )
-            self._serve_loop = ServeLoop(self, rate_hz, pipelined, on_outputs, sync)
+            self._serve_loop = ServeLoop(
+                self, rate_hz, pipelined, on_outputs, sync, hops_per_dispatch
+            )
             return self._serve_loop
 
     def close(self) -> None:

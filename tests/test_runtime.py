@@ -444,6 +444,38 @@ class TestServeLoop:
         assert server._serve_loop is None  # nothing leaked half-started
         server.close()
 
+    def test_throughput_mode_hops_per_dispatch(self, small_params):
+        """hops_per_dispatch=k drives step_multi: each dispatch amortizes
+        k ingest-fed hops and publishes the newest one."""
+        import pytest
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params))
+        loop = server.serve(rate_hz=120.0, hops_per_dispatch=4)
+        try:
+            trip = loop.wait_next(timeout=60.0)
+            assert trip is not None
+        finally:
+            final = loop.stop()
+        assert loop.stats["hops"] % 4 == 0
+        assert loop.stats["hops"] == 4 * loop.stats["published"]
+        peaks0 = np.where(np.asarray(final[1].peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        server.close()
+
+        srv2 = StreamServer(1, small_params, buffer_seconds=1.0)
+        with pytest.raises(ValueError, match="hops_per_dispatch"):
+            srv2.serve(hops_per_dispatch=0)
+        srv2.close()
+        snap = StreamServer(
+            1, small_params, buffer_seconds=1.0, ingest="snapshot"
+        )
+        with pytest.raises(ValueError, match="delta"):
+            snap.serve(hops_per_dispatch=4)
+        snap.close()
+
     def test_checkpoint_while_serving(self, tmp_path, small_params):
         """save_server_state from the control plane while the serve loop
         dispatches; the restored server picks up the stream and finds the
