@@ -252,6 +252,42 @@ class TestShardedStreamServer:
         finally:
             srv.close()
 
+    def test_sharded_serve_loop(self, small_params):
+        """server.serve() over a mesh-sharded server: the loop thread's
+        sharded dispatches and the element-barrier publish work across
+        every virtual device; a reset lands correctly mid-serve."""
+        from pitchvis_tpu.parallel.sharding import make_mesh
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        mesh = make_mesh(8)
+        B = 8
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        srv = StreamServer(
+            B, small_params, buffer_seconds=2.0, path="pallas", fast=True,
+            mesh=mesh,
+        )
+        t = np.arange(int(sr * 1.2)) / sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        for s in range(0, B, 2):  # tone on even slots, silence on odd
+            srv.push(s, tone)
+        with srv.serve(rate_hz=120.0) as loop:
+            trip = loop.wait_next(timeout=120.0)
+            assert trip is not None
+            srv.reset_stream(0)
+            final = loop.wait_next(seq=trip[0], timeout=120.0)
+            assert final is not None
+        _seq, out, _gains = loop.latest()
+        assert len(out.x_vqt_smoothed.sharding.device_set) == 8
+        peaks = np.asarray(out.peaks)
+        assert not peaks[0].any()  # reset mid-serve silenced slot 0
+        for s in (2, 4, 6):
+            idx = np.where(peaks[s])[0]
+            assert len(idx) == 1 and abs(idx[0] - 30) <= 1
+        for s in (1, 3, 5, 7):
+            assert not peaks[s].any()
+        srv.close()
+
     def test_sharded_snapshot_mode(self, small_params):
         """ingest="snapshot" + mesh: the re-shipped-window program is also
         shard_map-partitioned (scalar dt spec, unlike the delta path)."""
