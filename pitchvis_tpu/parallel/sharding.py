@@ -52,16 +52,19 @@ def multihost_stream_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
-def stream_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
-    """Leading (stream/batch) axis sharded over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def stream_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
+    """Leading (stream/batch) axis sharded over the mesh — by default over
+    EVERY mesh axis (matching the shard_map specs), so meshes with custom
+    axis names or multiple axes work without naming 'dp'."""
+    axes = tuple(mesh.axis_names) if axis_name is None else axis_name
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, x, axis_name: str = "dp"):
+def shard_batch(mesh: Mesh, x, axis_name=None):
     """Places a host batch onto the mesh, stream axis sharded."""
     return jax.device_put(x, stream_sharding(mesh, axis_name))
 

@@ -140,6 +140,21 @@ class ServeLoop:
         except BaseException as e:  # surfaced via stop()/wait_next()
             self.error = e
         finally:
+            # the loop thread drains its own pipeline slot ON EXIT, before
+            # declaring itself done: a waiter woken by _done must already
+            # be able to see the tail hop (publishing after the join in
+            # stop() would race consumers into missing the final frame),
+            # and a hop left in _pending would leak into the next serve
+            # loop's first publish as an arbitrarily old frame
+            try:
+                tail = self._server.flush()
+                if self.error is None and self._pipelined and tail is not None:
+                    self._publish(*tail)
+                    if self._on_outputs is not None:
+                        self._on_outputs(*self._latest)
+            except BaseException as e:
+                if self.error is None:
+                    self.error = e
             # _done set BEFORE notify so a waiter that wakes cannot re-sleep
             # past a clean shutdown (is_alive() races the thread's last
             # instants; this flag does not)
@@ -174,31 +189,23 @@ class ServeLoop:
     def _teardown(self, raise_error: bool):
         """Joins the loop thread and unwinds shared state; both shutdown
         paths (stop, context-manager exit) funnel through here so they
-        cannot drift. Idempotent."""
+        cannot drift. The pipelined tail was already flushed + published by
+        the loop thread's own exit path (so waiters woken by _done never
+        miss it, and nothing stale survives for a later loop). Idempotent."""
         self._thread.join()
         with self._server._state_lock:
             if self._server._serve_loop is self:
                 self._server._serve_loop = None
-        if self.error is not None:
-            # a hop dispatched before the failure may still sit in the
-            # pipeline slot; drain it so the next pipelined consumer does
-            # not receive an arbitrarily old frame as its first result
-            self._server.flush()
-            if raise_error:
-                raise RuntimeError("serve loop failed") from self.error
-            return self.latest()
-        if self._pipelined:
-            tail = self._server.flush()
-            if tail is not None:
-                self._publish(*tail)
-                if self._on_outputs is not None:
-                    self._on_outputs(*self._latest)
+        if self.error is not None and raise_error:
+            raise RuntimeError("serve loop failed") from self.error
         return self.latest()
 
     def stop(self):
-        """Stops pacing and joins the loop thread; publishes the pipelined
-        in-flight tail so no ingested hop is lost; re-raises a loop error.
-        From the loop thread itself (``on_outputs``), only signals."""
+        """Stops pacing and joins the loop thread; the loop's exit path
+        publishes the pipelined in-flight tail so no ingested hop is lost;
+        re-raises a loop error. From the loop thread itself
+        (``on_outputs``), only signals — the tail still publishes when the
+        loop unwinds."""
         self._stop_evt.set()
         if threading.current_thread() is self._thread:
             return self.latest()

@@ -152,9 +152,11 @@ def main(argv=None) -> int:
         )
 
     arrays = jax.tree.map(rep, make_vqt_arrays(kernel, path=args.path, fast=args.fast))
+    # init rows are uniform, so each host only materializes ITS slice (a
+    # global init would cost O(n_hosts) redundant host memory per process)
     analysis_state = jax.tree.map(
-        lambda a: glob(np.asarray(a)[:local_streams]),
-        init_state_batch(global_streams, params.n_buckets),
+        lambda a: glob(np.asarray(a)),
+        init_state_batch(local_streams, params.n_buckets),
     )
 
     # --- host-local ingest: native ring bank + producer threads -------------
@@ -190,7 +192,8 @@ def main(argv=None) -> int:
             t0 += hop
             time.sleep(0.2 / args.hop_hz)  # produce ~5x realtime, bounded
 
-    threading.Thread(target=producer, daemon=True).start()
+    producer_thread = threading.Thread(target=producer, daemon=True)
+    producer_thread.start()
 
     step_fn = jax.jit(
         lambda a, st, x, dt: analysis_step_batch(aparams, params.range, st, vqt_db_auto(a, x, path=args.path), dt),
@@ -201,7 +204,8 @@ def main(argv=None) -> int:
     probe = glob(np.zeros((local_streams, params.n_fft), np.float32))
     text = step_fn.lower(arrays, analysis_state, probe, 1.0 / args.hop_hz).compile().as_text()
     for op in ("all-reduce", "all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
-        assert op not in text, f"collective {op} in the serving hot path"
+        if op in text:  # not `assert`: must survive python -O in production
+            raise RuntimeError(f"collective {op} in the serving hot path")
 
     def one_step(state):
         if use_native:
@@ -238,6 +242,10 @@ def main(argv=None) -> int:
         NamedSharding(mesh, P("hosts")), local_rate, global_shape=(n_hosts,)
     )
     total_rate = float(jax.jit(lambda g: g.sum())(gathered))
+    # stop + JOIN the producer BEFORE destroying the ring bank: a write
+    # racing pv_rb_destroy would dereference a freed handle
+    stop.set()
+    producer_thread.join(timeout=10)
     if use_native:
         rings.close()
     if pid == 0:
@@ -251,7 +259,6 @@ def main(argv=None) -> int:
             "steps_per_host": steps,
             "native_ingest": use_native,
         }), flush=True)
-    stop.set()
     return 0
 
 

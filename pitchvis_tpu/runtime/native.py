@@ -269,6 +269,12 @@ class NativeRingBank:
             raise ValueError(
                 f"audio image shape {audio.shape} != ({self.n_streams}, {self.capacity})"
             )
+        if heads.shape != (self.n_streams,) or gains.shape != (self.n_streams,):
+            # pv_rb_import reads n_streams entries from each; shorter
+            # buffers would be read out of bounds
+            raise ValueError(
+                f"heads/gains shapes {heads.shape}/{gains.shape} != ({self.n_streams},)"
+            )
         self._lib.pv_rb_import(
             self._handle, _fptr(audio),
             heads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), _fptr(gains),

@@ -592,6 +592,10 @@ class StreamServer:
                 window = self._materialize_window(snap_len, host_dtype)
             new_state, new_window = state, window
             outputs = gains = None
+            # stats accumulate locally and commit only on a successful
+            # write-back: a rebuild-discarded attempt re-consumes the same
+            # audio on retry and would otherwise double-count
+            acc = {"hops": 0, "catchup_hops": 0, "advanced": 0, "frozen": 0}
             for k in range(1 + self._max_catchup):
                 chunks, g, adv = self.rings.consume(self._hop, self._max_lag)
                 if k > 0 and not adv.any():
@@ -614,11 +618,16 @@ class StreamServer:
                 )
                 gains = g
                 n_adv = int(adv.sum())
-                self.stats["hops"] += 1
-                self.stats["catchup_hops"] += int(k > 0)
-                self.stats["advanced"] += n_adv
-                self.stats["frozen"] += self.n_streams - n_adv
+                acc["hops"] += 1
+                acc["catchup_hops"] += int(k > 0)
+                acc["advanced"] += n_adv
+                if k == 0:
+                    # only wall-clock hops count underruns: on a catch-up
+                    # hop a stream with no backlog is NOT underrunning
+                    acc["frozen"] += self.n_streams - n_adv
             if self._writeback(params, new_state, new_window):
+                for key, v in acc.items():
+                    self.stats[key] += v
                 return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 
@@ -651,14 +660,16 @@ class StreamServer:
                 )
             staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
             n_adv = int(advs.sum())
-            self.stats["hops"] += k
-            self.stats["advanced"] += n_adv
-            self.stats["frozen"] += k * self.n_streams - n_adv
             new_state, new_window, outputs = fn(
                 arrays, state, self.ml_params, window,
                 self._put_scan_batch(staged), self._put_scan_batch(advs), hop_dt,
             )
             if self._writeback(params, new_state, new_window):
+                # committed post-write-back: a rebuild-discarded attempt
+                # would otherwise double-count the re-consumed audio
+                self.stats["hops"] += k
+                self.stats["advanced"] += n_adv
+                self.stats["frozen"] += k * self.n_streams - n_adv
                 return outputs, gains
         raise RuntimeError("rebuild storm: step_multi() could not complete")
 
@@ -731,6 +742,10 @@ class StreamServer:
                 raise RuntimeError(
                     "server is already serving (stop() the active loop)"
                 )
+            # a leftover from MANUAL pipelined stepping must not become the
+            # loop's first publish (the loop publishes only hops it
+            # dispatched; its own exit path always drains the slot)
+            self._pending = None
             self._serve_loop = ServeLoop(
                 self, rate_hz, pipelined, on_outputs, sync, hops_per_dispatch
             )

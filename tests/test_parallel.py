@@ -288,6 +288,22 @@ class TestShardedStreamServer:
             assert not peaks[s].any()
         srv.close()
 
+    def test_custom_axis_name_mesh(self, small_params):
+        """The server's device placement must follow the mesh's actual axis
+        names (shard_batch defaults to every mesh axis), not assume 'dp'."""
+        from pitchvis_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(8, axis_name="streams")
+        srv, out, _ = self._drive(small_params, mesh=mesh, hops=2)
+        try:
+            assert len(out.x_vqt_smoothed.sharding.device_set) == 8
+            assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+            srv.reset_stream(1)  # row update re-pins the custom sharding
+            out2, _ = srv.step(dt=1.0 / 60.0)
+            assert not np.asarray(out2.peaks[1]).any()
+        finally:
+            srv.close()
+
     def test_sharded_snapshot_mode(self, small_params):
         """ingest="snapshot" + mesh: the re-shipped-window program is also
         shard_map-partitioned (scalar dt spec, unlike the delta path)."""
