@@ -316,19 +316,36 @@ def main(argv: list[str] | None = None) -> int:
         "matching pitchvis_train/train.py:31's 346,616-frame corpus; tuned "
         "recipe, 20 epochs); writes TRAIN_DEMO_FULLSCALE.json",
     )
+    ap.add_argument(
+        "--reference-hparams", action="store_true",
+        help="with --full: keep the reference's exact hyperparameters "
+        "(Adam lr=1e-5, batch 300, 32 epochs) instead of the tuned recipe; "
+        "writes TRAIN_DEMO_FULLSCALE_REF.json",
+    )
     args = ap.parse_args(argv)
+    if args.reference_hparams and not args.full:
+        ap.error("--reference-hparams only applies to --full (smaller runs "
+                 "already default to the reference recipe)")
     if args.quick:
         args.files, args.seconds, args.epochs = 4, 10.0, 2
     if args.full:
-        args.files, args.epochs, args.tuned = 1535, 20, True
+        args.files = 1535
+        args.tuned = not args.reference_hparams
+        args.epochs = 32 if args.reference_hparams else 20
         if args.out == ap.get_default("out"):
-            args.out = "artifacts/train_demo_full"
+            args.out = (
+                "artifacts/train_demo_full_ref"
+                if args.reference_hparams
+                else "artifacts/train_demo_full"
+            )
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
     metrics_copy = None
     if not args.quick:
-        if args.full:
+        if args.full and args.reference_hparams:
+            metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE_REF.json"
+        elif args.full:
             metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE.json"
         elif args.tuned:
             metrics_copy = "artifacts/TRAIN_DEMO_TUNED.json"

@@ -117,6 +117,30 @@ class TestTunedCli:
         assert corpus.main(["--full", "--out", "/tmp/elsewhere"]) == 0
         assert calls[-1]["out_dir"] == "/tmp/elsewhere"
 
+    def test_full_reference_hparams(self, monkeypatch):
+        """--full --reference-hparams keeps the reference recipe at full
+        scale (32 epochs, tuned off, REF artifact); it is rejected without
+        --full (smaller runs already default to the reference recipe)."""
+        import pytest
+
+        from pitchvis_tpu.train import corpus
+
+        calls = []
+
+        def fake_train_demo(**kw):
+            calls.append(kw)
+            return {"n_frames": 1, "metrics": {"f1_micro": 0.0, "accuracy": 0.0}}
+
+        monkeypatch.setattr(corpus, "train_demo", fake_train_demo)
+        assert corpus.main(["--full", "--reference-hparams"]) == 0
+        kw = calls[-1]
+        assert kw["n_files"] == 1535 and kw["epochs"] == 32
+        assert kw["tuned"] is False
+        assert kw["out_dir"] == "artifacts/train_demo_full_ref"
+        assert kw["metrics_copy"] == "artifacts/TRAIN_DEMO_FULLSCALE_REF.json"
+        with pytest.raises(SystemExit):
+            corpus.main(["--reference-hparams"])
+
     def test_quick_and_full_mutually_exclusive(self, monkeypatch):
         """--quick --full would otherwise silently produce a hybrid run
         (full's 1535 files at quick's 10 s clips, no artifact copy)."""
