@@ -107,8 +107,15 @@ def warm(args) -> int:
         "    out, _ = srv.step(dt=hop / params.sr)\n"
         "    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, 'ravel')]\n"
         "    np.asarray(leaves[0].ravel()[0])\n"
-        "    srv.close()\n"
         "    print(f'warmed server step ({n} streams): {time.perf_counter()-t0:.1f}s')\n"
+        "    # step_multi compiles a third program (the scan-amortized hop\n"
+        "    # the serve loop's throughput mode and capacity serving use)\n"
+        "    t0 = time.perf_counter()\n"
+        "    out, _ = srv.step_multi(8)\n"
+        "    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, 'ravel')]\n"
+        "    np.asarray(leaves[0].ravel()[0])\n"
+        "    srv.close()\n"
+        "    print(f'warmed server step_multi(8): {time.perf_counter()-t0:.1f}s')\n"
         "else:\n"
         "    print('server warm skipped: native runtime unavailable')\n"
     )
