@@ -20,6 +20,7 @@ deployments where producers feed fixed-size batches directly.
 
 from __future__ import annotations
 
+import threading
 import time
 
 import jax
@@ -195,8 +196,6 @@ class StreamServer:
         # reset landing mid-step would otherwise be overwritten by step's
         # state assignment, leaving the recycled slot with the old client's
         # EMA carries
-        import threading
-
         self._state_lock = threading.Lock()
         # resets that land while a step's fused dispatch is in flight are
         # re-applied to that step's result before it is written back (the
@@ -631,6 +630,21 @@ class StreamServer:
                 return outputs, gains
         raise RuntimeError("rebuild storm: step() could not complete")  # debounce prevents this
 
+    def _guard_manual_dispatch(self) -> None:
+        """While a serve loop is active, the loop thread is the ONLY
+        dispatcher: a second thread stepping concurrently would race the
+        pipelined _pending swap and double-advance the analysis clock."""
+        loop = self._serve_loop
+        if (
+            loop is not None
+            and loop.running
+            and threading.current_thread() is not loop._thread
+        ):
+            raise RuntimeError(
+                "a serve loop owns this server's dispatch; stop() it "
+                "before stepping manually"
+            )
+
     def step_multi(self, k: int, dt: float | None = None):
         """``k`` hops in ONE fused dispatch (lax.scan over the hop axis) —
         the ingest-fed twin of ``pipeline_step_multi``: amortizes the
@@ -643,6 +657,7 @@ class StreamServer:
             raise RuntimeError("step_multi requires ingest='delta'")
         if k < 1:
             raise ValueError("k must be >= 1")
+        self._guard_manual_dispatch()
         hop_dt = (self._hop / self.vqt_params.sr) if dt is None else dt
         self._last_step = time.monotonic()
         for _ in range(3):  # retried only if a rebuild lands mid-step
@@ -688,6 +703,7 @@ class StreamServer:
 
         ``dt`` overrides the wall-clock frame delta (deterministic replays
         and tests); by default it is measured between step calls."""
+        self._guard_manual_dispatch()
         result = self._dispatch(dt)
         if not pipelined:
             return result

@@ -476,6 +476,24 @@ class TestServeLoop:
             snap.serve(hops_per_dispatch=4)
         snap.close()
 
+    def test_manual_step_rejected_while_serving(self, small_params):
+        """Two dispatchers on one server race the pipelined slot and the
+        analysis clock; manual step()/step_multi() are refused while a
+        loop is active, and allowed again after stop()."""
+        import pytest
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=1.0)
+        loop = server.serve(rate_hz=60.0)
+        with pytest.raises(RuntimeError, match="serve loop owns"):
+            server.step()
+        with pytest.raises(RuntimeError, match="serve loop owns"):
+            server.step_multi(2)
+        loop.stop()
+        server.step(dt=1.0 / 60.0)  # manual dispatch restored
+        server.close()
+
     def test_checkpoint_while_serving(self, tmp_path, small_params):
         """save_server_state from the control plane while the serve loop
         dispatches; the restored server picks up the stream and finds the
