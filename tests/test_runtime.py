@@ -444,6 +444,24 @@ class TestServeLoop:
         assert server._serve_loop is None  # nothing leaked half-started
         server.close()
 
+    def test_display_deployment_shape(self, small_params):
+        """The documented display pairing: fetch='led' (compact outputs)
+        + sync='host' — consumers receive small materialized numpy."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=2.0, fetch="led")
+        server.push(0, self._tone(small_params))
+        with server.serve(rate_hz=120.0, sync="host") as loop:
+            trip = loop.wait_next(timeout=60.0)
+        assert trip is not None
+        out = trip[1]
+        nb = small_params.n_buckets
+        assert isinstance(out.led, np.ndarray)
+        assert out.led.shape == (1, nb, 3) and out.led.dtype == np.uint8
+        assert isinstance(out.scene_calmness, np.ndarray)
+        assert (out.led[0, 28:33] > 0).any()  # lit near the tone's bin
+        server.close()
+
     def test_throughput_mode_hops_per_dispatch(self, small_params):
         """hops_per_dispatch=k drives step_multi: each dispatch amortizes
         k ingest-fed hops and publishes the newest one."""
