@@ -512,6 +512,71 @@ class TestServeLoop:
         server.step(dt=1.0 / 60.0)  # manual dispatch restored
         server.close()
 
+    def test_serve_lifecycle_fuzz(self, small_params):
+        """Model-based fuzz of the loop lifecycle: repeated serve()/stop()
+        cycles with random configs (sync, pipelined, hops_per_dispatch)
+        while producer threads push and the control plane churns
+        (reset_stream + one live rebuild). Every cycle must publish, every
+        published output must be finite, every shutdown must join cleanly,
+        and a fresh loop must never see a previous cycle's stale hop."""
+        import threading
+        from dataclasses import replace
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        rng = np.random.default_rng(7)
+        B = 3
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        server = StreamServer(B, small_params, buffer_seconds=1.0)
+        stop_producers = threading.Event()
+
+        def producer(s):
+            prng = np.random.default_rng(100 + s)
+            while not stop_producers.is_set():
+                server.push(s, (prng.standard_normal(
+                    int(prng.integers(1, 2 * hop))) * 0.05).astype(np.float32))
+                stop_producers.wait(0.01)
+
+        threads = [threading.Thread(target=producer, args=(s,), daemon=True)
+                   for s in range(B)]
+        for th in threads:
+            th.start()
+        rebuilt = False
+        try:
+            for cycle in range(6):
+                k = int(rng.choice([1, 1, 1, 2, 4]))
+                sync = str(rng.choice(["element", "host", "none"]))
+                loop = server.serve(
+                    rate_hz=200.0,
+                    pipelined=bool(rng.integers(2)),
+                    sync=sync,
+                    hops_per_dispatch=k,
+                )
+                trip = loop.wait_next(timeout=120.0)
+                assert trip is not None, cycle
+                assert trip[0] >= 1  # fresh sequence space per loop
+                if rng.integers(2):
+                    server.reset_stream(int(rng.integers(B)))
+                if not rebuilt and cycle == 3:
+                    server.rebuild(
+                        replace(small_params, quality=small_params.quality * 1.2)
+                    )
+                    rebuilt = True
+                final = loop.stop()
+                assert not loop.running and loop.error is None, cycle
+                assert server._serve_loop is None
+                assert server._pending is None  # no stale hop leaks forward
+                leaves = [np.asarray(x) for x in
+                          __import__("jax").tree.leaves(final[1])]
+                for leaf in leaves:
+                    assert np.isfinite(leaf).all() or leaf.dtype == bool, cycle
+        finally:
+            stop_producers.set()
+            for th in threads:
+                th.join(timeout=10)
+            server.close()
+
     def test_checkpoint_while_serving(self, tmp_path, small_params):
         """save_server_state from the control plane while the serve loop
         dispatches; the restored server picks up the stream and finds the
