@@ -48,9 +48,7 @@ def build_rebuilt_arrays(old_params, new_params, *, max_n_fft: int, path: str, f
             f"{max_n_fft}; construct with a larger buffer"
         )
     kernel = get_kernel(new_params)  # validates; VqtError on bad combos
-    from ..ops.vqt import make_vqt_arrays as _make
-
-    arrays = _make(kernel, path=path, fast=fast)
+    arrays = make_vqt_arrays(kernel, path=path, fast=fast)
     return kernel, arrays, new_params.range != old_params.range
 
 

@@ -27,8 +27,9 @@ from flax import struct
 from ..core.config import VqtRange
 from ..ops.colors import COLORS, EASING_POW, GRAY_LEVEL, calculate_color
 
-PITCH_BALL_SCALE_FACTOR = 0.05  # display ball scale (setup.rs)
-VISIBILITY_CUTOFF = 0.019  # update.rs:147
+PITCH_BALL_SCALE_FACTOR = 1.0 / 305.0  # update.rs:23
+VISIBILITY_CUTOFF = 0.019  # update.rs:147 — compared against transform.scale
+FADE_ALPHA_FLOOR = 0.7  # update.rs:169 — fading balls never drop below this
 C4_FREQ = 261.626  # update.rs:1108
 PEAK_RADIUS = 2.0  # spectrogram peak splat radius (update.rs)
 SPIRAL_SEGMENTS_PER_SEMITONE = 6  # update.rs:22
@@ -68,9 +69,18 @@ def chroma_vector(x_vqt_smoothed: jnp.ndarray, rng: VqtRange) -> jnp.ndarray:
     max-normalized (update.rs:1103-1131)."""
     n = rng.n_buckets
     semitones_from_c4 = 12.0 * math.log2(rng.min_freq / C4_FREQ)
-    bin0_class = (round(semitones_from_c4) % 12 + 12) % 12
+    # Rust f32::round is half-away-from-zero (Python round is half-to-even)
+    bin0 = math.floor(abs(semitones_from_c4) + 0.5) * (
+        -1 if semitones_from_c4 < 0 else 1
+    )
+    bin0_class = (bin0 % 12 + 12) % 12
 
-    semitone = jnp.round(jnp.arange(n) * 12.0 / rng.buckets_per_octave).astype(jnp.int32)
+    # half-away-from-zero like the reference's .round(); the operand is
+    # non-negative so floor(x+0.5) suffices (jnp.round is half-to-even and
+    # misassigns every half-semitone bin when bpo/12 is even)
+    semitone = jnp.floor(
+        jnp.arange(n) * 12.0 / rng.buckets_per_octave + 0.5
+    ).astype(jnp.int32)
     pitch_class = (semitone + bin0_class) % 12
     power = jnp.power(10.0, x_vqt_smoothed / 10.0)
     chroma = jax.ops.segment_sum(power, pitch_class, num_segments=12)
@@ -82,12 +92,16 @@ class BallState(struct.PyTreeNode):
     """Per-bin "pitch ball" carry (scale decays exponentially when the bin's
     peak disappears; update.rs:136-184). `center` keeps the last placed
     fractional position so a fading ball stays where its peak was instead of
-    snapping to the integer bin (the reference's ball entities keep their
-    Transform while fading)."""
+    snapping to the integer bin; `rgba` and `calm` keep the last placed
+    color/shader params the same way (the reference's ball entities keep
+    their Transform AND material while fading, with alpha decaying toward
+    the 0.7 floor, update.rs:166-170)."""
 
     scale: jnp.ndarray  # (n,)
     z_offset: jnp.ndarray  # (n,) background drift of fading balls
     center: jnp.ndarray  # (n,) last placed fractional bin position
+    rgba: jnp.ndarray  # (n, 4) last placed color (alpha decays while fading)
+    calm: jnp.ndarray  # (n,) last placed calmness shader param
 
     @classmethod
     def init(cls, n_buckets: int) -> "BallState":
@@ -95,6 +109,8 @@ class BallState(struct.PyTreeNode):
             scale=jnp.zeros(n_buckets),
             z_offset=jnp.zeros(n_buckets),
             center=jnp.arange(n_buckets, dtype=jnp.float32),
+            rgba=jnp.zeros((n_buckets, 4)),
+            calm=jnp.zeros(n_buckets),
         )
 
 
@@ -155,38 +171,58 @@ def update_balls(
     z_order = jnp.where(active, (size_at / max_size - 1.01) * 12.5, z_offset)
     z_offset = jnp.where(active, jnp.zeros_like(z_offset), z_offset)
 
-    # fading balls keep the position their peak last had (update.rs keeps
-    # the entity Transform); only active bins move to the new center
+    # fading balls keep the position AND material their peak last had
+    # (update.rs keeps the entity Transform and color, decaying only alpha
+    # toward the 0.7 floor, update.rs:166-170); active bins get fresh
+    # color + alpha = color_coefficient
     new_center = jnp.where(active, center_at, state.center)
+    faded_alpha = jnp.maximum(state.rgba[:, 3] * dropoff, FADE_ALPHA_FLOOR)
+    new_rgba = jnp.where(
+        active[:, None],
+        jnp.concatenate([rgb, color_coefficient[:, None]], axis=-1),
+        jnp.concatenate([state.rgba[:, :3], faded_alpha[:, None]], axis=-1),
+    )
+    new_calm = jnp.where(active, calm_param, state.calm)
     x, y = bin_to_spiral(rng.buckets_per_octave, new_center)
     position = jnp.stack([x, y, z_order], axis=-1)
 
-    visible = new_scale >= VISIBILITY_CUTOFF * PITCH_BALL_SCALE_FACTOR
+    # visibility compares the TRANSFORM scale against the cutoff
+    # (update.rs:153,175: size * PITCH_BALL_SCALE_FACTOR >= 0.019);
+    # placement additionally shows any active ball above 0.002
+    # (update.rs:299-302)
+    visible = new_scale >= VISIBILITY_CUTOFF
     visible = jnp.where(active & (new_scale >= 0.002), True, visible)
 
-    # hide balls within 0.23 semitones of a peak, except the peaks themselves
-    # (update.rs:305-327). Inactive bins DROP instead of clipping into the
-    # edge bins: a clipped scatter would collide with real edge peaks and
-    # resolve the duplicate writes in undefined order.
-    radius = rng.buckets_per_octave / 12.0 * 0.23
+    # hide every integer bin in [round(center-radius), round(center+radius)]
+    # around each peak, except the peak bins themselves (update.rs:305-327;
+    # radius uses the reference's INTEGER division bpo/12). round() in Rust
+    # is half-away-from-zero -> floor(x+0.5) on these non-negative centers.
+    radius = (rng.buckets_per_octave // 12) * 0.23
+    lo = jnp.floor(center_at - radius + 0.5)
+    hi = jnp.floor(center_at + radius + 0.5)
     hide = jnp.zeros(n, bool)
-    span = int(math.ceil(radius)) + 1
-    for off in range(-span, span + 1):
-        t = jnp.round(center_at + off)
-        shift_ok = jnp.abs(t - center_at) <= radius
-        target = jnp.where(active & shift_ok, t.astype(jnp.int32), n)
+    for off in range(int(2 * radius) + 2):
+        t = lo + off
+        in_interval = t <= hi
+        # the reference clamps the interval into [0, n-1], hiding the edge
+        # bins for peaks near the boundary — clip, don't drop
+        target = jnp.where(
+            active & in_interval, jnp.clip(t, 0, n - 1).astype(jnp.int32), n
+        )
         hide = hide | jnp.zeros(n, bool).at[target].set(True, mode="drop")
     hide = hide & ~active
     visible = visible & ~hide
 
-    rgba = jnp.concatenate([rgb, color_coefficient[:, None]], axis=-1)
-    new_state = BallState(scale=new_scale, z_offset=z_offset, center=new_center)
+    new_state = BallState(
+        scale=new_scale, z_offset=z_offset, center=new_center,
+        rgba=new_rgba, calm=new_calm,
+    )
     return new_state, BallOutputs(
         position=position,
-        rgba=rgba,
+        rgba=new_rgba,
         scale=new_scale,
         visible=visible,
-        calmness=jnp.where(active, calm_param, 0.0),
+        calmness=new_calm,
         pitch_accuracy=pitch_accuracy,
         pitch_deviation=pitch_deviation,
     )
@@ -204,7 +240,9 @@ def spectrogram_row_vqt(rng: VqtRange, x_vqt_smoothed: jnp.ndarray) -> jnp.ndarr
     bucket = ((jnp.arange(n) + rotation) % rng.buckets_per_octave).astype(jnp.float32)
     rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
     rgba = jnp.concatenate([rgb * 1.2, brightness[:, None] * 1.2], axis=-1)
-    return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    # the reference clamps then `as u8` — truncation, not rounding
+    # (update.rs:998-1001)
+    return jnp.floor(jnp.clip(rgba * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
 
 def spectrogram_row_peaks(
@@ -234,7 +272,8 @@ def spectrogram_row_peaks(
         # nearer peak already wrote (peaks can sit ~2.5-3 bins apart)
         write = jnp.where(peaks & in_radius, target, n)
         rgba = rgba.at[write].set(px, mode="drop")
-    return jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    # clamp then truncate, like the reference's `as u8` (update.rs:1052-1058)
+    return jnp.floor(jnp.clip(rgba * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
 
 class BassSpiralOutputs(struct.PyTreeNode):

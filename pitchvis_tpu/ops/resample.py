@@ -55,7 +55,9 @@ class ResamplerSpec:
 
     @property
     def history_len(self) -> int:
-        return self.taps_per_phase
+        """Per-stream streaming history length — what init_state allocates
+        and process() carries (the last T-1 input samples)."""
+        return self.taps_per_phase - 1
 
 
 def make_spec(sr_in: int, sr_out: int, taps_per_phase: int = 24) -> ResamplerSpec:
@@ -170,7 +172,6 @@ class FftChunkResampler:
         # streaming state: pending input + synthesis overlap tail
         self._pending = np.zeros(0, np.float64)
         self._ola = np.zeros(self.n_out - self.h_out, np.float64)
-        self._primed = False
 
     @property
     def delay_secs(self) -> float:
@@ -199,10 +200,19 @@ class FftChunkResampler:
             return np.concatenate(outs)
         return np.zeros(0, np.float64)
 
+    def reset(self) -> None:
+        """Clears the streaming state (pending input + synthesis tail)."""
+        self._pending = np.zeros(0, np.float64)
+        self._ola = np.zeros(self.n_out - self.h_out, np.float64)
+
     def resample(self, x: np.ndarray) -> np.ndarray:
         """Offline: resample a full 1-D signal, time-aligned so y[j]
         estimates x at t = j / sr_out. A half-window zero lead-in completes
-        the COLA sum at the signal start; the tail is flushed with zeros."""
+        the COLA sum at the signal start; the tail is flushed with zeros.
+        Resets the streaming state first, so repeated calls on one instance
+        are independent (a leftover pending/OLA tail from a previous signal
+        would otherwise shift the window grid and contaminate the start)."""
+        self.reset()
         x = np.asarray(x, np.float64)
         pad = np.zeros(self.h_in)
         y = self.process(np.concatenate([pad, x, pad, pad]))

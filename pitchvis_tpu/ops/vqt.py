@@ -248,7 +248,7 @@ class Vqt:
         params: VqtParameters | None = None,
         *,
         path: str = "time",
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None,
         fast: bool = False,
     ):
         self.params = params or VqtParameters()
@@ -256,6 +256,13 @@ class Vqt:
         dtype = jnp.bfloat16 if fast else jnp.float32
         self.path = path
         self.fast = fast
+        if precision is None:
+            # the pairing every other entry point uses (vqt_db_auto, the
+            # benchmarks): bf16 weights -> one-pass DEFAULT (the point of
+            # fast mode), f32 -> exact HIGHEST. An explicit argument wins.
+            precision = (
+                jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+            )
         self.precision = precision
         self.delay_secs = self.kernel.delay_secs
         if path == "pallas":

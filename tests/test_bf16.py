@@ -71,6 +71,22 @@ class TestVqtStage:
         assert err.max() <= 0.15, f"pallas bf16 max dB error {err.max():.4f}"
 
 
+class TestFastModePrecisionPairing:
+    def test_vqt_fast_defaults_to_one_pass(self, small_params):
+        """Vqt(fast=True) must pair bf16 weights with DEFAULT precision (one
+        MXU pass — the point of fast mode); HIGHEST would silently run the
+        6-pass decomposition fast mode exists to avoid. f32 stays HIGHEST,
+        and an explicit argument always wins."""
+        import jax
+
+        from pitchvis_tpu.ops.vqt import Vqt
+
+        assert Vqt(small_params, fast=True).precision == jax.lax.Precision.DEFAULT
+        assert Vqt(small_params).precision == jax.lax.Precision.HIGHEST
+        v = Vqt(small_params, fast=True, precision=jax.lax.Precision.HIGHEST)
+        assert v.precision == jax.lax.Precision.HIGHEST
+
+
 class TestAnalysisStages:
     """Feed both spectra through the identical f32 analysis step and compare
     the downstream quantities — the bf16 perturbation must stay below every

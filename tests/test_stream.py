@@ -137,6 +137,32 @@ class TestResampler:
         with pytest.raises(ValueError):
             PolyphaseResampler(48000, 22050, 100)
 
+    def test_history_len_matches_state(self):
+        """ResamplerSpec.history_len is the sizing contract for callers
+        allocating their own per-stream history: it must equal what
+        init_state allocates and process() carries (T-1, not T)."""
+        from pitchvis_tpu.ops.resample import make_spec
+
+        spec = make_spec(48000, 22050)
+        rs = PolyphaseResampler(48000, 22050, spec.m * 2)
+        state = rs.init_state(3)
+        assert state.shape == (3, spec.history_len)
+        new_state, _ = rs.process(state, jnp.zeros((3, spec.m * 2)))
+        assert new_state.shape == (3, spec.history_len)
+
+    def test_fft_chunk_resample_repeatable(self):
+        """resample() on one FftChunkResampler instance is stateless across
+        calls: a second identical call must return identical output (a
+        leftover pending/OLA tail used to shift the window grid)."""
+        from pitchvis_tpu.ops.resample import FftChunkResampler
+
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(20000) * 0.1).astype(np.float64)
+        r = FftChunkResampler(48000, 22050)
+        y1 = r.resample(x)
+        y2 = r.resample(x)
+        np.testing.assert_array_equal(y1, y2)
+
 
 class TestResamplerSpecContract:
     """Quantified filter contract for the mic-rate ingest resampler

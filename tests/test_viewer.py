@@ -68,6 +68,20 @@ class TestBloomChroma:
         chroma = np.asarray(chroma_vector(jnp.asarray(x), RANGE))
         assert chroma.argmax() == 9
 
+    def test_chroma_half_semitone_rounds_away_from_zero(self):
+        """bpo=24: bin 1 sits exactly half a semitone up; the reference's
+        f32::round assigns it to semitone 1 (away from zero), not 0
+        (half-to-even). Regression for the jnp.round misassignment that
+        shifted EVERY odd bin one pitch class low at even buckets/semitone."""
+        n = RANGE.n_buckets  # bpo = 24
+        x = np.full(n, -300.0, np.float32)
+        x[1] = 10.0  # dominant power at bin 1
+        chroma = np.asarray(chroma_vector(jnp.asarray(x), RANGE))
+        semitones_from_c4 = 12.0 * math.log2(RANGE.min_freq / 261.626)
+        bin0_class = (round(semitones_from_c4) % 12 + 12) % 12
+        want = (1 + bin0_class) % 12  # semitone 1, NOT 0
+        assert int(np.argmax(chroma)) == want
+
     def test_chroma_silence(self):
         chroma = np.asarray(chroma_vector(jnp.zeros(RANGE.n_buckets), RANGE))
         assert np.all(np.isfinite(chroma))
@@ -118,6 +132,69 @@ class TestBalls:
         assert bool(out.visible[30])
         assert not bool(out.visible[31])
 
+    def test_hide_interval_matches_reference_rounding(self):
+        """The reference hides every integer bin in
+        [round(c-r), round(c+r)] (update.rs:311-318) — an interval up to
+        half a bin wider than a plain |bin - c| <= r distance test. bpo=36:
+        radius 0.69, center 5.3 -> round(5.99)=6 must be hidden even though
+        |6 - 5.3| = 0.7 > 0.69."""
+        rng36 = VqtRange(min_freq=55.0, octaves=3, buckets_per_octave=36)
+        n = rng36.n_buckets
+        state = BallState.init(n)
+        mask = np.zeros(n, bool)
+        center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        mask[6] = True  # give bin 6 a ball first
+        center[6], size[6] = 6.0, 10.0
+        state, _ = update_balls(
+            rng36, state, jnp.asarray(mask), jnp.asarray(center),
+            jnp.asarray(size), jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), 1 / 30,
+        )
+        mask[:] = False
+        center[:] = 0.0
+        size[:] = 0.0
+        mask[5] = True
+        center[5], size[5] = 5.3, 10.0
+        state, out = update_balls(
+            rng36, state, jnp.asarray(mask), jnp.asarray(center),
+            jnp.asarray(size), jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), 1 / 30,
+        )
+        assert bool(out.visible[5])  # the peak itself
+        assert not bool(out.visible[6])  # inside the reference's interval
+
+    def test_visibility_cutoff_in_transform_units(self):
+        """update.rs:153 compares transform.scale (= size/305) against
+        0.019: a ball of size 5 (scale 0.0164) is below the cutoff and
+        hides as soon as it is no longer an active peak; size 10 stays
+        visible while fading."""
+        n = RANGE.n_buckets
+        small = BallState.init(n)
+        small, out = self._step(small, [(30, 30.0, 5.0)])
+        assert bool(out.visible[30])  # active placement threshold is 0.002
+        small, out = self._step(small, [])
+        assert not bool(out.visible[30])  # fading, below 0.019
+        big = BallState.init(n)
+        big, _ = self._step(big, [(30, 30.0, 10.0)])
+        big, out = self._step(big, [])
+        assert bool(out.visible[30])  # 10/305 = 0.0328 still above cutoff
+
+    def test_fading_ball_keeps_color_with_alpha_floor(self):
+        """update.rs:166-170: a fading ball keeps its material color; only
+        alpha decays, floored at 0.7."""
+        n = RANGE.n_buckets
+        state = BallState.init(n)
+        state, out0 = self._step(state, [(30, 30.2, 10.0)])
+        rgb0 = np.asarray(out0.rgba[30, :3])
+        assert np.any(rgb0 > 0)
+        state, out1 = self._step(state, [])
+        np.testing.assert_allclose(np.asarray(out1.rgba[30, :3]), rgb0, atol=1e-7)
+        assert float(out1.rgba[30, 3]) >= 0.7  # alpha floor
+        # many fade frames later the floor holds exactly
+        for _ in range(20):
+            state, out = self._step(state, [])
+        np.testing.assert_allclose(float(out.rgba[30, 3]), 0.7, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.rgba[30, :3]), rgb0, atol=1e-7)
+
 
 class TestSpectrogram:
     def test_vqt_row(self):
@@ -143,6 +220,25 @@ class TestSpectrogram:
         )
         assert row[30, 3] > row[31, 3] > row[32, 3]
         assert row[35, 3] == 0
+
+    def test_quantization_truncates_like_as_u8(self):
+        """The reference clamps then casts `as u8` — truncation. Find a
+        brightness whose float alpha has a fractional part > 0.6 and assert
+        the u8 channel equals the floor, not the round."""
+        n = RANGE.n_buckets
+        for v in np.linspace(3.0, 30.0, 200):
+            x = np.zeros(n, np.float32)
+            x[0] = 40.0  # sets the max
+            x[5] = v
+            mx = 40.0
+            normalized = v / (mx + 0.001)
+            b = min(max((1.0 - (1.0 - normalized) ** 2.0) * 1.5, 0.0), 1.0)
+            alpha_f = min(max(b * 1.2 * 255.0, 0.0), 255.0)
+            if alpha_f % 1.0 > 0.6 and alpha_f < 254:
+                row = np.asarray(spectrogram_row_vqt(RANGE, jnp.asarray(x)))
+                assert row[5, 3] == int(alpha_f)  # floor, not round
+                return
+        raise AssertionError("no fractional test case found")
 
     def test_scroll_state(self):
         st = SpectrogramState.init(4, 8)
