@@ -149,11 +149,33 @@ def update_balls(
     scale = state.scale * dropoff
     z_offset = state.z_offset - 0.001 * 30.0 * dt
 
-    # active peaks keyed by trunc(center) (update.rs:208-212)
-    key = jnp.where(peaks, jnp.clip(peak_center.astype(jnp.int32), 0, n - 1), n)
-    active = jnp.zeros(n, bool).at[key].set(True, mode="drop")
-    center_at = jnp.zeros(n).at[key].set(peak_center, mode="drop")
-    size_at = jnp.zeros(n).at[key].set(peak_size, mode="drop")
+    def shifted(x, d, fill):
+        """x[i] moved to bin i+d, no wraparound (vacated lanes = fill)."""
+        y = jnp.roll(x, d, axis=-1)
+        edge = (idx < d) if d > 0 else (idx >= n + d)
+        return jnp.where(edge, fill, y) if d != 0 else x
+
+    # active peaks keyed by trunc(center) (update.rs:208-212). Peak centers
+    # clamp to one bin of their source (ops/peaks.py enhance), so the key
+    # scatter is THREE static shifts. Measured on-chip: the scatter form
+    # lowers fine here (unique keys, one set — not the serialized-gather
+    # pathology docs/PERFORMANCE.md documents), so this form is perf-neutral;
+    # it is kept for the repo's static-shift convention AND because it
+    # DEFINES the duplicate-key order (higher source bin wins, matching the
+    # reference's ascending peak iteration) where a scatter left it undefined
+    key_off = jnp.clip(peak_center.astype(jnp.int32), 0, n - 1) - idx
+    active = jnp.zeros(n, bool)
+    center_at = jnp.zeros(n)
+    size_at = jnp.zeros(n)
+    # d descending: when two peaks key the same bin (possible at the
+    # 2-bin min distance with ±1-bin centers), the HIGHER source bin wins,
+    # like the reference's ascending peak iteration with overwrite
+    for d in (1, 0, -1):
+        src = peaks & (key_off == d)
+        hit = shifted(src, d, False)
+        active = active | hit
+        center_at = jnp.where(hit, shifted(peak_center, d, 0.0), center_at)
+        size_at = jnp.where(hit, shifted(peak_size, d, 0.0), size_at)
 
     max_size = jnp.maximum(jnp.max(jnp.where(peaks, peak_size, 0.0)), 1e-30)
     color_coefficient = 1.0 - (1.0 - size_at / max_size) ** 2.0
@@ -197,19 +219,17 @@ def update_balls(
     # around each peak, except the peak bins themselves (update.rs:305-327;
     # radius uses the reference's INTEGER division bpo/12). round() in Rust
     # is half-away-from-zero -> floor(x+0.5) on these non-negative centers.
+    # Bin j is hidden by the peak at source bin i iff lo_i <= j <= hi_i;
+    # |j - i| <= radius + 1.5, so this is a static-shift window too
     radius = (rng.buckets_per_octave // 12) * 0.23
-    lo = jnp.floor(center_at - radius + 0.5)
-    hi = jnp.floor(center_at + radius + 0.5)
+    lo = jnp.floor(peak_center - radius + 0.5)
+    hi = jnp.floor(peak_center + radius + 0.5)
     hide = jnp.zeros(n, bool)
-    for off in range(int(2 * radius) + 2):
-        t = lo + off
-        in_interval = t <= hi
-        # the reference clamps the interval into [0, n-1], hiding the edge
-        # bins for peaks near the boundary — clip, don't drop
-        target = jnp.where(
-            active & in_interval, jnp.clip(t, 0, n - 1).astype(jnp.int32), n
-        )
-        hide = hide | jnp.zeros(n, bool).at[target].set(True, mode="drop")
+    span = int(radius) + 2
+    for d in range(-span, span + 1):
+        j = idx + d
+        src = peaks & (lo <= j) & (j <= hi)
+        hide = hide | shifted(src, d, False)
     hide = hide & ~active
     visible = visible & ~hide
 
@@ -298,9 +318,11 @@ def bass_spiral(
     n = rng.n_buckets
 
     has_peak = jnp.any(peaks)
-    first_bin = jnp.argmin(jnp.where(peaks, jnp.arange(n), n))
-    center = peak_center[first_bin] / bpo * 12.0  # semitones
-    size = peak_size[first_bin]
+    # lowest peak via masked reduction, not a data-dependent gather (the
+    # fused serving step runs this per hop; CLAUDE.md performance rule)
+    first = peaks & (jnp.cumsum(peaks) == 1)
+    center = jnp.sum(jnp.where(first, peak_center, 0.0)) / bpo * 12.0  # semitones
+    size = jnp.sum(jnp.where(first, peak_size, 0.0))
     rounded = jnp.round(center)
     n_lit = rounded * SPIRAL_SEGMENTS_PER_SEMITONE  # update.rs:390
     in_range = n_lit < n_segments  # update.rs:382-387

@@ -196,6 +196,107 @@ class TestBalls:
         np.testing.assert_allclose(np.asarray(out.rgba[30, :3]), rgb0, atol=1e-7)
 
 
+class TestBallsScatterFreeEquivalence:
+    """The static-shift formulation of update_balls must equal a plain
+    scatter-loop NumPy mirror of the reference semantics on random inputs
+    (the rewrite exists for the CLAUDE.md no-data-dependent-scatters rule;
+    this pins that it changed nothing)."""
+
+    def _numpy_mirror(self, rng_, state, peaks, center, size, calmness, dt):
+        from pitchvis_tpu.models.viewer import (
+            FADE_ALPHA_FLOOR,
+            PITCH_BALL_SCALE_FACTOR,
+            VISIBILITY_CUTOFF,
+            pitch_color_rotation,
+        )
+        from pitchvis_tpu.ops.colors import COLORS, EASING_POW, GRAY_LEVEL
+        from pitchvis_tpu.ops.colors import calculate_color as cc
+
+        n = rng_.n_buckets
+        dropoff = (0.85 - 0.15 * np.arange(n) / n) ** (30.0 * dt)
+        scale = np.asarray(state.scale) * dropoff
+
+        active = np.zeros(n, bool)
+        center_at = np.zeros(n)
+        size_at = np.zeros(n)
+        for i in range(n):
+            if peaks[i]:
+                k = min(max(int(center[i]), 0), n - 1)
+                active[k] = True
+                center_at[k] = center[i]
+                size_at[k] = size[i]
+        max_size = max(float(np.max(np.where(peaks, size, 0.0))), 1e-30)
+        coeff = 1.0 - (1.0 - size_at / max_size) ** 2.0
+        rot = pitch_color_rotation(rng_.buckets_per_octave)
+        rgb = np.asarray(
+            cc(rng_.buckets_per_octave,
+               jnp.asarray(np.mod(center_at + rot, rng_.buckets_per_octave)),
+               COLORS, GRAY_LEVEL, EASING_POW)
+        )
+        calm_param = np.clip(calmness - 0.27, 0.0, 1.0)
+        new_scale = np.where(
+            active, size_at * PITCH_BALL_SCALE_FACTOR * (1.0 + 0.2 * calm_param),
+            scale,
+        )
+        faded_alpha = np.maximum(
+            np.asarray(state.rgba)[:, 3] * dropoff, FADE_ALPHA_FLOOR
+        )
+        new_rgba = np.where(
+            active[:, None],
+            np.concatenate([rgb, coeff[:, None]], axis=-1),
+            np.concatenate([np.asarray(state.rgba)[:, :3], faded_alpha[:, None]], axis=-1),
+        )
+        visible = new_scale >= VISIBILITY_CUTOFF
+        visible = np.where(active & (new_scale >= 0.002), True, visible)
+        radius = (rng_.buckets_per_octave // 12) * 0.23
+        hide = np.zeros(n, bool)
+        for i in range(n):
+            if peaks[i]:
+                lo = int(max(np.floor(center[i] - radius + 0.5), 0))
+                hi = int(min(np.floor(center[i] + radius + 0.5), n - 1))
+                hide[lo : hi + 1] = True
+        hide &= ~active
+        return new_scale, new_rgba, visible & ~hide
+
+    def test_fuzz_matches_numpy_scatter_mirror(self):
+        from pitchvis_tpu.models.viewer import BallState, update_balls
+
+        for bpo in (24, 36, 84):
+            rng_ = VqtRange(min_freq=55.0, octaves=3, buckets_per_octave=bpo)
+            n = rng_.n_buckets
+            r = np.random.default_rng(bpo)
+            state = BallState.init(n)
+            # warm the carry with one random placement round first
+            for step in range(4):
+                peaks = r.random(n) < 0.05
+                # the real peak domain: min-distance suppression keeps
+                # discrete peaks >= 2 bins apart (ops/peaks.py), which is
+                # what makes the trunc(center) keys collision-free
+                last = -2
+                for i in range(n):
+                    if peaks[i]:
+                        if i - last < 2:
+                            peaks[i] = False
+                        else:
+                            last = i
+                center = np.clip(
+                    np.arange(n) + r.uniform(-1.0, 1.0, n), 0, n - 1
+                ).astype(np.float32)
+                size = r.uniform(0.0, 30.0, n).astype(np.float32)
+                calm = r.uniform(0.0, 1.0, n).astype(np.float32)
+                want = self._numpy_mirror(
+                    rng_, state, peaks, center, size, calm, 1 / 30
+                )
+                state, out = update_balls(
+                    rng_, state, jnp.asarray(peaks), jnp.asarray(center),
+                    jnp.asarray(size), jnp.asarray(calm), jnp.zeros(n),
+                    jnp.zeros(n), 1 / 30,
+                )
+                np.testing.assert_allclose(np.asarray(out.scale), want[0], atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out.rgba), want[1], atol=1e-5)
+                np.testing.assert_array_equal(np.asarray(out.visible), want[2])
+
+
 class TestSpectrogram:
     def test_vqt_row(self):
         n = RANGE.n_buckets
