@@ -89,13 +89,14 @@ void* pv_rb_create(int64_t n_streams, int64_t capacity) {
 void pv_rb_destroy(void* handle) { delete static_cast<RingBank*>(handle); }
 
 // Producer side (one thread per stream, or any external pacing): appends
-// n samples. NaN chunks are rejected wholesale (audio_desktop.rs:102-105).
-// Returns 0 on success, -1 on NaN rejection.
+// n samples. Non-finite chunks are rejected wholesale (the reference
+// rejects on !is_finite(), audio_desktop.rs:102-105). Returns 0 on
+// success, -1 on rejection.
 int32_t pv_rb_write(void* handle, int64_t stream, const float* samples, int64_t n) {
   auto* bank = static_cast<RingBank*>(handle);
   StreamRing& r = *bank->rings[stream];
   for (int64_t i = 0; i < n; ++i) {
-    if (std::isnan(samples[i])) return -1;
+    if (!std::isfinite(samples[i])) return -1;
   }
   uint64_t head = r.head.load(std::memory_order_relaxed);
   const int64_t cap = bank->capacity;
@@ -120,7 +121,7 @@ int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int6
   StreamRing& r = *bank->rings[stream];
   double energy = 0.0;
   for (int64_t i = 0; i < n; ++i) {
-    if (std::isnan(samples[i])) return -1;
+    if (!std::isfinite(samples[i])) return -1;
     energy += (double)samples[i] * samples[i];
   }
   const bool frozen = energy < 1e-6;

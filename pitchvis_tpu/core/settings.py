@@ -59,11 +59,23 @@ class SettingsState:
 
     @classmethod
     def from_json(cls, text: str) -> "SettingsState":
+        def _validated_fps(v):
+            if v is None:  # None = unlimited, like the reference's FPS limit
+                return None
+            if isinstance(v, bool) or not isinstance(v, (int, float)) or not (
+                0 < v <= 1000
+            ):
+                raise ValueError(f"invalid fps_limit {v!r}")
+            return int(v)
+
         d = json.loads(text)
         return cls(
             display_mode=DisplayMode(d.get("display_mode", "normal")),
             visuals_mode=VisualsMode(d.get("visuals_mode", "full")),
-            fps_limit=d.get("fps_limit", 60),
+            # validate like the enum fields: a non-numeric (or absurd)
+            # value must trigger load_settings' revert-to-defaults, not
+            # surface later as a TypeError in a frame-budget division
+            fps_limit=_validated_fps(d.get("fps_limit", 60)),
             vqt_smoothing_mode=VqtSmoothingMode(d.get("vqt_smoothing_mode", "default")),
             spectrogram_mode=SpectrogramMode(d.get("spectrogram_mode", "vqt")),
             enable_bloom=bool(d.get("enable_bloom", True)),
@@ -98,8 +110,6 @@ def analysis_params_for_mode(
     """Applies a smoothing mode to AnalysisParameters (the reference's
     `update_vqt_smoothing_duration`, analysis.rs:243-270: None disables the
     EMA entirely; Short/Default/Long scale the base horizon)."""
-    import dataclasses
-
     return dataclasses.replace(
         base_params, vqt_smoothing_duration_base=mode.base_duration_secs()
     )

@@ -275,8 +275,14 @@ if __name__ == "__main__":
     # Both the env var AND the config update are needed: the environment
     # presets JAX_PLATFORMS=axon and the config update alone does not
     # reliably win against it (measured: the axon backend still
-    # initializes and shifts spectra by ~5e-4 dB).
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    # initializes and shifts spectra by ~5e-4 dB). But `python -m` imports
+    # the package (and therefore jax) BEFORE this block runs, when the env
+    # var can no longer take effect — so re-exec the process with the env
+    # set from the very first import.
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        os.execvpe(sys.executable, [sys.executable, "-m", "pitchvis_tpu.io.golden",
+                                    *sys.argv[1:]], env)
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -103,11 +104,20 @@ def make_sharded_pipeline_step(mesh: Mesh, *, multi: bool = False, **static_kwar
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), batch, scan_batch if multi else batch, P()),
+        # dt is per-stream (sharded WITH the batch): pipeline_step documents
+        # "scalar or (B,) seconds per hop", and a replicated spec would hand
+        # each shard the full-length vector and fail the broadcast
+        in_specs=(P(), batch, scan_batch if multi else batch, batch),
         out_specs=(batch, scan_batch if multi else batch),
         # pallas_call's out_shape carries no varying-manual-axes metadata, so
         # the vma typecheck cannot see through it; every output is per-stream
         # (mapped) by construction and the equality test below pins that.
         check_vma=False,
     )
-    return jax.jit(mapped)
+
+    def step(arrays, state, chunk, dt):
+        b = chunk.shape[-2]
+        dt_b = jnp.broadcast_to(jnp.asarray(dt, jnp.float32), (b,))
+        return mapped(arrays, state, chunk, dt_b)
+
+    return jax.jit(step)

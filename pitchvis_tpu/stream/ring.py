@@ -40,19 +40,21 @@ def ring_push(
     agc_params: AgcParameters = AgcParameters(),
 ) -> RingState:
     """Pushes one chunk per stream: AGC-process the chunk (silence-freeze
-    semantics) and append it; whole chunks containing NaN are rejected for
-    that stream (audio_desktop.rs:102-105 NaN guard)."""
+    semantics) and append it; whole chunks containing any NON-FINITE sample
+    are rejected for that stream (the reference rejects on !is_finite(),
+    audio_desktop.rs:102-105 — an Inf would collapse the AGC gain and
+    poison every VQT frame the window still covers)."""
     b, t = chunk.shape
     assert state.buffer.shape[0] == b
 
-    has_nan = jnp.any(jnp.isnan(chunk), axis=-1)
-    safe_chunk = jnp.where(has_nan[:, None], 0.0, chunk)
+    bad = jnp.any(~jnp.isfinite(chunk), axis=-1)
+    safe_chunk = jnp.where(bad[:, None], 0.0, chunk)
 
     new_gain, processed = agc_chunk(state.gain, safe_chunk, agc_params)
 
     rolled = jnp.concatenate([state.buffer[:, t:], processed], axis=-1)
-    new_buffer = jnp.where(has_nan[:, None], state.buffer, rolled)
-    new_gain = jnp.where(has_nan, state.gain, new_gain)
+    new_buffer = jnp.where(bad[:, None], state.buffer, rolled)
+    new_gain = jnp.where(bad, state.gain, new_gain)
     return RingState(buffer=new_buffer, gain=new_gain)
 
 

@@ -31,6 +31,7 @@ class StageTimer:
         self._ema: dict[str, float] = {}
         self._last: dict[str, float] = {}
         self._seen: dict[str, float] = {}  # wall time of the last observation
+        self._gap_ema: dict[str, float] = {}  # EMA'd inter-observation gap
         self._count: dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
@@ -59,6 +60,8 @@ class StageTimer:
             step = now - self._seen.get(name, now - dt)
             alpha = 1.0 - math.exp(-2.0 * max(step, 1e-9) / self.horizon)
             self._ema[name] = prev + alpha * (dt - prev)
+            gap_prev = self._gap_ema.get(name, step)
+            self._gap_ema[name] = gap_prev + alpha * (step - gap_prev)
         self._seen[name] = now
 
     def ema(self, name: str) -> float:
@@ -68,6 +71,15 @@ class StageTimer:
         return self._last.get(name, 0.0)
 
     def fps(self, name: str) -> float:
+        """The OBSERVED invocation rate (1 / EMA'd gap between calls) — the
+        number an FPS overlay means. A 1 ms stage called once per 16.7 ms
+        frame reports 60, not its theoretical-max 1000 (that inverse-duration
+        figure is still available via :meth:`max_fps`)."""
+        g = self._gap_ema.get(name, 0.0)
+        return 1.0 / g if g > 0 else 0.0
+
+    def max_fps(self, name: str) -> float:
+        """The stage's maximum achievable rate: 1 / EMA'd stage duration."""
         e = self.ema(name)
         return 1.0 / e if e > 0 else 0.0
 

@@ -93,6 +93,22 @@ class TestSettings:
         # and the file was repaired
         assert load_settings(path) == SettingsState()
 
+    def test_bad_fps_limit_reverts_to_defaults(self, tmp_path):
+        """fps_limit is validated like the enum fields: a string (or absurd
+        number) triggers the revert-to-defaults, instead of surfacing later
+        as a TypeError in a frame-budget division. None stays valid."""
+        import json
+
+        path = str(tmp_path / "settings.json")
+        good = SettingsState().to_json()
+        for bad in ('"60"', "0", "-5", "1e9", "true"):
+            with open(path, "w") as f:
+                f.write(good.replace('"fps_limit": 60', f'"fps_limit": {bad}'))
+            assert json.loads(open(path).read()) is not None  # valid JSON
+            assert load_settings(path) == SettingsState()
+        s = SettingsState(fps_limit=None)
+        assert SettingsState.from_json(s.to_json()) == s
+
     def test_smoothing_mode_durations(self):
         assert VqtSmoothingMode.NONE.base_duration_secs() == 0.0
         assert VqtSmoothingMode.DEFAULT.base_duration_secs() == 0.070

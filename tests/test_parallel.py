@@ -128,6 +128,47 @@ class TestShardedPallasServing:
         ):
             assert op not in text, f"collective {op} in sharded pallas serving"
 
+    def test_per_stream_dt_shards_with_batch(self, small_params):
+        """pipeline_step documents dt as 'scalar or (B,)'; the sharded step
+        must shard a (B,) dt with the stream axis (a replicated spec hands
+        each shard the full-length vector and fails the broadcast)."""
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.kernel.builder import get_kernel
+        from pitchvis_tpu.models.pipeline import init_pipeline_state, pipeline_step
+        from pitchvis_tpu.ops.vqt import make_vqt_arrays
+        from pitchvis_tpu.parallel.sharding import (
+            make_mesh, make_sharded_pipeline_step, replicate, shard_batch,
+        )
+
+        batch, hop = 16, 368
+        kernel = get_kernel(small_params)
+        arrays = make_vqt_arrays(kernel, path="pallas", fast=True)
+        state0 = init_pipeline_state(batch, small_params)
+        rng = np.random.default_rng(3)
+        chunk = (rng.standard_normal((batch, hop)) * 0.05).astype(np.float32)
+        dt_b = rng.uniform(1 / 70, 1 / 50, batch).astype(np.float32)
+
+        _, ref = pipeline_step(
+            arrays, state0, jnp.asarray(chunk), jnp.asarray(dt_b),
+            vqt_params=small_params, path="pallas",
+        )
+        mesh = make_mesh(8)
+        step = make_sharded_pipeline_step(
+            mesh, vqt_params=small_params, path="pallas"
+        )
+        _, out = step(
+            replicate(mesh, arrays),
+            jax.tree.map(lambda a: shard_batch(mesh, np.asarray(a)), state0),
+            shard_batch(mesh, chunk),
+            shard_batch(mesh, dt_b),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.analysis.x_vqt_smoothed),
+            np.asarray(ref.analysis.x_vqt_smoothed),
+            atol=2e-2,
+        )
+
     def test_default_parameter_shapes(self, default_params):
         """One case at the DEFAULT config (n_fft=32768, 588 bins) — the same
         shapes the real-chip headline bench serves."""

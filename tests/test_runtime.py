@@ -67,6 +67,19 @@ class TestNativeRingBank:
         np.testing.assert_allclose(out, 0.0)
         bank.close()
 
+    def test_inf_rejected(self):
+        """Non-finite (not just NaN) rejection, like the reference's
+        !is_finite() guard (audio_desktop.rs:102-105)."""
+        bank = native.NativeRingBank(1, 32)
+        for v in (np.inf, -np.inf):
+            bad = np.full(8, 0.5, np.float32)
+            bad[5] = v
+            assert not bank.write(0, bad)
+            assert not bank.write(0, bad, agc=True)
+        out, _ = bank.snapshot(8)
+        np.testing.assert_allclose(out, 0.0)
+        bank.close()
+
     def test_agc_ingest_matches_standalone(self):
         rng = np.random.default_rng(1)
         chunk = (rng.standard_normal(64) * 0.1).astype(np.float32)

@@ -96,6 +96,20 @@ class TestRing:
         assert np.all(buf[1] == 0.0)  # stream 1 rejected entirely
         assert float(st2.gain[1]) == 1.0
 
+    def test_inf_chunk_rejected_like_reference(self):
+        """The reference rejects on !is_finite() (audio_desktop.rs:102-105):
+        an Inf sample would collapse the AGC gain by ~1e4 and poison every
+        VQT frame its window covers — the whole chunk must be dropped."""
+        st = RingState.init(2, 8)
+        good = np.full(4, 0.5, np.float32)
+        bad = good.copy()
+        bad[1] = np.inf
+        st2 = ring_push(st, jnp.asarray(np.stack([good, bad])))
+        buf = np.asarray(st2.buffer)
+        assert np.all(np.isfinite(buf))
+        assert np.all(buf[1] == 0.0)
+        assert float(st2.gain[1]) == 1.0
+
 
 class TestResampler:
     @pytest.mark.parametrize("sr_in", [44100, 48000])

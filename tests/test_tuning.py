@@ -112,8 +112,22 @@ class TestStageTimer:
         with t.stage("vqt"):
             pass
         t.observe("analysis", 0.010)
+        t.observe("analysis", 0.010)  # fps needs an inter-call gap
         rep = t.report()
         assert "vqt" in rep and "analysis" in rep
         assert rep["analysis"]["last_ms"] == 10.0
-        assert rep["analysis"]["count"] == 1
+        assert rep["analysis"]["count"] == 2
         assert t.fps("analysis") > 0
+
+    def test_fps_is_observed_rate_not_inverse_duration(self):
+        """A 1 ms stage invoked every ~20 ms must report the ~50 Hz call
+        rate, not its 1000 Hz theoretical maximum (that figure moved to
+        max_fps)."""
+        import time as _time
+
+        t = StageTimer(horizon=0.05)
+        for _ in range(6):
+            t.observe("hop", 0.001)
+            _time.sleep(0.02)
+        assert t.max_fps("hop") > 500.0
+        assert 20.0 < t.fps("hop") < 120.0  # ~50 Hz, generous bounds
