@@ -38,6 +38,45 @@ import time
 import numpy as np
 
 
+def _tone_producer(server, stop, writes, k, lo, hi, sr):
+    """Shared producer loop of the live-ingest legs: sweeps its stream
+    range once per 100 ms, pushing 100 ms of tone to every stream —
+    realtime ingest when the host keeps up (the report's
+    ingest_realtime_fraction records whether it did; this VM has one
+    burst-throttled core). Native writes release the GIL."""
+    rng = np.random.default_rng(k)
+    t = np.arange(sr // 10) / sr
+    chunks = [
+        (0.1 * np.sin(
+            2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t
+        )).astype(np.float32)
+        for s in range(lo, hi)
+    ]
+    while not stop.is_set():
+        t0 = time.monotonic()
+        for s in range(lo, hi):
+            if stop.is_set():
+                return
+            server.push(s, chunks[s - lo])
+            writes[k] += len(chunks[s - lo])
+        time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
+
+
+def _start_producers(server, stop, n_streams, n_producers, sr):
+    writes = [0] * n_producers
+    threads = [
+        threading.Thread(
+            target=_tone_producer,
+            args=(server, stop, writes, k,
+                  k * n_streams // n_producers, (k + 1) * n_streams // n_producers,
+                  sr),
+            daemon=True,
+        )
+        for k in range(n_producers)
+    ]
+    return threads, writes
+
+
 def soak_pipeline(
     n_streams: int = 3840,
     minutes: float = 3.0,
@@ -98,6 +137,7 @@ def soak_pipeline(
     final = np.asarray(out.x_vqt[-1])
     return {
         "leg": "pipeline",
+        "minutes": minutes,
         "n_streams": n_streams,
         "path": path,
         "fast": fast,
@@ -133,30 +173,7 @@ def soak_server(
     )
     sr = int(params.sr)
     stop = threading.Event()
-    writes = [0] * n_producers
-
-    def producer(k: int):
-        """Sweeps its stream range once per 100 ms, pushing 100 ms of tone
-        to every stream — realtime ingest when the host keeps up (the
-        report's ingest_realtime_fraction records whether it did; this VM
-        has one burst-throttled core). Native writes release the GIL."""
-        rng = np.random.default_rng(k)
-        t = np.arange(sr // 10) / sr
-        lo, hi = k * n_streams // n_producers, (k + 1) * n_streams // n_producers
-        chunks = [
-            (0.1 * np.sin(2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t)).astype(np.float32)
-            for s in range(lo, hi)
-        ]
-        while not stop.is_set():
-            t0 = time.monotonic()
-            for s in range(lo, hi):
-                if stop.is_set():
-                    return
-                server.push(s, chunks[s - lo])
-                writes[k] += len(chunks[s - lo])
-            time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
-
-    threads = [threading.Thread(target=producer, args=(k,), daemon=True) for k in range(n_producers)]
+    threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
     out, _ = server.step(dt=1.0 / 60.0)  # compile
     np.asarray(out.peaks[0])
@@ -201,6 +218,7 @@ def soak_server(
     times.sort()
     return {
         "leg": "server",
+        "minutes": minutes,
         "n_streams": n_streams,
         "path": path,
         "fast": fast,
@@ -246,26 +264,7 @@ def soak_serve_loop(
     )
     sr = int(params.sr)
     stop = threading.Event()
-    writes = [0] * n_producers
-
-    def producer(k: int):
-        rng = np.random.default_rng(k)
-        t = np.arange(sr // 10) / sr
-        lo, hi = k * n_streams // n_producers, (k + 1) * n_streams // n_producers
-        chunks = [
-            (0.1 * np.sin(2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t)).astype(np.float32)
-            for s in range(lo, hi)
-        ]
-        while not stop.is_set():
-            t0 = time.monotonic()
-            for s in range(lo, hi):
-                if stop.is_set():
-                    return
-                server.push(s, chunks[s - lo])
-                writes[k] += len(chunks[s - lo])
-            time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
-
-    threads = [threading.Thread(target=producer, args=(k,), daemon=True) for k in range(n_producers)]
+    threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
     out, _ = server.step(dt=1.0 / 60.0)  # compile before the loop starts pacing
     np.asarray(out.peaks[0])
@@ -301,7 +300,10 @@ def soak_serve_loop(
                 rebuilds.append(round(time.monotonic() - t0, 2))
                 rebuild_at = None
         final = loop.stop()
-        finite = bool(np.isfinite(np.asarray(final[1].x_vqt_smoothed)).all())
+        finite = bool(
+            final is not None
+            and np.isfinite(np.asarray(final[1].x_vqt_smoothed)).all()
+        )
         loop_stats = dict(loop.stats)
         serving_stats = dict(server.stats)
     finally:
@@ -310,9 +312,12 @@ def soak_serve_loop(
             th.join(timeout=10)
         server.close()
     wall = time.monotonic() - t_start
-    gaps = sorted(np.diff(publish_t)) if len(publish_t) > 1 else [float("nan")]
+    # with <2 observations there is no gap statistic; report null rather
+    # than writing literal NaN into the JSON artifact (unparseable strictly)
+    gaps = sorted(np.diff(publish_t)) if len(publish_t) > 1 else []
     return {
         "leg": "serve_loop",
+        "minutes": minutes,
         "n_streams": n_streams,
         "rate_hz": rate_hz,
         "path": path,
@@ -324,8 +329,12 @@ def soak_serve_loop(
         # display client); it observes fewer publishes than the loop makes
         # when its own fetch round-trip exceeds the publish period
         "consumer_observed": len(publish_t),
-        "consumer_gap_p50_ms": round(float(gaps[len(gaps) // 2]) * 1e3, 1),
-        "consumer_gap_p95_ms": round(float(gaps[int(len(gaps) * 0.95)]) * 1e3, 1),
+        "consumer_gap_p50_ms": (
+            round(float(gaps[len(gaps) // 2]) * 1e3, 1) if gaps else None
+        ),
+        "consumer_gap_p95_ms": (
+            round(float(gaps[int(len(gaps) * 0.95)]) * 1e3, 1) if gaps else None
+        ),
         "samples_ingested": sum(writes),
         "ingest_realtime_fraction": round(sum(writes) / (n_streams * sr * wall), 3),
         "resets": resets,
@@ -361,6 +370,8 @@ def main(argv: list[str] | None = None) -> int:
                 report = json.load(f)
         except (OSError, json.JSONDecodeError):
             report = {}
+    # per-leg "minutes" is authoritative (skipped legs keep their own);
+    # this top-level field describes THIS invocation only
     report["minutes_per_leg"] = args.minutes
     if not args.skip_pipeline:
         report["pipeline"] = soak_pipeline(args.streams, args.minutes)

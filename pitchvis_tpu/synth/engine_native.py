@@ -34,8 +34,30 @@ def _f64ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+_FONT_TABLE_CACHE: dict[int, dict[str, np.ndarray]] = {}
+
+
 def font_tables(font: SoundFont) -> dict[str, np.ndarray]:
-    """Flattens a parsed SoundFont into the C engine's region tables."""
+    """Flattens a parsed SoundFont into the C engine's region tables.
+
+    Cached per font object: corpus generation constructs one engine PER
+    MIDI FILE (engine lifetime = sequencer lifetime), and re-flattening an
+    unchanged font 1,500x is pure overhead that scales with the font's
+    sample pool. (pv_engine_create still copies the wave table per engine;
+    an engine-reuse API would remove that too if GB-scale fonts ever make
+    it matter.)"""
+    hit = _FONT_TABLE_CACHE.get(id(font))
+    # the cache holds a strong reference to the keyed font, so its id()
+    # cannot be recycled by a different object while the entry lives
+    if hit is not None and hit[0] is font:
+        return hit[1]
+    tables = _font_tables_uncached(font)
+    _FONT_TABLE_CACHE.clear()  # one live corpus font at a time; no leaks
+    _FONT_TABLE_CACHE[id(font)] = (font, tables)
+    return tables
+
+
+def _font_tables_uncached(font: SoundFont) -> dict[str, np.ndarray]:
     inst_gs, inst_extra, instruments = [], [], []
     for inst in font.instruments:
         instruments.append([len(inst_gs), len(inst.regions)])

@@ -227,7 +227,7 @@ def train_demo(
     n_workers: int = 2,
     seed: int = 0,
     target_frames: int | None = None,
-    metrics_copy: str | None = "artifacts/TRAIN_DEMO.json",
+    metrics_copy: str | None = "auto",
     tuned: bool = False,
 ) -> dict:
     """Font -> corpus -> labeled dataset -> training -> committed metrics.
@@ -239,6 +239,12 @@ def train_demo(
     from .dataset import generate_dataset
     from .train import TrainConfig, train, tuned_config
 
+    if metrics_copy == "auto":
+        # follow the recipe: a tuned library call must not overwrite the
+        # committed reference-hparams artifact
+        metrics_copy = (
+            "artifacts/TRAIN_DEMO_TUNED.json" if tuned else "artifacts/TRAIN_DEMO.json"
+        )
     os.makedirs(out_dir, exist_ok=True)
     font_path = os.path.join(out_dir, "train_font.sf2")
     midi_dir = os.path.join(out_dir, "midi")

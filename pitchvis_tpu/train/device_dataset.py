@@ -269,9 +269,9 @@ def annotate_midi_device(
     from the PREVIOUS capture's voice snapshot), synthesis + AGC + VQT all
     on the TPU in one compiled program per (length, note-bucket) shape."""
     sr = int(params.sr)
-    chunk = (int(vqt.delay_secs * 1000.0) * sr // 1000 // 64) * 64
-    if chunk == 0:
-        raise ValueError("vqt delay too small")
+    from .dataset import _chunk_samples
+
+    chunk = _chunk_samples(vqt, sr)  # the ONE chunk-grid rule (train.rs:243-247)
 
     length = midi.get_length()
     if max_seconds is not None:

@@ -172,7 +172,10 @@ def train(
     train_idx, test_idx = perm[:n_train], perm[n_train:]
 
     model = make_model(cfg)
-    per_epoch = max((n_train - cfg.batch_size) // cfg.batch_size + 1, 0)
+    # the final partial batch trains too, like the reference's DataLoader
+    # default (drop_last=False, pitchvis_train/train.py:108-116) — dropping
+    # it made any run with n_train < batch_size train ZERO steps
+    per_epoch = -(-n_train // cfg.batch_size) if n_train else 0
     cfg = dataclasses.replace(cfg, steps_hint=cfg.epochs * per_epoch)
     tx = make_optimizer(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -185,7 +188,7 @@ def train(
     for epoch in range(cfg.epochs):
         rng.shuffle(train_idx)
         losses = []
-        for i in range(0, len(train_idx) - b + 1, b):
+        for i in range(0, len(train_idx), b):
             batch = train_idx[i : i + b]
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(
@@ -219,7 +222,9 @@ def save_checkpoint(path: str, params, cfg: TrainConfig, metrics: dict) -> None:
 
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.join(path, f"model_{int(time.time())}"), params)
+    # nanosecond stamp: two saves within the same second must not collide
+    # (orbax raises on an existing directory, losing the trained params)
+    ckpt.save(os.path.join(path, f"model_{time.time_ns()}"), params)
     ckpt.wait_until_finished()
     ckpt.close()
     with open(os.path.join(path, "train_meta.json"), "w") as f:
@@ -234,8 +239,10 @@ def load_checkpoint(path: str, cfg: TrainConfig):
     model = make_model(cfg)
     template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.t_window * cfg.n_buckets)))
     dirs = sorted(
-        d
-        for d in os.listdir(path)
-        if d.startswith("model_") and not d.endswith("-tmp")
+        (d
+         for d in os.listdir(path)
+         if d.startswith("model_") and not d.endswith("-tmp")),
+        key=lambda d: int(d.split("_", 1)[1]),  # numeric: second- and
+        # nanosecond-stamped names must not compare lexicographically
     )
     return ckpt.restore(os.path.join(os.path.abspath(path), dirs[-1]), template)

@@ -141,6 +141,32 @@ class TestTunedCli:
         with pytest.raises(SystemExit):
             corpus.main(["--reference-hparams"])
 
+    def test_library_call_auto_routes_metrics_copy(self, monkeypatch, tmp_path):
+        """train_demo(tuned=True) called as a library (not via main()) must
+        not overwrite the committed reference-hparams artifact: the 'auto'
+        default follows the recipe (TUNED file for tuned runs)."""
+        import os
+
+        import pitchvis_tpu.train.dataset as ds
+        import pitchvis_tpu.train.train as tr
+        from pitchvis_tpu.core.config import TRAIN_VQT_PARAMETERS
+        from pitchvis_tpu.train import corpus
+
+        row = TRAIN_VQT_PARAMETERS.n_buckets + 128
+        monkeypatch.setattr(corpus, "build_training_font", lambda *a, **kw: [0])
+        monkeypatch.setattr(corpus, "build_midi_corpus", lambda *a, **kw: [])
+        monkeypatch.setattr(
+            ds, "generate_dataset", lambda *a, **kw: np.zeros(row * 8, np.float32)
+        )
+        monkeypatch.setattr(
+            tr, "train",
+            lambda *a, **kw: (None, {"f1_micro": 0.0, "accuracy": 0.0}),
+        )
+        monkeypatch.chdir(tmp_path)
+        for tuned, name in ((True, "TRAIN_DEMO_TUNED.json"), (False, "TRAIN_DEMO.json")):
+            corpus.train_demo(out_dir=str(tmp_path / f"t{tuned}"), tuned=tuned)
+            assert os.path.exists(tmp_path / "artifacts" / name), name
+
     def test_quick_and_full_mutually_exclusive(self, monkeypatch):
         """--quick --full would otherwise silently produce a hybrid run
         (full's 1535 files at quick's 10 s clips, no artifact copy)."""

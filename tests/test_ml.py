@@ -92,6 +92,36 @@ class TestTraining:
         b = model.apply(restored, jnp.asarray(x[:4]))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_small_dataset_still_trains(self, tmp_path):
+        """n_train < batch_size must still run optimizer steps (the final
+        partial batch trains, like the reference DataLoader's
+        drop_last=False) — a drop-last loop trained ZERO steps on the
+        --quick smoke corpus and reported untrained-model metrics."""
+        import dataclasses
+
+        data = synthetic_dataset()
+        big_batch = dataclasses.replace(CFG, batch_size=100_000, epochs=3)
+        params, metrics = train(data, big_batch)
+        assert metrics["steps"] == 3  # one partial batch per epoch
+        assert len(metrics["epoch_loss"]) == 3
+        assert metrics["epoch_loss"][-1] < metrics["epoch_loss"][0]
+
+    def test_checkpoint_saves_do_not_collide(self, tmp_path):
+        """Two saves into one dir within the same second must both land
+        (orbax raises on an existing directory — all trained params would
+        be lost right after training completed); newest wins on load."""
+        import dataclasses
+
+        data = synthetic_dataset()
+        cfg = dataclasses.replace(CFG, epochs=1)
+        train(data, cfg, checkpoint_dir=str(tmp_path))
+        train(data, cfg, checkpoint_dir=str(tmp_path))  # same second is fine
+        import os
+
+        models = [d for d in os.listdir(tmp_path) if d.startswith("model_")]
+        assert len(models) == 2
+        load_checkpoint(str(tmp_path), cfg)  # numeric-sorted newest restores
+
     def test_tuned_recipe_learns(self):
         """The tuned (AdamW warmup-cosine) mode trains at least as well as
         the reference recipe on the synthetic task, and its schedule really
