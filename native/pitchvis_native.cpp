@@ -144,6 +144,32 @@ int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int6
   return 0;
 }
 
+// Batched producer write: appends the rows of one contiguous (rows, n)
+// block — row k to stream ids[k] — applying the AGC recurrence per row
+// when agc != 0. ONE call per producer tick instead of one per stream:
+// at capacity scale (thousands of streams) host ingest is bound by the
+// Python call dispatch long before the memcpys matter, and a network
+// frontend delivers audio in exactly this batched shape anyway. The
+// per-stream single-producer contract applies per ROW (two concurrent
+// batch writers must target disjoint id sets). Per-row NaN guard:
+// a non-finite row is rejected alone (ok[k]=0; others proceed), matching
+// the reference's per-callback rejection (audio_desktop.rs:102-105).
+// Returns the number of accepted rows.
+int64_t pv_rb_write_batch(void* handle, const int64_t* ids, int64_t rows,
+                          const float* samples, int64_t n, uint8_t* ok,
+                          int32_t agc, float desired_rms, float distortion) {
+  int64_t accepted = 0;
+  for (int64_t k = 0; k < rows; ++k) {
+    const int32_t ret =
+        agc ? pv_rb_write_agc(handle, ids[k], samples + k * n, n,
+                              desired_rms, distortion)
+            : pv_rb_write(handle, ids[k], samples + k * n, n);
+    if (ok) ok[k] = ret == 0 ? 1 : 0;
+    if (ret == 0) ++accepted;
+  }
+  return accepted;
+}
+
 // Consumer side: gathers the trailing `window` samples of every stream into
 // out[n_streams * window] (zero-padded if a stream has written less than
 // `window` samples). Also fills gains[n_streams] when non-null.

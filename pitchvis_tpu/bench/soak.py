@@ -39,26 +39,26 @@ import numpy as np
 
 
 def _tone_producer(server, stop, writes, k, lo, hi, sr):
-    """Shared producer loop of the live-ingest legs: sweeps its stream
-    range once per 100 ms, pushing 100 ms of tone to every stream —
-    realtime ingest when the host keeps up (the report's
-    ingest_realtime_fraction records whether it did; this VM has one
+    """Shared producer loop of the live-ingest legs: pushes 100 ms of tone
+    to every stream in its range once per 100 ms via ONE batched native
+    call (``push_batch`` — per-stream ``push`` caps host ingest on Python
+    dispatch alone thousands of streams short of the ring bandwidth).
+    Realtime ingest when the host keeps up; the report's
+    ingest_realtime_fraction records whether it did (this VM has one
     burst-throttled core). Native writes release the GIL."""
     rng = np.random.default_rng(k)
     t = np.arange(sr // 10) / sr
-    chunks = [
+    block = np.stack([
         (0.1 * np.sin(
             2 * np.pi * 110.0 * (1 + (s % 32)) * float(rng.uniform(0.98, 1.02)) * t
         )).astype(np.float32)
         for s in range(lo, hi)
-    ]
+    ])
+    ids = np.arange(lo, hi, dtype=np.int64)
     while not stop.is_set():
         t0 = time.monotonic()
-        for s in range(lo, hi):
-            if stop.is_set():
-                return
-            server.push(s, chunks[s - lo])
-            writes[k] += len(chunks[s - lo])
+        server.push_batch(block, ids)
+        writes[k] += block.size
         time.sleep(max(0.0, 0.1 - (time.monotonic() - t0)))
 
 
@@ -158,10 +158,16 @@ def soak_server(
     path: str = "pallas",
     fast: bool = True,
     reset_every_s: float = 5.0,
+    hops_per_call: int = 1,
+    leg: str = "server",
 ) -> dict:
     """Live-ingest leg: concurrent producers push tones into the native
     ring bank while the analysis thread runs pipelined steps; churn +
-    one live rebuild happen mid-soak."""
+    one live rebuild happen mid-soak. ``hops_per_call=k`` soaks the
+    THROUGHPUT serving mode instead (``step_multi``: k ingest-fed hops
+    scan-amortized into one dispatch — how multi-thousand-stream capacity
+    is actually served); hop percentiles then report the amortized
+    per-hop charge."""
     import dataclasses as dc
 
     from ..core.config import VqtParameters
@@ -175,7 +181,10 @@ def soak_server(
     stop = threading.Event()
     threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
-    out, _ = server.step(dt=1.0 / 60.0)  # compile
+    if hops_per_call > 1:
+        out, _ = server.step_multi(hops_per_call, dt=1.0 / 60.0)  # compile
+    else:
+        out, _ = server.step(dt=1.0 / 60.0)  # compile
     np.asarray(out.peaks[0])
 
     for th in threads:
@@ -188,14 +197,19 @@ def soak_server(
     rebuilds = []
     times = []
     t_start = time.monotonic()
-    server.step(pipelined=True, dt=None)  # prime
+    advanced0 = server.stats["advanced"]  # exclude the compile/prime hops
+    if hops_per_call == 1:
+        server.step(pipelined=True, dt=None)  # prime
     try:
         while time.monotonic() < deadline:
             t0 = time.perf_counter()
-            res = server.step(pipelined=True)
+            if hops_per_call > 1:
+                res = server.step_multi(hops_per_call)
+            else:
+                res = server.step(pipelined=True)
             if res is not None:
                 np.asarray(res[0].peaks[0, 0])
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / hops_per_call)
             steps += 1
             now = time.monotonic()
             if now >= next_reset:
@@ -207,7 +221,8 @@ def soak_server(
                 server.rebuild(dc.replace(params, quality=params.quality * 1.1))
                 rebuilds.append(round(time.monotonic() - t0, 2))
                 rebuild_at = None
-        final = server.flush()
+        # multi mode has no pipelined tail to flush; its last result is res
+        final = server.flush() if hops_per_call == 1 else res
         finite = bool(np.isfinite(np.asarray(final[0].x_vqt_smoothed)).all())
     finally:
         stop.set()
@@ -216,25 +231,36 @@ def soak_server(
         server.close()
     wall = time.monotonic() - t_start
     times.sort()
+    hops = steps * hops_per_call
+    stats = dict(server.stats)
     return {
-        "leg": "server",
+        "leg": leg,
         "minutes": minutes,
         "n_streams": n_streams,
         "path": path,
         "fast": fast,
+        "hops_per_call": hops_per_call,
         "wall_s": round(wall, 1),
         "steps": steps,
-        "steps_per_s": round(steps / wall, 2),
+        "hops": hops,
+        "hops_per_s": round(hops / wall, 2),
+        # per-hop charge (amortized when hops_per_call > 1)
         "hop_p50_ms": round(times[len(times) // 2] * 1e3, 1),
         "hop_p95_ms": round(times[int(len(times) * 0.95)] * 1e3, 1),
         "samples_ingested": sum(writes),
         "ingest_realtime_fraction": round(
             sum(writes) / (n_streams * sr * wall), 3
         ),
+        # audio actually ADVANCED through analysis per stream-second of
+        # wall: the sustained serving realtime fraction at this scale
+        "served_realtime_fraction": round(
+            (stats["advanced"] - advanced0) * (server._hop / sr)
+            / (n_streams * wall), 3
+        ),
         "resets": resets,
         "rebuild_wall_s": rebuilds,
         "outputs_finite": finite,
-        "serving_stats": dict(server.stats),
+        "serving_stats": stats,
     }
 
 
@@ -349,10 +375,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--streams", type=int, default=3840)
     ap.add_argument("--server-streams", type=int, default=1024)
+    ap.add_argument("--capacity-streams", type=int, default=3840)
+    ap.add_argument("--capacity-hops-per-call", type=int, default=16)
     ap.add_argument("--loop-streams", type=int, default=512)
     ap.add_argument("--minutes", type=float, default=3.0)
     ap.add_argument("--out", default="artifacts/SOAK.json")
     ap.add_argument("--skip-server", action="store_true")
+    ap.add_argument("--skip-capacity", action="store_true")
     ap.add_argument("--skip-pipeline", action="store_true")
     ap.add_argument("--skip-loop", action="store_true")
     args = ap.parse_args(argv)
@@ -384,6 +413,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(report["server"]), flush=True)
         else:
             report["server"] = {"skipped": "native library unavailable"}
+    if not args.skip_capacity:
+        # claimed-capacity live-ingest leg: full stream count, batched
+        # producers, THROUGHPUT serving (step_multi) — the deployment shape
+        # the ~3,800-streams/chip claim describes (docs/DEPLOYMENT.md §2)
+        if available():
+            report["server_capacity"] = soak_server(
+                args.capacity_streams, args.minutes,
+                hops_per_call=args.capacity_hops_per_call,
+                leg="server_capacity",
+            )
+            print(json.dumps(report["server_capacity"]), flush=True)
+        else:
+            report["server_capacity"] = {"skipped": "native library unavailable"}
     if not args.skip_loop:
         if available():
             report["serve_loop"] = soak_serve_loop(args.loop_streams, args.minutes)

@@ -49,6 +49,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_float, ctypes.c_float,
     ]
+    lib.pv_rb_write_batch.restype = ctypes.c_int64
+    lib.pv_rb_write_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+    ]
     lib.pv_rb_snapshot.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64,
@@ -192,6 +199,37 @@ class NativeRingBank:
         else:
             ret = self._lib.pv_rb_write(self._handle, stream, _fptr(samples), len(samples))
         return ret == 0
+
+    def write_batch(self, ids: np.ndarray | None, samples: np.ndarray, *,
+                    agc: bool = True, desired_rms: float = 0.07,
+                    distortion: float = 1e-4) -> np.ndarray:
+        """Appends one equal-length chunk to many streams in ONE native
+        call: row k of ``samples`` (rows, n) goes to stream ``ids[k]``
+        (``None`` = rows 0..rows-1). The capacity-scale ingest primitive —
+        per-stream ``write`` costs one Python/ctypes dispatch per stream
+        per tick, which caps host ingest thousands of streams short of
+        what the memcpys allow. Per-row NaN guard: returns an ok[rows]
+        bool array (rejected rows leave their ring untouched)."""
+        samples = np.ascontiguousarray(samples, np.float32)
+        if samples.ndim != 2:
+            raise ValueError(f"samples must be (rows, n), got {samples.shape}")
+        rows = samples.shape[0]
+        if ids is None:
+            ids = np.arange(rows, dtype=np.int64)
+        else:
+            ids = np.ascontiguousarray(ids, np.int64)
+            if ids.shape != (rows,):
+                raise ValueError(f"ids shape {ids.shape} != ({rows},)")
+        if rows and (ids.min() < 0 or ids.max() >= self.n_streams):
+            raise ValueError("stream id out of range")
+        ok = np.empty(rows, np.uint8)
+        self._lib.pv_rb_write_batch(
+            self._handle, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows, _fptr(samples), samples.shape[1],
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            1 if agc else 0, desired_rms, distortion,
+        )
+        return ok.astype(bool)
 
     def snapshot(self, window: int) -> tuple[np.ndarray, np.ndarray]:
         """Trailing `window` samples of all streams -> ((B, window), gains)."""

@@ -427,6 +427,33 @@ class StreamServer:
                 return True  # carried to the next chunk
         return self.rings.write(stream, samples)
 
+    def push_batch(self, samples: np.ndarray, streams: np.ndarray | None = None,
+                   sr: float | None = None) -> np.ndarray:
+        """Appends one equal-length chunk to MANY streams in a single
+        native call: row k of ``samples`` (rows, n) goes to stream
+        ``streams[k]`` (``None`` = streams 0..rows-1). This is the
+        capacity-scale ingest path — per-stream ``push`` costs one
+        Python/ctypes dispatch per stream per tick, which caps host
+        ingest far below what the ring memcpys allow (a network/SHM
+        frontend delivers audio in exactly this batched shape anyway).
+        AGC is applied natively per row; returns an ok[rows] bool array
+        (NaN-guard rejections per row, like ``push``).
+
+        ``sr`` declares the producers' common sample rate; mic-rate
+        batches resample per stream before the ring write (the streaming
+        state is per-stream, and resampled lengths are ragged, so this
+        leg falls back to per-row writes)."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 2:
+            raise ValueError(f"samples must be (rows, n), got {samples.shape}")
+        if sr is not None and int(sr) != int(self.vqt_params.sr):
+            ids = (np.arange(samples.shape[0]) if streams is None
+                   else np.asarray(streams))
+            return np.array(
+                [self.push(int(s), row, sr=sr) for s, row in zip(ids, samples)]
+            )
+        return self.rings.write_batch(streams, samples)
+
     # -- control plane -------------------------------------------------------
     def reset_stream(self, stream: int) -> None:
         """Recycles one slot for a NEW client stream (serving churn): clears

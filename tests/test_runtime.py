@@ -93,6 +93,45 @@ class TestNativeRingBank:
         assert abs(gains[0] - g) < 1e-5
         bank.close()
 
+    def test_write_batch_matches_per_stream_writes(self):
+        """One batched call == the per-stream write loop, bit-exactly
+        (ring contents, AGC gains, heads) — including ring wraparound."""
+        rng = np.random.default_rng(7)
+        a = native.NativeRingBank(5, 96)
+        b = native.NativeRingBank(5, 96)
+        for _ in range(4):  # several ticks so stream heads wrap the ring
+            block = (rng.standard_normal((5, 40)) * 0.1).astype(np.float32)
+            for s in range(5):
+                assert a.write(s, block[s], agc=True)
+            ok = b.write_batch(None, block, agc=True)
+            assert ok.all()
+        sa, ga = a.snapshot(96)
+        sb, gb = b.snapshot(96)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ga, gb)
+        assert all(a.written(s) == b.written(s) for s in range(5))
+        a.close()
+        b.close()
+
+    def test_write_batch_ids_and_row_rejection(self):
+        """Explicit id targeting; a non-finite row is rejected ALONE."""
+        bank = native.NativeRingBank(4, 64)
+        block = np.full((2, 8), 0.25, np.float32)
+        block[1, 3] = np.nan
+        ok = bank.write_batch(np.array([3, 1]), block, agc=False)
+        assert list(ok) == [True, False]
+        out, _ = bank.snapshot(8)
+        np.testing.assert_allclose(out[3], 0.25)
+        np.testing.assert_allclose(out[1], 0.0)  # rejected row: untouched
+        np.testing.assert_allclose(out[0], 0.0)
+        with pytest.raises(ValueError):
+            bank.write_batch(np.array([0, 4]), np.zeros((2, 8), np.float32))
+        with pytest.raises(ValueError):
+            bank.write_batch(np.array([0]), np.zeros((2, 8), np.float32))
+        with pytest.raises(ValueError):
+            bank.write_batch(None, np.zeros(8, np.float32))
+        bank.close()
+
     def test_concurrent_writers(self):
         import threading
 
@@ -188,6 +227,54 @@ class TestStreamServer:
             np.asarray(outs["time"].x_vqt_smoothed),
             atol=2e-2,
         )
+
+    def test_push_batch_matches_per_stream_push(self, small_params):
+        """push_batch (one native call for all streams) feeds the server
+        identically to a per-stream push loop — same spectra, same gains."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        rng = np.random.default_rng(3)
+        chunks = (rng.standard_normal((3, int(small_params.sr * 0.5))) * 0.1
+                  ).astype(np.float32)
+
+        outs = []
+        for batched in (False, True):
+            server = StreamServer(3, small_params, buffer_seconds=1.0)
+            if batched:
+                assert server.push_batch(chunks).all()
+            else:
+                for s in range(3):
+                    assert server.push(s, chunks[s])
+            for _ in range(2):
+                out, gains = server.step(dt=1.0 / 60.0)
+            outs.append((out, gains))
+            server.close()
+        (ao, ag), (bo, bg) = outs
+        np.testing.assert_array_equal(np.asarray(ao.peaks), np.asarray(bo.peaks))
+        np.testing.assert_array_equal(
+            np.asarray(ao.x_vqt_smoothed), np.asarray(bo.x_vqt_smoothed)
+        )
+        np.testing.assert_array_equal(ag, bg)
+
+    def test_push_batch_mic_rate(self, small_params):
+        """A 44.1 kHz batch resamples per stream — equivalent to push(sr=)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        rng = np.random.default_rng(4)
+        chunks = (rng.standard_normal((2, 44100 // 2)) * 0.1).astype(np.float32)
+
+        spectra = []
+        for batched in (False, True):
+            server = StreamServer(2, small_params, buffer_seconds=1.0)
+            if batched:
+                assert server.push_batch(chunks, sr=44100).all()
+            else:
+                for s in range(2):
+                    assert server.push(s, chunks[s], sr=44100)
+            out, _ = server.step(dt=1.0 / 60.0)
+            spectra.append(np.asarray(out.x_vqt_smoothed))
+            server.close()
+        np.testing.assert_array_equal(spectra[0], spectra[1])
 
 
 class TestPipelinedServing:
