@@ -181,14 +181,15 @@ def main(argv=None) -> int:
         t0 = 0
         while not stop.is_set():
             t = (t0 + np.arange(hop)) / sr
-            for s in range(local_streams):
-                samples = (0.1 * np.sin(2 * np.pi * freqs[s] * t)).astype(np.float32)
-                if use_native:
-                    rings.write(s, samples)
-                else:
-                    with ring_lock:
-                        host_rings[s] = np.roll(host_rings[s], -hop)
-                        host_rings[s, -hop:] = samples
+            block = (0.1 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])).astype(
+                np.float32
+            )
+            if use_native:
+                rings.write_batch(None, block)  # one call for all local streams
+            else:
+                with ring_lock:
+                    host_rings[:] = np.roll(host_rings, -hop, axis=1)
+                    host_rings[:, -hop:] = block
             t0 += hop
             time.sleep(0.2 / args.hop_hz)  # produce ~5x realtime, bounded
 
