@@ -15,11 +15,19 @@ that number and writes the evidence to ``artifacts/SOAK.json``:
   at a host-transfer-feasible stream count with concurrent producer
   threads, pipelined stepping, churn, and one live rebuild for the same
   duration; records sustained hop rate and p50/p95 hop times.
+* **server_capacity leg** — live ingest at the FULL claimed stream count
+  through the throughput serving mode (``step_multi``); on a networked
+  tunnel this measures the wire-bandwidth bound (the phase breakdown and
+  co-located extrapolation live in docs/PERFORMANCE.md).
 * **serve_loop leg** — the self-driving loop (``StreamServer.serve()``)
   pacing 60 Hz hops on its own thread at the interactive stream count,
   with producers + a consumer (``wait_next`` per published hop) + churn +
   one live rebuild; records the consumer-observed publish rate,
-  inter-publish p50/p95, and the loop's deadline-skip counters.
+  inter-publish p50/p95, and the loop's deadline-skip counters. A second
+  pass (``serve_loop_throughput``) runs the same leg with
+  ``hops_per_dispatch=k``, where each dispatch scan-amortizes k hops so
+  the audio cadence holds rate_hz through a tunnel whose round-trip
+  exceeds the hop period.
 
 Run:  python -m pitchvis_tpu.bench.soak [--streams 3840] [--minutes 3] ...
 (also ``python -m pitchvis_tpu.xtask soak``). The driver-facing capacity
@@ -272,6 +280,7 @@ def soak_serve_loop(
     path: str = "pallas",
     fast: bool = True,
     reset_every_s: float = 5.0,
+    hops_per_dispatch: int = 1,
 ) -> dict:
     """Self-driving-loop leg: ``StreamServer.serve()`` owns the dispatch
     cadence while producers push and the main thread plays consumer
@@ -306,7 +315,8 @@ def soak_serve_loop(
     publish_t = []
     last_seq = 0
     t_start = time.monotonic()
-    loop = server.serve(rate_hz=rate_hz, pipelined=True)
+    advanced0 = server.stats["advanced"]  # exclude the compile hop
+    loop = server.serve(rate_hz=rate_hz, hops_per_dispatch=hops_per_dispatch)
     try:
         while time.monotonic() < deadline:
             nxt = loop.wait_next(seq=last_seq, timeout=30.0)
@@ -348,7 +358,13 @@ def soak_serve_loop(
         "rate_hz": rate_hz,
         "path": path,
         "fast": fast,
+        "hops_per_dispatch": hops_per_dispatch,
         "wall_s": round(wall, 1),
+        # audio actually advanced through analysis per stream-second of wall
+        "served_realtime_fraction": round(
+            (serving_stats["advanced"] - advanced0) * (server._hop / sr)
+            / (n_streams * wall), 3
+        ),
         "published": loop_stats["published"],
         "published_per_s": round(loop_stats["published"] / wall, 2),
         # the consumer always reads the NEWEST hop (latest-wins, like a
@@ -378,6 +394,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--capacity-streams", type=int, default=3840)
     ap.add_argument("--capacity-hops-per-call", type=int, default=16)
     ap.add_argument("--loop-streams", type=int, default=512)
+    ap.add_argument("--loop-throughput-hops", type=int, default=16)
     ap.add_argument("--minutes", type=float, default=3.0)
     ap.add_argument("--out", default="artifacts/SOAK.json")
     ap.add_argument("--skip-server", action="store_true")
@@ -430,6 +447,16 @@ def main(argv: list[str] | None = None) -> int:
         if available():
             report["serve_loop"] = soak_serve_loop(args.loop_streams, args.minutes)
             print(json.dumps(report["serve_loop"]), flush=True)
+            # throughput cadence: serve(hops_per_dispatch=k) — each dispatch
+            # scan-amortizes k ingest-fed hops and publishes the newest, so
+            # the audio cadence holds rate_hz through a networked tunnel
+            # whose per-dispatch round-trip exceeds the hop period
+            report["serve_loop_throughput"] = soak_serve_loop(
+                args.loop_streams, args.minutes,
+                hops_per_dispatch=args.loop_throughput_hops,
+            )
+            report["serve_loop_throughput"]["leg"] = "serve_loop_throughput"
+            print(json.dumps(report["serve_loop_throughput"]), flush=True)
         else:
             report["serve_loop"] = {"skipped": "native library unavailable"}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
