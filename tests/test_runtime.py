@@ -132,6 +132,35 @@ class TestNativeRingBank:
             bank.write_batch(None, np.zeros(8, np.float32))
         bank.close()
 
+    def test_concurrent_batch_writers_disjoint_ranges(self):
+        """Two batch writers over disjoint id sets run concurrently (the
+        per-stream single-producer contract applies per ROW)."""
+        import threading
+
+        bank = native.NativeRingBank(8, 4096)
+
+        def writer(lo, hi):
+            ids = np.arange(lo, hi, dtype=np.int64)
+            block = np.stack(
+                [np.full(64, (s + 1) * 1e-3, np.float32) for s in range(lo, hi)]
+            )
+            for _ in range(50):
+                assert bank.write_batch(ids, block, agc=False).all()
+
+        threads = [
+            threading.Thread(target=writer, args=(0, 4)),
+            threading.Thread(target=writer, args=(4, 8)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out, _ = bank.snapshot(64)
+        for s in range(8):
+            np.testing.assert_allclose(out[s], (s + 1) * 1e-3, atol=1e-7)
+        assert all(bank.written(s) == 50 * 64 for s in range(8))
+        bank.close()
+
     def test_concurrent_writers(self):
         import threading
 
