@@ -204,6 +204,7 @@ def soak_server(
     steps = resets = 0
     rebuilds = []
     times = []
+    res = None  # a deadline that lapses before the first step leaves no result
     t_start = time.monotonic()
     advanced0 = server.stats["advanced"]  # exclude the compile/prime hops
     if hops_per_call == 1:
@@ -231,7 +232,10 @@ def soak_server(
                 rebuild_at = None
         # multi mode has no pipelined tail to flush; its last result is res
         final = server.flush() if hops_per_call == 1 else res
-        finite = bool(np.isfinite(np.asarray(final[0].x_vqt_smoothed)).all())
+        finite = bool(
+            final is not None
+            and np.isfinite(np.asarray(final[0].x_vqt_smoothed)).all()
+        )
     finally:
         stop.set()
         for th in threads:
@@ -281,6 +285,7 @@ def soak_serve_loop(
     fast: bool = True,
     reset_every_s: float = 5.0,
     hops_per_dispatch: int = 1,
+    leg: str = "serve_loop",
 ) -> dict:
     """Self-driving-loop leg: ``StreamServer.serve()`` owns the dispatch
     cadence while producers push and the main thread plays consumer
@@ -301,7 +306,12 @@ def soak_serve_loop(
     stop = threading.Event()
     threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
-    out, _ = server.step(dt=1.0 / 60.0)  # compile before the loop starts pacing
+    # compile the program the LOOP will dispatch before pacing starts (the
+    # throughput mode runs step_multi, a different jitted program)
+    if hops_per_dispatch > 1:
+        out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0)
+    else:
+        out, _ = server.step(dt=1.0 / 60.0)
     np.asarray(out.peaks[0])
 
     for th in threads:
@@ -352,7 +362,7 @@ def soak_serve_loop(
     # than writing literal NaN into the JSON artifact (unparseable strictly)
     gaps = sorted(np.diff(publish_t)) if len(publish_t) > 1 else []
     return {
-        "leg": "serve_loop",
+        "leg": leg,
         "minutes": minutes,
         "n_streams": n_streams,
         "rate_hz": rate_hz,
@@ -454,11 +464,12 @@ def main(argv: list[str] | None = None) -> int:
             report["serve_loop_throughput"] = soak_serve_loop(
                 args.loop_streams, args.minutes,
                 hops_per_dispatch=args.loop_throughput_hops,
+                leg="serve_loop_throughput",
             )
-            report["serve_loop_throughput"]["leg"] = "serve_loop_throughput"
             print(json.dumps(report["serve_loop_throughput"]), flush=True)
         else:
             report["serve_loop"] = {"skipped": "native library unavailable"}
+            report["serve_loop_throughput"] = {"skipped": "native library unavailable"}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

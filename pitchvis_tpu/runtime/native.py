@@ -20,23 +20,57 @@ _lib = None
 _tried = False
 
 
+def _make() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _stale() -> bool:
+    """True when the built library predates any native source (a pulled
+    commit that adds an entry point would otherwise dlsym-fail below and
+    crash instead of degrading to available()=False)."""
+    try:
+        built = os.path.getmtime(_LIB_PATH)
+        for name in os.listdir(_NATIVE_DIR):
+            if name.endswith((".cpp", ".c", ".h")) and not name.startswith("alsa"):
+                if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > built:
+                    return True
+    except OSError:
+        pass
+    return False
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
-            )
-        except Exception:
-            return None
+    if (not os.path.exists(_LIB_PATH) or _stale()) and not _make():
+        if not os.path.exists(_LIB_PATH):
+            return None  # never built and no toolchain
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
+        _bind(lib)
+    except (OSError, AttributeError):
+        # a stale prebuilt library missing a newer entry point: one rebuild
+        # attempt, then graceful degradation (callers use Python fallbacks)
+        if not _make():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _bind(lib)
+        except (OSError, AttributeError):
+            return None
+    _lib = lib
+    return _lib
 
+
+def _bind(lib) -> None:
     lib.pv_rb_create.restype = ctypes.c_void_p
     lib.pv_rb_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
     lib.pv_rb_destroy.argtypes = [ctypes.c_void_p]
@@ -152,8 +186,6 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int32,
     ]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

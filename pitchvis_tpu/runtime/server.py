@@ -446,13 +446,19 @@ class StreamServer:
         samples = np.asarray(samples, np.float32)
         if samples.ndim != 2:
             raise ValueError(f"samples must be (rows, n), got {samples.shape}")
+        rows = samples.shape[0]
+        ids = (np.arange(rows, dtype=np.int64) if streams is None
+               else np.ascontiguousarray(streams, np.int64))
+        if ids.shape != (rows,):
+            raise ValueError(f"streams shape {ids.shape} != ({rows},)")
+        if rows and (ids.min() < 0 or ids.max() >= self.n_streams):
+            raise ValueError("stream id out of range")
         if sr is not None and int(sr) != int(self.vqt_params.sr):
-            ids = (np.arange(samples.shape[0]) if streams is None
-                   else np.asarray(streams))
+            # resampled lengths are ragged per row -> per-row writes
             return np.array(
                 [self.push(int(s), row, sr=sr) for s, row in zip(ids, samples)]
             )
-        return self.rings.write_batch(streams, samples)
+        return self.rings.write_batch(ids, samples)
 
     # -- control plane -------------------------------------------------------
     def reset_stream(self, stream: int) -> None:

@@ -285,6 +285,21 @@ class TestStreamServer:
         )
         np.testing.assert_array_equal(ag, bg)
 
+    def test_push_batch_validates_ids_on_every_path(self, small_params):
+        """The sr-resample fallback must validate like the native path:
+        an out-of-range id would otherwise index the native resampler
+        bank out of bounds."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        block = np.zeros((2, 4410), np.float32)
+        for sr in (None, 44100):
+            with pytest.raises(ValueError):
+                server.push_batch(block, streams=np.array([0, 2]), sr=sr)
+            with pytest.raises(ValueError):
+                server.push_batch(block, streams=np.array([0]), sr=sr)
+        server.close()
+
     def test_push_batch_mic_rate(self, small_params):
         """A 44.1 kHz batch resamples per stream — equivalent to push(sr=)."""
         from pitchvis_tpu.runtime.server import StreamServer
