@@ -154,23 +154,23 @@ def chain_signals(params: VqtParameters, seconds: float = 10.0) -> dict[str, np.
         chord[on:off] += np.sin(2 * np.pi * f * tt) * 0.08 * np.minimum(tt * 8, 1.0)
 
     # 4) the synth engine's own output (deterministic NumPy f64 render)
-    synth = _chain_synth_signal(seconds)[:n]
+    synth = _chain_synth_signal(seconds, sr=int(sr))[:n]
 
     sigs = {"arpeggio": arp, "chirp": chirp, "chord": chord, "synth": synth}
     return {k: v.astype(np.float32) for k, v in sigs.items()}
 
 
-def _chain_synth_signal(seconds: float) -> np.ndarray:
+def _chain_synth_signal(seconds: float, sr: int = 22050) -> np.ndarray:
     """Render a fixed two-channel MIDI clip with the f64/NumPy engine
     (synth/engine.py) from a procedurally written SF2 — fully code-defined,
-    so the golden has no binary inputs."""
+    so the golden has no binary inputs. Rendered at ``sr`` (the chain
+    params' rate — a fixed 22050 would come out truncated and an octave
+    off under any other rate)."""
     import tempfile
 
     from ..synth.engine import MidiFileSequencer, Synthesizer, SynthesizerSettings
     from ..synth.midi import load_midi, write_midi
     from ..synth.sf2 import SoundFont, write_minimal_sf2
-
-    sr = 22050
     with tempfile.TemporaryDirectory() as d:
         t = np.arange(400)
         wave = 0.7 * np.sin(2 * np.pi * t / 50) + 0.2 * np.sin(4 * np.pi * t / 50)
@@ -260,9 +260,21 @@ def generate_chain(
 
 
 def load(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Loads a FRAME golden (generate()'s in_/out_ pairs). The streaming
+    and chain goldens use different layouts (per-stage trajectory keys) —
+    this raises instead of KeyError-ing or silently returning {} on them."""
     out = {}
     with np.load(path) as z:
-        names = sorted(k[3:] for k in z.files if k.startswith("in_"))
+        names = sorted(
+            k[3:] for k in z.files
+            if k.startswith("in_") and f"out_{k[3:]}" in z.files
+        )
+        if not names:
+            raise ValueError(
+                f"{path} has no in_/out_ frame pairs — not a generate() "
+                "golden (streaming/chain goldens are read by their tests "
+                "directly from their stage keys)"
+            )
         for name in names:
             out[name] = (z[f"in_{name}"], z[f"out_{name}"])
     return out

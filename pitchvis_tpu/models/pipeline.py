@@ -33,19 +33,27 @@ from .analysis import (
 from .ml_system import MlState, init_ml_state_batch, ml_step_batch
 
 
-def build_rebuilt_arrays(old_params, new_params, *, max_n_fft: int, path: str, fast: bool):
+def build_rebuilt_arrays(old_params, new_params, *, max_n_fft: int, path: str,
+                         fast: bool, ml_attached: bool = False):
     """Shared validation + construction for the live rebuilds
     (StreamingPipeline.rebuild / runtime.server.StreamServer.rebuild).
     Returns (kernel, arrays, layout_changed). Raises ValueError for sets
     the running deployment cannot host."""
-    if int(new_params.sr) != int(old_params.sr):
+    if float(new_params.sr) != float(old_params.sr):
         raise ValueError(
             "sample-rate changes require a new pipeline/server (buffered audio is rate-bound)"
         )
     if new_params.n_fft > max_n_fft:
         raise ValueError(
             f"n_fft {new_params.n_fft} exceeds the available ring length "
-            f"{max_n_fft}; construct with a larger buffer"
+            f"{max_n_fft}; construct with a larger buffer "
+            "(StreamingPipeline(buffer_len=...) / StreamServer(buffer_seconds=...))"
+        )
+    if ml_attached and new_params.range != old_params.range:
+        raise ValueError(
+            "bin-layout changes are incompatible with the attached ML "
+            "model (its params are trained for the current layout); "
+            "construct a new pipeline/server with matching ml_params"
         )
     kernel = get_kernel(new_params)  # validates; VqtError on bad combos
     arrays = make_vqt_arrays(kernel, path=path, fast=fast)
@@ -101,7 +109,10 @@ def init_pipeline_state(
     with_viewer: bool = False,
 ) -> PipelineState:
     buffer_len = buffer_len or params.n_fft
-    assert buffer_len >= params.n_fft
+    if buffer_len < params.n_fft:
+        raise ValueError(
+            f"buffer_len {buffer_len} is shorter than n_fft {params.n_fft}"
+        )
     balls = None
     if with_viewer:
         from .viewer import BallState
@@ -328,7 +339,11 @@ class StreamingPipeline:
         with_led: bool = False,
         with_viewer: bool = False,
         fast: bool = False,
+        buffer_len: int | None = None,
     ):
+        # ``buffer_len`` sizes the device ring beyond n_fft (>= n_fft): the
+        # headroom a live rebuild() to a LARGER n_fft needs (the error in
+        # build_rebuilt_arrays points here); default = exactly n_fft.
         # default ml_t_window to the model's training default (T=5,
         # models/pitch_mlp.py DEFAULT_T) — a mismatched history window makes
         # the flattened Dense input shape fail against trained params
@@ -355,6 +370,7 @@ class StreamingPipeline:
         self.state = init_pipeline_state(
             n_streams,
             self.vqt_params,
+            buffer_len=buffer_len,
             ml_t_window=self.ml_t_window,
             with_viewer=with_viewer,
         )
@@ -397,16 +413,9 @@ class StreamingPipeline:
         ML model is attached — trained ML params are layout-bound, so that
         requires a new pipeline with retrained params)."""
         buffer_len = int(self.state.ring.buffer.shape[1])
-        layout_would_change = vqt_params.range != self.vqt_params.range
-        if layout_would_change and self.ml_model is not None:
-            raise ValueError(
-                "bin-layout changes are incompatible with the attached ML "
-                "model (its params are trained for the current layout); "
-                "construct a new pipeline with matching ml_params"
-            )
         kernel, arrays, layout_changed = build_rebuilt_arrays(
             self.vqt_params, vqt_params, max_n_fft=buffer_len,
-            path=self.path, fast=self.fast,
+            path=self.path, fast=self.fast, ml_attached=self.ml_model is not None,
         )
         self.arrays = arrays
         if layout_changed:

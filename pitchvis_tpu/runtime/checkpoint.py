@@ -16,6 +16,7 @@ import os
 
 
 from ..core.config import (
+    AgcParameters,
     AnalysisParameters,
     PeakDetectionParameters,
     VqtParameters,
@@ -24,7 +25,18 @@ from ..core.config import (
 from ..models.pipeline import PipelineState, init_pipeline_state
 
 
-def save_pipeline_state(path: str, state: PipelineState, params: VqtParameters) -> None:
+def save_pipeline_state(
+    path: str,
+    state: PipelineState,
+    params: VqtParameters,
+    analysis_params: AnalysisParameters | None = None,
+    agc_params: AgcParameters | None = None,
+) -> None:
+    """Pass the pipeline's ``analysis_params``/``agc_params`` too when they
+    differ from the defaults: the restored EMA/calmness/gain carries are
+    only meaningful under the SAME time constants and AGC target they were
+    stepped with (``load_pipeline_config`` returns them for reconstruction;
+    the server checkpoint persists its analysis params for this reason)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -34,6 +46,12 @@ def save_pipeline_state(path: str, state: PipelineState, params: VqtParameters) 
     ckpt.close()
     meta = {
         "params": dataclasses.asdict(params),
+        "analysis_params": (
+            dataclasses.asdict(analysis_params) if analysis_params is not None else None
+        ),
+        "agc_params": (
+            dataclasses.asdict(agc_params) if agc_params is not None else None
+        ),
         "n_streams": int(state.ring.buffer.shape[0]),
         "buffer_len": int(state.ring.buffer.shape[1]),
         # record the optional fused-stage carries so the restore template's
@@ -46,15 +64,30 @@ def save_pipeline_state(path: str, state: PipelineState, params: VqtParameters) 
         json.dump(meta, f)
 
 
+def load_pipeline_config(
+    path: str,
+) -> tuple[VqtParameters, AnalysisParameters | None, AgcParameters | None]:
+    """The full parameter set a checkpointed pipeline ran under (analysis/
+    AGC entries are None for checkpoints saved without them — i.e. defaults
+    or a pre-upgrade save)."""
+    with open(os.path.join(os.path.abspath(path), "pipeline_meta.json")) as f:
+        meta = json.load(f)
+    ap = meta.get("analysis_params")
+    gp = meta.get("agc_params")
+    return (
+        _vqt_params_from_dict(meta["params"]),
+        _analysis_params_from_dict(ap) if ap is not None else None,
+        AgcParameters(**gp) if gp is not None else None,
+    )
+
+
 def load_pipeline_state(path: str) -> tuple[PipelineState, VqtParameters]:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with open(os.path.join(path, "pipeline_meta.json")) as f:
         meta = json.load(f)
-    pd = meta["params"]
-    rng = pd.pop("range")
-    params = VqtParameters(range=VqtRange(**rng), **pd)
+    params = _vqt_params_from_dict(meta["params"])
 
     ckpt = ocp.StandardCheckpointer()
     template = init_pipeline_state(
@@ -92,22 +125,24 @@ def save_server_state(path: str, server) -> None:
     analysis carries (orbax), and the parameter set / serving flags needed
     to rebuild the matching kernel on restore.
 
-    The ring image and the analysis carries are captured back to back, not
-    as one atomic cut: streams that receive audio during the save may be up
-    to one hop newer in the ring than in the carries (the same skew a live
-    step tolerates). Safe to call from the control plane while ingest and
-    step() continue."""
+    The analysis carries and the ring image are captured back to back, not
+    as one atomic cut: the carries are captured FIRST, so streams that
+    receive audio during the save may be up to one hop newer in the ring
+    than in the carries (the same skew a live step tolerates — restore
+    simply replays that audio). The opposite order would be unsafe: carries
+    computed from audio absent from the saved ring. Safe to call from the
+    control plane while ingest and step() continue."""
     import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    audio, heads, gains = server.rings.export_state()
     with server._state_lock:
         state = server.analysis_state
         ml_state = server.ml_state
         balls_state = server.balls_state
         vqt_params = server.vqt_params
+    audio, heads, gains = server.rings.export_state()
     np.savez_compressed(
         os.path.join(path, "server_rings.npz"), audio=audio, heads=heads, gains=gains
     )

@@ -501,16 +501,9 @@ class StreamServer:
         re-initialized when it changes (EMA state is bin-indexed).
         Raises ValueError for parameter sets this server cannot host
         (different sample rate, n_fft beyond the ring capacity)."""
-        layout_would_change = vqt_params.range != self.vqt_params.range
-        if layout_would_change and self.ml_model is not None:
-            raise ValueError(
-                "bin-layout changes are incompatible with the attached ML "
-                "model (its params are trained for the current layout); "
-                "construct a new server with matching ml_params"
-            )
         kernel, arrays, layout_changed = build_rebuilt_arrays(
             self.vqt_params, vqt_params, max_n_fft=self.rings.capacity,
-            path=self.path, fast=self.fast,
+            path=self.path, fast=self.fast, ml_attached=self.ml_model is not None,
         )
         with self._state_lock:
             self.kernel = kernel

@@ -63,6 +63,24 @@ class TestGoldenRegression:
 @pytest.mark.skipif(
     not os.path.exists(GOLDEN_DEFAULT_PATH), reason="default goldens not generated"
 )
+class TestLoadFormatGuard:
+    def test_load_rejects_non_frame_goldens(self, tmp_path):
+        """load() reads only generate()'s in_/out_ frame pairs; handing it
+        the chain or streaming golden must raise a clear error instead of
+        KeyError / silently returning {} (round-4 review finding)."""
+        import numpy as np
+        import pytest
+
+        chain_like = tmp_path / "chain.npz"
+        np.savez(chain_like, in_sine=np.zeros(8), sine_peaks=np.zeros((4, 2)))
+        with pytest.raises(ValueError, match="in_/out_"):
+            load(str(chain_like))
+        streaming_like = tmp_path / "streaming.npz"
+        np.savez(streaming_like, spectra=np.zeros((4, 8)))
+        with pytest.raises(ValueError, match="in_/out_"):
+            load(str(streaming_like))
+
+
 class TestGoldenDefaultParams:
     """Round-1 verdict item 3a: the same golden regression at FULL default
     parameters — a default-config regression in filter placement or dB

@@ -1116,6 +1116,34 @@ class TestPipelineCheckpoint:
         b = resumed.step(chunk, 368 / small_params.sr)
         np.testing.assert_allclose(np.asarray(a.x_vqt), np.asarray(b.x_vqt), atol=1e-6)
 
+    def test_config_roundtrip(self, tmp_path, small_params):
+        """A pipeline running under non-default analysis/AGC parameters can
+        persist them (round-4 review finding: restored EMA carries stepped
+        under different time constants silently diverge); checkpoints saved
+        without them return None (pre-upgrade compatibility)."""
+        import dataclasses
+
+        from pitchvis_tpu.core.config import AgcParameters, AnalysisParameters
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+        from pitchvis_tpu.runtime.checkpoint import (
+            load_pipeline_config,
+            save_pipeline_state,
+        )
+
+        ap = dataclasses.replace(
+            AnalysisParameters(), note_calmness_smoothing_duration=7.0
+        )
+        gp = AgcParameters(desired_output_rms=0.05)
+        pipe = StreamingPipeline(2, small_params, analysis_params=ap, agc_params=gp)
+        save_pipeline_state(str(tmp_path), pipe.state, small_params, ap, gp)
+        vp2, ap2, gp2 = load_pipeline_config(str(tmp_path))
+        assert vp2 == small_params and ap2 == ap and gp2 == gp
+
+        d2 = tmp_path / "bare"
+        save_pipeline_state(str(d2), pipe.state, small_params)
+        vp3, ap3, gp3 = load_pipeline_config(str(d2))
+        assert vp3 == small_params and ap3 is None and gp3 is None
+
     def test_save_restore_fused_state(self, tmp_path, small_params):
         """Round-2 review: checkpoints saved from ML/viewer-fused pipelines
         must restore — the template has to carry the same optional subtrees

@@ -477,6 +477,28 @@ class TestPipelineRebuild:
         with pytest.raises(ValueError):
             pipe.rebuild(dataclasses.replace(wider, n_fft=1 << 20))
 
+    def test_rebuild_to_larger_n_fft_with_buffer_len(self, small_params):
+        """buffer_len headroom makes a live rebuild to a LARGER n_fft
+        possible (without it the ring is exactly n_fft and the rebuild
+        error's advice was unfollowable — round-4 review finding)."""
+        import dataclasses
+
+        from pitchvis_tpu.models.pipeline import StreamingPipeline
+
+        bigger = dataclasses.replace(small_params, n_fft=small_params.n_fft * 2)
+        # no headroom: rejected
+        pipe = StreamingPipeline(1, small_params)
+        with pytest.raises(ValueError, match="buffer"):
+            pipe.rebuild(bigger)
+        # with headroom: succeeds and keeps serving
+        pipe = StreamingPipeline(1, small_params, buffer_len=bigger.n_fft)
+        pipe.step(np.zeros((1, 368), np.float32), 368 / small_params.sr)
+        pipe.rebuild(bigger)
+        out = pipe.step(np.zeros((1, 368), np.float32), 368 / small_params.sr)
+        assert out.x_vqt.shape == (1, bigger.n_buckets)
+        with pytest.raises(ValueError, match="shorter than n_fft"):
+            StreamingPipeline(1, small_params, buffer_len=small_params.n_fft // 2)
+
     def test_rebuild_rejects_layout_change_with_ml_model(self, small_params):
         """Trained ML params are bin-layout-bound: a range change with a
         model attached must raise upfront, not crash the next step inside
