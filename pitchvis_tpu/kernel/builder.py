@@ -260,7 +260,13 @@ def _calculate_filter(
     total = sorted_resp.sum()
     limit = (1.0 - sparsity_quantile) * total
     cumsum = np.cumsum(sorted_resp)
-    cutoff_idx = 0 if limit <= 0.0 else int(np.searchsorted(cumsum, limit, side="left")) + 1
+    # clamp: pairwise-summed `total` can exceed the sequential cumsum's last
+    # entry by an ulp (and quantile<=0 makes limit==total), in which case
+    # searchsorted returns len(cumsum) and the +1 would index past the end
+    cutoff_idx = (
+        0 if limit <= 0.0
+        else min(int(np.searchsorted(cumsum, limit, side="left")) + 1, len(sorted_resp))
+    )
     cutoff_value = 0.0 if cutoff_idx == 0 else sorted_resp[cutoff_idx - 1]
     v[response < cutoff_value] = 0.0
 

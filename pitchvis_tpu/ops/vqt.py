@@ -182,6 +182,31 @@ _vqt_power_batch_jit = jax.jit(vqt_power_batch, static_argnames=("path", "precis
 PALLAS_BATCH_TILE = 512
 
 
+def precision_for(weight_dtype):
+    """The matmul precision every entry point pairs with a weight dtype:
+    bf16 -> one-pass DEFAULT (the point of fast mode), f32 -> exact HIGHEST
+    (6-pass decomposition). Single source of the pairing — the dense paths
+    here and the Pallas kernel bodies all call it."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if weight_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_jits():
+    """Shared jitted Pallas entry points (one compile cache for all Vqt
+    instances, like _vqt_db_batch_jit for the dense paths), with the
+    serving batch tile every other pallas caller uses."""
+    from .vqt_pallas import vqt_db_pallas, vqt_power_pallas
+
+    return (
+        jax.jit(functools.partial(vqt_db_pallas, batch_tile=PALLAS_BATCH_TILE)),
+        jax.jit(functools.partial(vqt_power_pallas, batch_tile=PALLAS_BATCH_TILE)),
+    )
+
+
 def make_vqt_arrays(kernel: VqtKernel, *, path: str = "time", fast: bool = False):
     """Uniform kernel-upload constructor for every serving entry point.
 
@@ -216,11 +241,7 @@ def vqt_db_auto(arrays, x: jax.Array, *, path: str = "time") -> jax.Array:
 
         return vqt_db_pallas(arrays, x, batch_tile=PALLAS_BATCH_TILE)
     w = arrays.w_time if path == "time" else arrays.w_freq
-    precision = (
-        jax.lax.Precision.DEFAULT
-        if w and w[0].dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    precision = precision_for(w[0].dtype if w else jnp.float32)
     return vqt_db_batch(arrays, x, path=path, precision=precision)
 
 
@@ -256,23 +277,33 @@ class Vqt:
         dtype = jnp.bfloat16 if fast else jnp.float32
         self.path = path
         self.fast = fast
+        if precision is not None and path == "pallas":
+            # the fused kernel derives its precision from the weight dtype
+            # (fast=False -> f32/HIGHEST, fast=True -> bf16 one-pass);
+            # silently accepting e.g. HIGHEST with bf16 weights would hand
+            # the user less precision than they asked for
+            raise ValueError(
+                "path='pallas' pairs precision with the weight dtype "
+                "(use fast=False for exact f32); precision applies to the "
+                "dense 'time'/'freq' paths"
+            )
         if precision is None:
             # the pairing every other entry point uses (vqt_db_auto, the
             # benchmarks): bf16 weights -> one-pass DEFAULT (the point of
             # fast mode), f32 -> exact HIGHEST. An explicit argument wins.
-            precision = (
-                jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-            )
+            precision = precision_for(dtype)
         self.precision = precision
         self.delay_secs = self.kernel.delay_secs
         if path == "pallas":
-            from .vqt_pallas import PallasVqtArrays, vqt_db_pallas, vqt_power_pallas
+            from .vqt_pallas import PallasVqtArrays
 
             # only the packed Pallas weights — ALSO uploading the dense
             # w_time + w_freq sets would double the weight HBM footprint
             self.arrays = PallasVqtArrays.from_kernel(self.kernel, dtype=dtype)
-            self._db_batch = jax.jit(vqt_db_pallas)
-            self._power_batch = jax.jit(vqt_power_pallas)
+            # shared jits with the serving batch tile (PALLAS_BATCH_TILE) —
+            # a per-instance jax.jit would retrace per Vqt instance and ran
+            # the kernel at the function-default tile (round-4 review)
+            self._db_batch, self._power_batch = _pallas_jits()
         else:
             self.arrays = VqtArrays.from_kernel(self.kernel, dtype=dtype, path=path)
             self._db_batch = functools.partial(

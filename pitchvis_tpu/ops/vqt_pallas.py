@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..kernel.builder import VqtKernel
+from .vqt import precision_for
 
 LANE = 128
 K_TILE = 1024
@@ -114,7 +115,7 @@ class PallasVqtArrays:
 def _vqt_kernel_body(x_ref, *rest, geometry):
     """Grid step: one batch tile. rest = (*w_refs_hbm, out_ref, acc, wbuf,
     sems)."""
-    offsets, sizes, nfs, nf_pads, out_cols = geometry
+    offsets, sizes, nfs, nf_pads = geometry
     n_groups = len(offsets)
     w_refs = rest[:n_groups]
     out_ref = rest[n_groups]
@@ -131,16 +132,19 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
         nfp = nf_pads[g]
         width = 2 * nfp
         # groups SMALLER than K_TILE (reachable at e.g. 36 bpo + quality 1.8,
-        # which yields a 512-sample group) use their own size as the tile —
-        # size//K_TILE would truncate to 0 and the unconditional first DMA
-        # would read out of bounds while the group output stayed zero
+        # which yields a 512-sample group) use their own size as the tile;
+        # a non-K_TILE-divisible size gets a short FINAL tile (all sizes are
+        # trace-time constants, so every iteration keeps static shapes) —
+        # truncating to size//kt tiles would silently DROP the remainder
+        # samples from the dot product
         kt = min(K_TILE, size)
-        n_k = size // kt
+        n_k = -(-size // kt)
 
         def dma(slot, k_idx):
+            kk = min(kt, size - k_idx * kt)
             return pltpu.make_async_copy(
-                w_g.at[pl.ds(k_idx * kt, kt), :],
-                wbuf_ref.at[slot, pl.ds(0, kt), pl.ds(0, width)],
+                w_g.at[pl.ds(k_idx * kt, kk), :],
+                wbuf_ref.at[slot, pl.ds(0, kk), pl.ds(0, width)],
                 sem.at[slot],
             )
 
@@ -151,18 +155,15 @@ def _vqt_kernel_body(x_ref, *rest, geometry):
             if k + 1 < n_k:
                 dma((k + 1) % 2, k + 1).start()
             dma(slot, k).wait()
-            x_sub = x_ref[:, pl.ds(off + k * kt, kt)]
-            w_tile = wbuf_ref[slot, pl.ds(0, kt), pl.ds(0, width)]
+            kk = min(kt, size - k * kt)
+            x_sub = x_ref[:, pl.ds(off + k * kt, kk)]
+            w_tile = wbuf_ref[slot, pl.ds(0, kk), pl.ds(0, width)]
             # bf16 weights: one MXU pass, f32 accumulate; f32: exact 6-pass
             acc_ref[:, :width] += jnp.dot(
                 x_sub.astype(w_tile.dtype),
                 w_tile,
                 preferred_element_type=jnp.float32,
-                precision=(
-                    jax.lax.Precision.DEFAULT
-                    if w_tile.dtype == jnp.bfloat16
-                    else jax.lax.Precision.HIGHEST
-                ),
+                precision=precision_for(w_tile.dtype),
             )
         re = acc_ref[:, pl.ds(0, nfp)]
         im = acc_ref[:, pl.ds(nfp, nfp)]
@@ -193,7 +194,7 @@ def _vqt_resident_kernel_body(x_ref, *rest, geometry):
     class configs (all weights ~10.5 MB); f32 falls back to the streaming
     kernel below. Measured: ~1.9x the streaming kernel's throughput at
     B=2048 (docs/PERFORMANCE.md round-3 section)."""
-    offsets, sizes, nfs, nf_pads, out_cols = geometry
+    offsets, sizes, nfs, nf_pads = geometry
     n_groups = len(offsets)
     w_refs = rest[:n_groups]
     out_ref = rest[n_groups]
@@ -210,11 +211,7 @@ def _vqt_resident_kernel_body(x_ref, *rest, geometry):
             x_sub.astype(w.dtype),
             w,
             preferred_element_type=jnp.float32,
-            precision=(
-                jax.lax.Precision.DEFAULT
-                if w.dtype == jnp.bfloat16
-                else jax.lax.Precision.HIGHEST
-            ),
+            precision=precision_for(w.dtype),
         )
         re = y[:, :nfp]
         im = y[:, nfp : 2 * nfp]
@@ -267,6 +264,8 @@ def vqt_power_pallas(
     # are multiples of 8 and the batch is padded up. Pick the kernel variant
     # FIRST so the batch is padded exactly once, to the chosen tile.
     b = x.shape[0]
+    if b == 0:  # grid of 0 tiles is degenerate; match the dense paths
+        return jnp.zeros((0, arrays.n_buckets), jnp.float32)
     if b <= batch_tile:
         bt = b_pad = b
     else:
@@ -280,13 +279,13 @@ def vqt_power_pallas(
         if _resident_feasible(arrays, bt_res):
             resident = True
             bt = bt_res
-            b_pad = -(-b // bt_res) * bt_res
+            b_pad = _round_up(b, bt_res)
             break
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
 
     max_width = 2 * max(arrays.nf_pad)
-    geometry = (arrays.offsets, arrays.window_sizes, arrays.nf, arrays.nf_pad, arrays.n_buckets)
+    geometry = (arrays.offsets, arrays.window_sizes, arrays.nf, arrays.nf_pad)
 
     if resident:
         out = pl.pallas_call(

@@ -86,6 +86,21 @@ class TestFastModePrecisionPairing:
         v = Vqt(small_params, fast=True, precision=jax.lax.Precision.HIGHEST)
         assert v.precision == jax.lax.Precision.HIGHEST
 
+    def test_pallas_rejects_explicit_precision(self, small_params):
+        """The fused kernel derives precision from the weight dtype; an
+        explicit argument it would silently ignore must raise instead
+        (round-4 review finding). Shared jits also serve every instance."""
+        import pytest
+
+        from pitchvis_tpu.ops.vqt import Vqt
+        import jax
+
+        with pytest.raises(ValueError, match="pallas"):
+            Vqt(small_params, path="pallas", precision=jax.lax.Precision.HIGHEST)
+        a = Vqt(small_params, path="pallas")
+        b = Vqt(small_params, path="pallas")
+        assert a._db_batch is b._db_batch  # one compile cache, no retrace
+
 
 class TestAnalysisStages:
     """Feed both spectra through the identical f32 analysis step and compare

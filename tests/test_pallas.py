@@ -149,6 +149,66 @@ class TestSmallWindowGroups:
         np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+class TestRemainderKTile:
+    def _synthetic_arrays(self, sizes, nfs, tail, dtype=jnp.float32, seed=0):
+        """Hand-built PallasVqtArrays with right-aligned synthetic groups —
+        the geometry from_kernel produces, without needing a VqtParameters
+        set that happens to yield these window sizes."""
+        rng = np.random.default_rng(seed)
+        weights, offsets, nf_pad = [], [], []
+        for size, f in zip(sizes, nfs):
+            fp = -(-f // 128) * 128
+            padded = np.zeros((size, 2 * fp), np.float32)
+            padded[:, :f] = rng.standard_normal((size, f)) * 0.01
+            padded[:, fp : fp + f] = rng.standard_normal((size, f)) * 0.01
+            weights.append(jnp.asarray(padded, dtype=dtype))
+            offsets.append(tail - size)
+            nf_pad.append(fp)
+        return PallasVqtArrays(
+            weights=tuple(weights),
+            offsets=tuple(offsets),
+            window_sizes=tuple(sizes),
+            nf=tuple(nfs),
+            nf_pad=tuple(nf_pad),
+            tail=tail,
+            n_fft=tail,
+            n_buckets=sum(nfs),
+        )
+
+    def _reference(self, arrays, x):
+        out = []
+        for w, off, size, f, fp in zip(
+            arrays.weights, arrays.offsets, arrays.window_sizes,
+            arrays.nf, arrays.nf_pad,
+        ):
+            y = x[:, off : off + size].astype(np.float64) @ np.asarray(
+                w, np.float64
+            )
+            out.append(y[:, :f] ** 2 + y[:, fp : fp + f] ** 2)
+        return np.concatenate(out, axis=1)
+
+    def test_non_divisible_group_sizes(self):
+        """Round-4 review: a group window LARGER than K_TILE but not a
+        multiple of it silently dropped its remainder samples (size//kt
+        tiles) — wrong power with no error. The final tile is now short."""
+        rng = np.random.default_rng(1)
+        # 1536 = 1.5*K_TILE (remainder 512), 1100 (remainder 76), 700 (<kt)
+        arrays = self._synthetic_arrays([1536, 1100, 700], [7, 130, 3], tail=1536)
+        x = (rng.standard_normal((5, arrays.tail)) * 0.3).astype(np.float32)
+        got = np.asarray(vqt_power_pallas(arrays, x, batch_tile=4))
+        want = self._reference(arrays, x)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-9)
+
+    def test_empty_batch(self):
+        """B=0 returns an empty spectrum like the dense paths (was a
+        ZeroDivisionError in the tile arithmetic)."""
+        arrays = self._synthetic_arrays([1024], [5], tail=1024)
+        out = np.asarray(
+            vqt_power_pallas(arrays, np.zeros((0, 1024), np.float32))
+        )
+        assert out.shape == (0, 5)
+
+
 class TestRebuiltConfigVmem:
     """Round-4 chip OOM regression: a live rebuild at quality*1.1 grows the
     default bf16 weight set to ~13.5 MB, which (a) must drop the resident
