@@ -25,9 +25,12 @@ from ..core.config import AnalysisParameters, VqtRange
 from ..ops.peaks import (
     enhance_peaks_continuous,
     find_peaks_mask,
+    local_maxima,
+    prominences_compact,
     promote_bass_peaks,
 )
 from ..utils.ema import ema_update
+from ..utils.rounding import rust_round
 
 
 class AnalysisState(struct.PyTreeNode):
@@ -136,6 +139,10 @@ def _update_calmness(
     amp_power = jnp.power(10.0, x_smoothed / 10.0)
     w_active = jnp.where(around, amp_power, 0.0)
     rel_contrib = jnp.where(~around & (new_released > 0.01), new_released, 0.0)
+    # the released weight is SELF-weighted (0.3 * the released value, a
+    # dimensionless <=0.3 mixed with amplitude-power weights) — faithful to
+    # calmness.rs:79-83 (`released_weight = released_contribution * 0.3;
+    # sum += released_contribution * released_weight`), quirk included
     w_released = rel_contrib * 0.3
 
     weighted = jnp.sum(new_calm * w_active) + jnp.sum(rel_contrib * w_released)
@@ -174,21 +181,23 @@ def _pitch_accuracy_deviation(
     n = peak_mask.shape[0]
     idx = jnp.arange(n)
     c_semi = center * 12.0 / buckets_per_octave
-    deviation = c_semi - jnp.round(c_semi)
+    # rust_round: f32::round is half-away-from-zero; a two-bin plateau's
+    # parabola center is exactly i+0.5, where half-to-even would flip the
+    # write bin and the deviation sign vs the reference
+    deviation = c_semi - rust_round(c_semi)
     accuracy = jnp.maximum(1.0 - 2.0 * jnp.abs(deviation), 0.0)
 
     # the rounded center is within one bin of the peak bin, so the scatter
     # is three static shifts + a precedence select (no data-dependent
     # scatter, which serializes on TPU)
-    rel = jnp.clip(jnp.round(center).astype(jnp.int32), 0, n - 1) - idx
+    rel = jnp.clip(rust_round(center).astype(jnp.int32), 0, n - 1) - idx
     acc_out = jnp.zeros(n, jnp.float32)
     dev_out = jnp.zeros(n, jnp.float32)
     for r in (-1, 0, 1):
         write = peak_mask & (rel == r)
         # target position t receives from source i = t - r; valid when the
         # shift did not wrap
-        valid = (idx >= r) & (idx < n + r)
-        m = jnp.roll(write, r) & valid
+        m = jnp.roll(write, r) & _roll_valid(n, r)
         acc_out = jnp.where(m, jnp.roll(jnp.where(write, accuracy, 0.0), r), acc_out)
         dev_out = jnp.where(m, jnp.roll(jnp.where(write, deviation, 0.0), r), dev_out)
     return acc_out, dev_out
@@ -206,7 +215,9 @@ def _update_tuning_inaccuracy(
     """Power-weighted mean |cents| drift, EMA'd (pitch_analysis.rs:48-75)."""
     power = jnp.where(peak_mask, jnp.power(10.0, size / 10.0), 0.0)
     c_semi = center * 12.0 / buckets_per_octave
-    drift = jnp.abs(c_semi - jnp.round(c_semi))
+    # |x - round(x)| is rounding-mode-independent at .5; rust_round for
+    # uniformity with every other reference-.round() site
+    drift = jnp.abs(c_semi - rust_round(c_semi))
     power_sum = jnp.sum(power)
     avg = jnp.where(power_sum > 0.0, jnp.sum(drift * power) / jnp.maximum(power_sum, 1e-30), 0.0)
     return ema_update(tuning, 100.0 * avg, dt, params.tuning_inaccuracy_smoothing_duration)
@@ -228,7 +239,11 @@ def _analysis_core(
     batched one computes prominences with the windowed fast path)."""
     n = rng.n_buckets
 
-    # 2. discrete peaks: bassline config below/at highest_bassnote, general
+    # 2. discrete peaks: bassline config below/at highest_bassnote, general.
+    # highest_bassnote (12*2+4 = 28) is compared against RAW bin indices —
+    # deliberately faithful to analysis.rs:338/346, which filters
+    # `**p <= highest_bassnote` on bins even though the value reads like a
+    # semitone count (at 84 bpo the bass band is bins 0-28, ~55-69 Hz)
     #    config above (analysis.rs:331-349). Local maxima and prominences are
     #    threshold-independent, so they run once per spectrum and are shared
     #    between the two configs.
@@ -321,8 +336,6 @@ def analysis_step(
     n = rng.n_buckets
     assert x_vqt.shape == (n,)
     dt = jnp.asarray(dt, jnp.float32)
-
-    from ..ops.peaks import local_maxima, prominences_compact
 
     x_smoothed = _smooth(params, rng, state, x_vqt, dt)
     # prominences on the pair-compacted candidate axis (ops/peaks.py):

@@ -26,6 +26,7 @@ from flax import struct
 
 from ..core.config import VqtRange
 from ..ops.colors import COLORS, EASING_POW, GRAY_LEVEL, calculate_color
+from ..utils.rounding import rust_round
 
 PITCH_BALL_SCALE_FACTOR = 1.0 / 305.0  # update.rs:23
 VISIBILITY_CUTOFF = 0.019  # update.rs:147 — compared against transform.scale
@@ -280,7 +281,7 @@ def spectrogram_row_peaks(
     # accumulate per peak via shifted writes: peaks live on bins, so iterate
     # static offsets within the radius
     for off in range(-int(PEAK_RADIUS) - 1, int(PEAK_RADIUS) + 2):
-        target = jnp.clip(jnp.round(peak_center).astype(jnp.int32) + off, 0, n - 1)
+        target = jnp.clip(rust_round(peak_center).astype(jnp.int32) + off, 0, n - 1)
         distance = jnp.abs(target.astype(jnp.float32) - peak_center)
         in_radius = peaks & (distance <= PEAK_RADIUS)
         brightness = jnp.clip((1.0 - (1.0 - peak_size / max_size) ** 2.0) * 1.5, 0.0, 1.0)
@@ -323,7 +324,7 @@ def bass_spiral(
     first = peaks & (jnp.cumsum(peaks) == 1)
     center = jnp.sum(jnp.where(first, peak_center, 0.0)) / bpo * 12.0  # semitones
     size = jnp.sum(jnp.where(first, peak_size, 0.0))
-    rounded = jnp.round(center)
+    rounded = rust_round(center)  # center.round(), update.rs:382/390
     n_lit = rounded * SPIRAL_SEGMENTS_PER_SEMITONE  # update.rs:390
     in_range = n_lit < n_segments  # update.rs:382-387
 

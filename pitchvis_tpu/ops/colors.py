@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.rounding import rust_round
+
 # pitchvis_colors/src/lib.rs:19-34
 COLORS = np.array(
     [
@@ -145,16 +147,30 @@ def calculate_color(
     bucket: (...,) fractional pitch buckets. Returns (..., 3) RGB in [0, 1].
     """
     pitch_continuous = 12.0 * bucket / buckets_per_octave
-    nearest = jnp.round(pitch_continuous)
-    # base color quantized through u8 truncation (lib.rs:102)
-    base_u8 = jnp.floor(jnp.asarray(colors, jnp.float32) * 255.0)
+    # f32::round (half-away-from-zero, lib.rs:102-103): at bpo=24 every odd
+    # bin is an exact half-semitone, where half-to-even picks the WRONG
+    # pitch class (and saturation) vs the reference
+    nearest = rust_round(pitch_continuous)
     cls = (nearest.astype(jnp.int32)) % 12
-    base = base_u8[cls]
+
+    # The palette has 12 entries: convert the WHOLE table to LCh once
+    # (constant-folded at compile time) and pick per element with a one-hot
+    # masked reduction — a data-dependent per-element gather in the fused
+    # per-hop serving step serializes on TPU (CLAUDE.md performance rule),
+    # and the forward sRGB->Lab chain only has 12 distinct inputs anyway.
+    # Bit-identical to gathering the base color and converting per element
+    # (same traced ops, same f32 inputs).
+    base_u8 = jnp.floor(jnp.asarray(colors, jnp.float32) * 255.0)  # lib.rs:102
+    lch_table = lab_to_lch(srgb_u8_to_lab(base_u8))  # (12, 3)
+    one_hot = (cls[..., None] == jnp.arange(12)).astype(jnp.float32)
+    # masked broadcast-sum, NOT jnp.dot/einsum: a matmul would ride the MXU
+    # at bf16 default precision (CLAUDE.md 3x3-transform rule); exactly one
+    # mask element is 1.0, so the f32 VPU sum is an exact select
+    lch = jnp.sum(one_hot[..., None] * lch_table, axis=-2)
 
     inaccuracy = jnp.abs(pitch_continuous - nearest)
     saturation = 1.0 - (2.0 * inaccuracy) ** easing_pow
 
-    lch = lab_to_lch(srgb_u8_to_lab(base))
     l = saturation * lch[..., 0] + (1.0 - saturation) * gray_level
     c = lch[..., 1] * saturation
     out_u8 = lab_to_srgb_u8(lch_to_lab(jnp.stack([l, c, lch[..., 2]], axis=-1)))

@@ -167,6 +167,25 @@ class TestAnalysisStep:
         )
 
 
+class TestPitchAccuracyRounding:
+    def test_exact_half_bin_center_writes_up(self):
+        """A continuous center at exactly i+0.5 must write accuracy at bin
+        i+1 with a NEGATIVE deviation (f32::round half-away-from-zero,
+        pitch_analysis.rs:27,36) — jnp.round's half-to-even would write at
+        bin i with a positive deviation whenever i is even."""
+        import jax.numpy as jnp
+
+        from pitchvis_tpu.models.analysis import _pitch_accuracy_deviation
+
+        n, bpo = 24, 12  # 1 bucket per semitone: center units == semitones
+        mask = jnp.zeros(n, bool).at[4].set(True)
+        center = jnp.zeros(n).at[4].set(4.5)  # exact half between 4 and 5
+        acc, dev = _pitch_accuracy_deviation(mask, center, bpo)
+        acc, dev = np.asarray(acc), np.asarray(dev)
+        assert acc[5] == 0.0 and dev[5] == -0.5  # 4.5 - round(4.5)=5
+        assert acc[4] == 0.0 and dev[4] == 0.0  # NOT written at the even bin
+
+
 class TestTwoToneResolution:
     def test_close_frequencies_resolved(self, default_params, default_vqt):
         """lib.rs:17-48 (sampled): two tones a semitone apart resolve as

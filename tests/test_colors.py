@@ -66,6 +66,18 @@ class TestCalculateColor:
         assert len(PITCH_NAMES) == 12
         assert PITCH_NAMES[9] == "A"
 
+    def test_rust_round_semantics(self):
+        """Every reference-.round() site uses half-away-from-zero
+        (rust_round); jnp.round's half-to-even flips exact .5 cases —
+        which plateau peak centers produce exactly (round-4 review)."""
+        from pitchvis_tpu.utils.rounding import rust_round
+
+        x = jnp.asarray([0.5, 1.5, 2.5, 3.5, 0.49, 1.51])
+        np.testing.assert_array_equal(
+            np.asarray(rust_round(x)), [1.0, 2.0, 3.0, 4.0, 0.0, 2.0]
+        )
+        # jnp.round would give [0, 2, 2, 4, ...] — the divergence this guards
+
 
 RANGE = VqtRange(min_freq=55.0, octaves=5, buckets_per_octave=36)
 
