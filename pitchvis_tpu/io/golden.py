@@ -200,13 +200,17 @@ def run_chain(
     fast: bool = False,
     hop_hz: float = 60.0,
     block: int = 60,
+    with_viewer: bool = False,
 ) -> dict[str, np.ndarray]:
     """Run the COMPLETE serving chain (ring+AGC -> VQT -> analysis -> LED)
     over one signal and return per-frame trajectories + the exact framed
     serial byte stream (io/led.py frame_bytes; matches
-    pitchvis_serial/src/main.rs:146-174 framing).
+    pitchvis_serial/src/main.rs:146-174 framing). With ``with_viewer`` the
+    fused display stage runs too and every update_display-derived quantity
+    (balls, chroma, bloom, spectrogram row, bass spiral, calmness histogram
+    — pitchvis_viewer/src/display_system/update.rs) is recorded per frame.
 
-    Used by BOTH the golden generator and the regression tests with the same
+    Used by BOTH the golden generators and the regression tests with the same
     scan blocking, so the canonical f32 "time" replay is byte-exact by
     construction (identical compiled programs on the same backend)."""
     from ..models.pipeline import StreamingPipeline
@@ -215,11 +219,20 @@ def run_chain(
     hop = int(params.sr / hop_hz)
     k_total = len(sig) // hop
     chunks = sig[: k_total * hop].reshape(k_total, 1, hop)
-    pipe = StreamingPipeline(1, params, path=path, fast=fast, with_led=True)
-    rec: dict[str, list] = {k: [] for k in (
+    pipe = StreamingPipeline(
+        1, params, path=path, fast=fast, with_led=True, with_viewer=with_viewer
+    )
+    keys = [
         "x_vqt", "peaks", "peak_center", "peak_size", "calmness",
         "scene_calmness", "tuning_inaccuracy", "led",
-    )}
+    ]
+    viewer_keys = [
+        "ball_position", "ball_rgba", "ball_scale", "ball_visible",
+        "ball_calmness", "ball_pitch_accuracy", "ball_pitch_deviation",
+        "chroma", "bloom", "spectrogram_row",
+        "bass_visible", "bass_rgba", "hist_heights", "hist_segment_rgb",
+    ]
+    rec: dict[str, list] = {k: [] for k in keys + (viewer_keys if with_viewer else [])}
     for i in range(0, k_total, block):
         out = pipe.step_multi(chunks[i : i + block], hop / params.sr)
         rec["x_vqt"].append(np.asarray(out.x_vqt[:, 0]))
@@ -230,6 +243,24 @@ def run_chain(
         rec["scene_calmness"].append(np.asarray(out.analysis.scene_calmness[:, 0]))
         rec["tuning_inaccuracy"].append(np.asarray(out.analysis.tuning_inaccuracy[:, 0]))
         rec["led"].append(np.asarray(out.led[:, 0]))
+        if with_viewer:
+            v = out.viewer
+            rec["ball_position"].append(np.asarray(v.balls.position[:, 0]))
+            rec["ball_rgba"].append(np.asarray(v.balls.rgba[:, 0]))
+            rec["ball_scale"].append(np.asarray(v.balls.scale[:, 0]))
+            rec["ball_visible"].append(np.asarray(v.balls.visible[:, 0]))
+            rec["ball_calmness"].append(np.asarray(v.balls.calmness[:, 0]))
+            rec["ball_pitch_accuracy"].append(np.asarray(v.balls.pitch_accuracy[:, 0]))
+            rec["ball_pitch_deviation"].append(np.asarray(v.balls.pitch_deviation[:, 0]))
+            rec["chroma"].append(np.asarray(v.chroma[:, 0]))
+            rec["bloom"].append(np.asarray(v.bloom[:, 0]))
+            rec["spectrogram_row"].append(np.asarray(v.spectrogram_row[:, 0]))
+            rec["bass_visible"].append(np.asarray(v.bass.visible[:, 0]))
+            rec["bass_rgba"].append(np.asarray(v.bass.rgba[:, 0]))
+            rec["hist_heights"].append(np.asarray(v.calmness_histogram.heights[:, 0]))
+            rec["hist_segment_rgb"].append(
+                np.asarray(v.calmness_histogram.segment_rgb[:, 0])
+            )
     res = {k: np.concatenate(v) for k, v in rec.items()}
     stream = b"".join(frame_bytes(res["led"][k]) for k in range(k_total))
     res["stream"] = np.frombuffer(stream, np.uint8)
@@ -251,6 +282,33 @@ def generate_chain(
     for name, sig in chain_signals(params, seconds).items():
         res = run_chain(params, sig)
         blobs[f"in_{name}"] = sig
+        for k, v in res.items():
+            blobs[f"{name}_{k}"] = v
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    np.savez_compressed(path, **blobs)
+    return path
+
+
+def generate_viewer(
+    out_dir: str, filename: str = "viewer_golden.npz", seconds: float = 6.0
+) -> str:
+    """Viewer-derived-outputs golden at the serial parameters: per-frame
+    trajectories of every §2.4 display quantity (ball transforms/colors/
+    visibility/shader params, chroma, bloom, spectrogram row, bass spiral,
+    calmness histogram — update.rs:136-1144) on two deterministic signals.
+    The chain golden pins the analysis+LED contract; this pins the display
+    math that sits on top of it, so a refactor of models/viewer.py cannot
+    silently shift what a frontend would draw. Canonical f32 "time" path on
+    the CPU backend."""
+    from ..core.config import SERIAL_VQT_PARAMETERS
+
+    params = SERIAL_VQT_PARAMETERS
+    sigs = chain_signals(params, seconds)
+    blobs: dict[str, np.ndarray] = {}
+    for name in ("arpeggio", "chord"):  # ball churn + calmness/bloom motion
+        res = run_chain(params, sigs[name], with_viewer=True)
+        blobs[f"in_{name}"] = sigs[name]
         for k, v in res.items():
             blobs[f"{name}_{k}"] = v
     os.makedirs(out_dir, exist_ok=True)
@@ -302,8 +360,11 @@ if __name__ == "__main__":
     target = sys.argv[1] if len(sys.argv) > 1 else "tests/golden"
     if len(sys.argv) > 2 and sys.argv[2] == "chain":
         print(generate_chain(target))
+    elif len(sys.argv) > 2 and sys.argv[2] == "viewer":
+        print(generate_viewer(target))
     else:
         print(generate(target))
         print(generate(target, VqtParameters(), "vqt_golden_default.npz"))
         print(generate_streaming(target))
         print(generate_chain(target))
+        print(generate_viewer(target))
