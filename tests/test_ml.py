@@ -157,3 +157,56 @@ class TestTraining:
         assert cfg.learning_rate == 1e-5
         assert cfg.batch_size == 300
         assert cfg.eps == 1.1920929e-7
+
+
+class TestLegacyLogistic:
+    """The legacy linfa logistic-regression diagnostic (train.rs:45-110)
+    on center_vqt_samples output (train.rs:366-441)."""
+
+    def test_separable_clusters(self):
+        rng = np.random.default_rng(7)
+        pos = [(rng.normal(1.5, 1.0, 16), 1.0) for _ in range(120)]
+        neg = [(rng.normal(-1.5, 1.0, 16), 1.0) for _ in range(120)]
+        from pitchvis_tpu.train.logistic import fit
+
+        res = fit(pos, neg, seed=3)
+        assert res.confusion.sum() == 24  # 10% holdout of 240
+        assert res.accuracy >= 0.9
+        assert res.mcc >= 0.8
+        # deterministic under a fixed seed
+        res2 = fit(pos, neg, seed=3)
+        np.testing.assert_array_equal(res.weights, res2.weights)
+
+    def test_on_centered_vqt_samples(self):
+        """End-to-end with the centering augmentation: positives put the
+        note's energy at the canonical center bin (40 semitones in), so a
+        logistic fit separates them from the shifted negatives."""
+        from pitchvis_tpu.train.dataset import center_vqt_samples
+        from pitchvis_tpu.train.logistic import fit
+
+        rng = np.random.default_rng(11)
+        pos, neg = [], []
+        for _ in range(40):
+            key = int(rng.integers(45, 100))
+            vqt = rng.random(84).astype(np.float32) * 2.0
+            idx = (key - 33) * 1  # buckets_per_semitone=1, FREQ_A1 midi 33
+            vqt[max(0, idx - 1) : idx + 2] += 25.0
+            p, n = center_vqt_samples({key: 1.0}, vqt, 1, 7)
+            pos += p
+            neg += n
+        res = fit(pos, neg, seed=0)
+        assert res.accuracy >= 0.9
+        assert res.mcc >= 0.75
+        # the discriminative weight sits at the positive center bin
+        # (energy is smeared one bin either side, so allow 40 +- 1)
+        assert int(np.argmax(res.weights)) in (39, 40, 41)
+
+    def test_mcc_degenerate_and_chunking(self):
+        from pitchvis_tpu.train.logistic import LogisticFit, matthews_corrcoef
+
+        assert matthews_corrcoef(np.array([[5, 0], [0, 0]])) == 0.0
+        assert matthews_corrcoef(np.array([[5, 0], [0, 5]])) == 1.0
+        f = LogisticFit(np.arange(261, dtype=np.float32), 0.0,
+                        np.eye(2, dtype=np.int64), 1.0, 1.0)
+        chunks = f.params_by_octave(36)
+        assert len(chunks) == 8 and len(chunks[0]) == 36 and len(chunks[-1]) == 9
