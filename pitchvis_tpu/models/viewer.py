@@ -34,6 +34,17 @@ FADE_ALPHA_FLOOR = 0.7  # update.rs:169 — fading balls never drop below this
 C4_FREQ = 261.626  # update.rs:1108
 PEAK_RADIUS = 2.0  # spectrogram peak splat radius (update.rs)
 SPIRAL_SEGMENTS_PER_SEMITONE = 6  # update.rs:22
+HIGHEST_BASSNOTE = 28  # semitones; setup.rs:24 (12*2+4)
+
+
+def bass_cylinder_count(octaves: int) -> int:
+    """Number of bass-spiral cylinders the reference spawns (setup.rs:127-172):
+    consecutive-point segments over the first HIGHEST_BASSNOTE*6 visual spiral
+    points (72 per octave), i.e. `take(168).tuple_windows()` -> one less
+    segment than points."""
+    n_points = min(HIGHEST_BASSNOTE * SPIRAL_SEGMENTS_PER_SEMITONE,
+                   octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE)
+    return n_points - 1
 CALMNESS_HISTORY_CAPACITY = 300  # app/common.rs:2037
 CALMNESS_HISTOGRAM_HEIGHT_SCALE = 0.5  # update.rs:795
 
@@ -311,10 +322,12 @@ def bass_spiral(
     """Bass-spiral coloring up to the LOWEST continuous peak
     (update.rs:353-426): segments 0..round(center_semitones)*6 light up in
     the pitch color of the rounded semitone, with alpha
-    1-(1-size/max_size)^2. No peaks, or a lowest peak beyond the spiral
+    1-(1-size/max_size)^2. No peaks, or a lowest peak beyond the CYLINDER
     range, leaves every segment hidden (the reference hides all cylinders
-    first and returns early)."""
-    n_segments = rng.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE
+    first and returns early when round(center)*6 >= the spawned cylinder
+    count, update.rs:382-387; only HIGHEST_BASSNOTE*6 spiral points get
+    cylinders, setup.rs:134-137)."""
+    n_segments = bass_cylinder_count(rng.octaves)
     bpo = rng.buckets_per_octave
     n = rng.n_buckets
 
@@ -326,7 +339,7 @@ def bass_spiral(
     size = jnp.sum(jnp.where(first, peak_size, 0.0))
     rounded = rust_round(center)  # center.round(), update.rs:382/390
     n_lit = rounded * SPIRAL_SEGMENTS_PER_SEMITONE  # update.rs:390
-    in_range = n_lit < n_segments  # update.rs:382-387
+    in_range = n_lit < n_segments  # cylinder_entities.len(), update.rs:382-387
 
     lit = jnp.arange(n_segments) < n_lit.astype(jnp.int32)
     visible = lit & has_peak & in_range

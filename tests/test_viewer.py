@@ -9,6 +9,7 @@ from pitchvis_tpu.core.config import VqtRange
 from pitchvis_tpu.models.viewer import (
     SPIRAL_SEGMENTS_PER_SEMITONE,
     BallState,
+    bass_cylinder_count,
     CalmnessGraphState,
     SpectrogramState,
     bass_spiral,
@@ -370,7 +371,8 @@ class TestBassSpiral:
         # -> round = 12 -> 72 segments lit
         out = bass_spiral(RANGE, *self._mk([(24, 24.6, 10.0), (40, 40.0, 20.0)]))
         vis = np.asarray(out.visible)
-        assert vis.shape == (RANGE.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE,)
+        assert vis.shape == (bass_cylinder_count(RANGE.octaves),)
+        assert vis.shape == (167,)  # min(28*6, 3*72) points -> 167 segments
         assert vis[:72].all() and not vis[72:].any()
         # alpha = 1-(1-10/20)^2 = 0.75 for the lowest (not largest) peak
         np.testing.assert_allclose(float(out.rgba[3]), 0.75, atol=1e-6)
@@ -380,9 +382,22 @@ class TestBassSpiral:
         assert not np.asarray(out.visible).any()
 
     def test_lowest_peak_beyond_range_hides_all(self):
-        # center semitones = 71.9/24*12 ~ 36 -> 36*6 = 216 >= 216 segments
+        # center semitones = 71.9/24*12 ~ 36 -> 36*6 = 216 >= 167 cylinders
         out = bass_spiral(RANGE, *self._mk([(71, 71.9, 10.0)]))
         assert not np.asarray(out.visible).any()
+
+    def test_cylinder_count_boundary(self):
+        """The reference spawns only HIGHEST_BASSNOTE*6 spiral points of
+        cylinders (setup.rs:134-137) and early-outs when
+        round(center_semitones)*6 >= that count (update.rs:382-387):
+        semitone 27 lights 162 segments, semitone 28 (168 >= 167) hides all.
+        """
+        # bin 54 at 24 bpo = 27 semitones; bin 56 = 28 semitones
+        out27 = bass_spiral(RANGE, *self._mk([(54, 54.0, 10.0)]))
+        vis27 = np.asarray(out27.visible)
+        assert vis27[:162].all() and not vis27[162:].any()
+        out28 = bass_spiral(RANGE, *self._mk([(56, 56.0, 10.0)]))
+        assert not np.asarray(out28.visible).any()
 
     def test_color_is_rounded_semitone_pitch_class(self):
         from pitchvis_tpu.models.viewer import pitch_color_rotation
@@ -429,7 +444,7 @@ class TestCalmnessOverlays:
         out = None
         for _ in range(3):
             out = pipe.step(chunk, 1.0 / 60.0)
-        n_seg = small_params.range.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE
+        n_seg = bass_cylinder_count(small_params.range.octaves)
         assert out.viewer.bass.visible.shape == (2, n_seg)
         assert out.viewer.bass.rgba.shape == (2, 4)
         assert out.viewer.calmness_histogram.heights.shape == (
