@@ -12,6 +12,7 @@ write the exact pitchvis_serial byte stream to a file/tty.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -83,6 +84,19 @@ def main(argv=None) -> int:
         help="VQT compute path (pallas = fused kernel, the fastest)",
     )
     parser.add_argument(
+        "--render",
+        metavar="OUT",
+        help="rasterize the viewer scene per frame (models/render.py): OUT "
+        "ending in .gif writes an animated GIF, otherwise OUT is a directory "
+        "of frame_%%05d.png files (offline WAV/--tone mode only)",
+    )
+    parser.add_argument(
+        "--render-size",
+        default="640x360",
+        metavar="WxH",
+        help="raster size for --render",
+    )
+    parser.add_argument(
         "--fast",
         action="store_true",
         help="bf16 VQT weights (error budget: tests/test_bf16.py)",
@@ -121,7 +135,32 @@ def main(argv=None) -> int:
     else:
         parser.error("give a WAV file or --tone")
 
-    pipe = StreamingPipeline(1, params, path=args.path, fast=args.fast)
+    renderer = None
+    if args.render:
+        import jax
+
+        from .models.render import RenderConfig, make_scene, render_frame
+
+        w, h = (int(v) for v in args.render_size.lower().split("x"))
+        render_cfg = RenderConfig(width=w, height=h)
+        make_scene(render_cfg, params.range)  # precompute statics up front
+        frames: list = []
+
+        def renderer(out, t):
+            balls = jax.tree.map(lambda x: x[0], out.viewer.balls)
+            bass = jax.tree.map(lambda x: x[0], out.viewer.bass)
+            frames.append(
+                np.asarray(
+                    render_frame(
+                        render_cfg, params.range, balls, bass,
+                        out.analysis.scene_calmness[0], t,
+                    )
+                )
+            )
+
+    pipe = StreamingPipeline(
+        1, params, path=args.path, fast=args.fast, with_viewer=bool(args.render)
+    )
     hop = int(params.sr / args.fps)
     n_hops = len(audio) // hop
     led_out = open(args.led, "wb") if args.led else None
@@ -130,6 +169,8 @@ def main(argv=None) -> int:
     for i in range(n_hops):
         chunk = audio[i * hop : (i + 1) * hop][None, :]
         out = pipe.step(chunk, hop / params.sr)
+        if renderer is not None:
+            renderer(out, i * hop / params.sr)
         peaks = np.asarray(out.analysis.peaks[0])
         centers = np.asarray(out.analysis.peak_center[0])
         sizes = np.asarray(out.analysis.peak_size[0])
@@ -162,6 +203,23 @@ def main(argv=None) -> int:
     if led_out is not None:
         led_out.close()
         print(f"wrote {n_hops} LED frames to {args.led}", file=sys.stderr)
+    if args.render:
+        from PIL import Image
+
+        if args.render.lower().endswith(".gif"):
+            imgs = [Image.fromarray(f) for f in frames]
+            imgs[0].save(
+                args.render, save_all=True, append_images=imgs[1:],
+                duration=int(1000 / args.fps), loop=0,
+            )
+            print(f"wrote {len(frames)}-frame GIF to {args.render}", file=sys.stderr)
+        else:
+            os.makedirs(args.render, exist_ok=True)
+            for k, f in enumerate(frames):
+                Image.fromarray(f).save(
+                    os.path.join(args.render, f"frame_{k:05d}.png")
+                )
+            print(f"wrote {len(frames)} PNGs to {args.render}", file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,509 @@
+"""TPU rasterizer for the PitchVis scene.
+
+The reference presents its analysis through a Bevy/wgpu app
+(pitchvis_viewer/src/display_system/): an orthographic 2D camera over a
+log-spiral of 588 "pitch balls" shaded by `noisy_color_rings_2d.wgsl`, a
+spider net, a bass spiral, and HDR bloom. That GUI stack is platform glue —
+but the *image* it produces is math, and this module computes it as one
+batched, jittable JAX program so the framework can serve rendered frames
+(thousands of streams' visualizations per chip) with no GPU/windowing stack.
+
+Faithful pieces (exact formulas, cited):
+* scene layout: camera `FixedVertical { viewport_height: 38*0.41421357 }`
+  (setup.rs:359-363), clear color srgb(0.23, 0.23, 0.25) (mod.rs:18-19),
+  20x20 ball quads on the spiral (setup.rs:110), spider net rays of radius
+  octaves*2.2 + visual spiral polyline, thickness 0.05, srgb(0.3, 0.3, 0.3)
+  at z=-13 (setup.rs:174-223), bass cylinders 0.05 wide at z=-12.7
+  (setup.rs:127-172), back-to-front alpha blending in z order (Bevy 2D
+  transparent pass; ball z = (size/max-1.01)*12.5, update.rs:232-234).
+* the ball fragment shader (noisy_color_rings_2d.wgsl, ACTIVE options):
+  Gustavson simplex noise (lines 6-75), `ring(uv) = sin(r*sqrt(r)*pi)^2`
+  (116-120), the pitch-accuracy center dot (126-141), the spiral-star
+  tuning indicator (231-260), the fragment composition with
+  `ring_strength = clamp(1-calmness*1.65)^3` and the smooth circle
+  boundary (395-429).
+* shading happens in LINEAR color space (Bevy converts `Color::srgb*`
+  uniforms to LinearRgba before upload); sRGB encode happens at the end.
+
+Approximated pieces (documented, no bit-contract — the reference's own
+output here is GPU/driver-dependent):
+* bloom: Bevy's mip-chain bloom (setup.rs:367-377: additive, prefilter
+  threshold 0.17 / softness 0.82, intensity = 1.3*scene_calmness from
+  update.rs:336-351) is approximated by a soft-threshold brightpass and a
+  3-level Gaussian pyramid.
+* tonemapping: `Tonemapping::SomewhatBoringDisplayTransform` is
+  approximated by luminance-Reinhard.
+* pitch-name Text2d glyphs (setup.rs:386-416) are not rasterized.
+
+This is a DISPLAY-RATE stage (it runs per rendered frame, not per analysis
+hop); it deliberately uses a sorted `lax.scan` with per-ball dynamic patch
+updates, which is fine here and NOT subject to the hot-path gather rule in
+ops/peaks.py (that rule is about the per-hop analysis chain).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import VqtRange
+from .viewer import (
+    HIGHEST_BASSNOTE,
+    SPIRAL_SEGMENTS_PER_SEMITONE,
+    BallOutputs,
+    BassSpiralOutputs,
+    bass_cylinder_count,
+    bloom_intensity,
+)
+
+# setup.rs:359-363 — FixedVertical viewport height in world units
+VIEWPORT_HEIGHT = 38.0 * 0.414_213_57
+# mod.rs:18-19 — CLEAR_COLOR_NEUTRAL (sRGB)
+CLEAR_COLOR = (0.23, 0.23, 0.25)
+BALL_HALF_EXTENT = 10.0  # setup.rs:110 — Rectangle::new(20, 20) half size
+NET_COLOR = (0.3, 0.3, 0.3)  # setup.rs:200/220
+NET_THICKNESS = 0.05  # setup.rs:197/215
+BASS_WIDTH = 0.05  # setup.rs:159 — Rectangle::new(0.05, h + 0.01)
+BASS_END_EXTENSION = 0.005  # the h + 0.01 overhang, half per end
+# setup.rs:367-377 — Bloom prefilter
+BLOOM_THRESHOLD = 0.17
+BLOOM_SOFTNESS = 0.82
+
+
+def srgb_to_linear(c):
+    """IEC 61966-2-1 decode (what Bevy's Color::srgb -> LinearRgba does)."""
+    c = jnp.asarray(c, jnp.float32)
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(c):
+    c = jnp.asarray(c, jnp.float32)
+    c = jnp.maximum(c, 0.0)
+    return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _step(edge, x):
+    return jnp.where(x >= edge, 1.0, 0.0)
+
+
+def simplex_noise3(x, y, z):
+    """Gustavson/McEwan 3D simplex noise, an exact f32 port of
+    `simplexNoise3` in noisy_color_rings_2d.wgsl:6-75 (component-wise; the
+    vec3/vec4 lanes of the WGSL are unrolled)."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    C_x, C_y = np.float32(1.0 / 6.0), np.float32(1.0 / 3.0)
+
+    def permute4(v):
+        return jnp.mod((v * 34.0 + 1.0) * v, 289.0)
+
+    s = (x + y + z) * C_y
+    ix, iy, iz = jnp.floor(x + s), jnp.floor(y + s), jnp.floor(z + s)
+    t = (ix + iy + iz) * C_x
+    x0x, x0y, x0z = x - ix + t, y - iy + t, z - iz + t
+
+    # g = step(x0.yzx, x0.xyz); l = 1 - g
+    gx, gy, gz = _step(x0y, x0x), _step(x0z, x0y), _step(x0x, x0z)
+    lx, ly, lz = 1.0 - gx, 1.0 - gy, 1.0 - gz
+    # i1 = min(g.xyz, l.zxy); i2 = max(g.xyz, l.zxy)
+    i1x, i1y, i1z = jnp.minimum(gx, lz), jnp.minimum(gy, lx), jnp.minimum(gz, ly)
+    i2x, i2y, i2z = jnp.maximum(gx, lz), jnp.maximum(gy, lx), jnp.maximum(gz, ly)
+
+    x1x, x1y, x1z = x0x - i1x + C_x, x0y - i1y + C_x, x0z - i1z + C_x
+    x2x, x2y, x2z = x0x - i2x + 2.0 * C_x, x0y - i2y + 2.0 * C_x, x0z - i2z + 2.0 * C_x
+    x3x, x3y, x3z = x0x - 1.0 + 3.0 * C_x, x0y - 1.0 + 3.0 * C_x, x0z - 1.0 + 3.0 * C_x
+
+    ix, iy, iz = jnp.mod(ix, 289.0), jnp.mod(iy, 289.0), jnp.mod(iz, 289.0)
+    # p = permute4(permute4(permute4(iz + [0,i1z,i2z,1]) + iy + [...]) + ix + [...])
+    p = [None] * 4
+    adds = [
+        (0.0, 0.0, 0.0),
+        (i1z, i1y, i1x),
+        (i2z, i2y, i2x),
+        (1.0, 1.0, 1.0),
+    ]
+    inner = [permute4(iz + a[0]) for a in adds]
+    mid = [permute4(inner[k] + iy + adds[k][1]) for k in range(4)]
+    p = [permute4(mid[k] + ix + adds[k][2]) for k in range(4)]
+
+    ns_x = np.float32(2.0 / 7.0 - 0.0)  # n_*D.w - D.x with n_=1/7, D=(0,.5,1,2)
+    ns_y = np.float32(1.0 / 7.0 * 0.5 - 1.0)  # n_*D.y - D.z
+    ns_z = np.float32(1.0 / 7.0 * 1.0 - 0.0)  # n_*D.z - D.x
+
+    gx4, gy4, gz4, h4 = [], [], [], []
+    for k in range(4):
+        j = p[k] - 49.0 * jnp.floor(p[k] * ns_z * ns_z)
+        x_ = jnp.floor(j * ns_z)
+        y_ = jnp.floor(j - 7.0 * x_)
+        xg = x_ * ns_x + ns_y
+        yg = y_ * ns_x + ns_y
+        hg = 1.0 - jnp.abs(xg) - jnp.abs(yg)
+        # b0/b1 + s0/s1 + sh reshuffle, unrolled per lane:
+        sx = jnp.floor(xg) * 2.0 + 1.0
+        sy = jnp.floor(yg) * 2.0 + 1.0
+        sh = -_step(hg, 0.0)
+        a0x = xg + sx * sh
+        a0y = yg + sy * sh
+        gx4.append(a0x)
+        gy4.append(a0y)
+        gz4.append(hg)
+        h4.append(hg)
+
+    xs = [(x0x, x0y, x0z), (x1x, x1y, x1z), (x2x, x2y, x2z), (x3x, x3y, x3z)]
+    total = 0.0
+    for k in range(4):
+        px, py, pz = gx4[k], gy4[k], gz4[k]
+        norm = 1.79284291400159 - 0.85373472095314 * (px * px + py * py + pz * pz)
+        px, py, pz = px * norm, py * norm, pz * norm
+        cx, cy, cz = xs[k]
+        m = jnp.maximum(0.6 - (cx * cx + cy * cy + cz * cz), 0.0)
+        m = m * m
+        total = total + m * m * (px * cx + py * cy + pz * cz)
+    return 42.0 * total
+
+
+def ring_profile(r):
+    """noisy_color_rings_2d.wgsl:116-120: sin(r*sqrt(r)*pi)^2."""
+    f = jnp.sin(r * jnp.sqrt(jnp.maximum(r, 0.0)) * math.pi)
+    return f * f
+
+
+def pitch_indicator_center_dot(r, pitch_accuracy, time):
+    """ACTIVE option 1 (wgsl:126-141): white center dot above accuracy 0.85,
+    pulsing at 3 rad/s."""
+    threshold = 0.85
+    accuracy_factor = (pitch_accuracy - threshold) / (1.0 - threshold)
+    dot_falloff = _smoothstep(0.08, 0.0, r)
+    pulse = 0.85 + 0.15 * jnp.sin(time * 3.0)
+    lit = jnp.where(pitch_accuracy < threshold, 0.0, accuracy_factor)
+    return dot_falloff * lit * pulse
+
+
+def tuning_indicator(uv_x, uv_y, r, pitch_deviation, time):
+    """ACTIVE option 1 (wgsl:231-260): 6-pointed spiral star; sharp spirals
+    clockwise, flat counterclockwise."""
+    angle = jnp.arctan2(uv_y, uv_x)
+    star_angle = angle * 6.0
+    spiral_angle = star_angle + r * (pitch_deviation * 4.0) * math.pi * 4.0
+    star_intensity = jnp.maximum(0.0, jnp.cos(spiral_angle)) * (
+        1.0 - _smoothstep(0.15, 0.25, r)
+    )
+    accuracy = 1.0 - jnp.abs(pitch_deviation) * 2.0
+    pulse = 0.7 + 0.3 * jnp.sin(time * 3.0)
+    brightness = (0.3 + (1.0 - 0.3) * accuracy) * pulse  # mix(0.3, 1.0, accuracy)
+    out = star_intensity * brightness
+    return jnp.where((r > 0.25) | (r < 0.01), 0.0, out)
+
+
+def ball_fragment(uv_x, uv_y, mat_rgb_linear, mat_a, calmness, time,
+                  pitch_accuracy, pitch_deviation):
+    """The full fragment (wgsl:395-429) at shader-local uv in [-1,1]^2.
+    `mat_rgb_linear` is the material color in LINEAR space (Bevy converts
+    the sRGB uniform before upload); returns (rgb_linear, alpha)."""
+    mesh_u = (uv_x + 1.0) * 0.5
+    mesh_v = (uv_y + 1.0) * 0.5
+    r = jnp.sqrt(uv_x * uv_x + uv_y * uv_y)
+
+    f_noise_raw = simplex_noise3(mesh_u * 4.3, mesh_v * 4.3, time * 0.8)
+    f_noise = jnp.clip(f_noise_raw - 0.15, 0.0, 1.0)
+    f_ring = ring_profile(r)
+
+    mix_t = (f_noise * calmness * f_ring)[..., None]
+    ring_rgb = mat_rgb_linear * (1.0 - mix_t) + 1.0 * mix_t
+    ring_a = mat_a * f_ring
+
+    acc = pitch_indicator_center_dot(r, pitch_accuracy, time)
+    tun = tuning_indicator(uv_x, uv_y, r, pitch_deviation, time)
+    final_rgb = ring_rgb + ((acc + tun) * 0.4)[..., None]
+
+    c = jnp.clip(1.0 - calmness * 1.65, 0.0, 1.0)
+    ring_strength = c * c * c
+    out_rgb = mat_rgb_linear * (1.0 - ring_strength) + final_rgb * ring_strength
+    out_a = mat_a * (1.0 - ring_strength) + ring_a * ring_strength
+
+    edge = _smoothstep(0.96, 1.0, r)
+    return out_rgb, out_a * (1.0 - edge)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Frozen (jit-static) raster parameters. ``ball_patch`` is the square
+    pixel tile each ball renders into; balls whose on-screen radius exceeds
+    patch/2 are clipped at the tile edge (at the default 360p a ball needs
+    scale > ~0.19 to clip — beyond anything the serving chain produces)."""
+
+    width: int = 640
+    height: int = 360
+    viewport_height: float = VIEWPORT_HEIGHT
+    ball_patch: int = 96
+    with_bloom: bool = True
+    with_net: bool = True
+    with_bass: bool = True
+
+    @property
+    def pixel_size(self) -> float:
+        return self.viewport_height / self.height
+
+
+def _pixel_grid(cfg: RenderConfig):
+    """World coordinates of pixel centers; x right, y up, origin centered
+    (the orthographic camera at the origin)."""
+    s = cfg.pixel_size
+    xs = (np.arange(cfg.width) - (cfg.width - 1) / 2.0) * s
+    ys = ((cfg.height - 1) / 2.0 - np.arange(cfg.height)) * s
+    return xs.astype(np.float32), ys.astype(np.float32)
+
+
+def _segment_coverage(xs, ys, p0, p1, half_width, aa):
+    """Antialiased coverage of a thick segment over the pixel grid (numpy,
+    precompute only)."""
+    px = xs[None, :] - p0[0]
+    py = ys[:, None] - p0[1]
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    seg_len2 = max(dx * dx + dy * dy, 1e-12)
+    t = np.clip((px * dx + py * dy) / seg_len2, 0.0, 1.0)
+    qx = px - t * dx
+    qy = py - t * dy
+    d = np.sqrt(qx * qx + qy * qy)
+    return np.clip((half_width + 0.5 * aa - d) / aa, 0.0, 1.0)
+
+
+class SceneStatics:
+    """Precomputed per-(config, range) raster data: the linear-space
+    background (clear color + spider net) and the bass-spiral segment index
+    map (nearest cylinder per pixel, -1 where none) + coverage."""
+
+    def __init__(self, cfg: RenderConfig, rng: VqtRange):
+        xs, ys = _pixel_grid(cfg)
+        aa = cfg.pixel_size
+        clear = np.asarray(srgb_to_linear(np.asarray(CLEAR_COLOR, np.float32)))
+        background = np.broadcast_to(
+            clear, (cfg.height, cfg.width, 3)
+        ).astype(np.float32).copy()
+
+        # visual spiral points: 72 per octave (setup.rs:47-48)
+        from .viewer import bin_to_spiral
+
+        n_vis = rng.octaves * 12 * SPIRAL_SEGMENTS_PER_SEMITONE
+        vx, vy = bin_to_spiral(
+            12 * SPIRAL_SEGMENTS_PER_SEMITONE, np.arange(n_vis, dtype=np.float32)
+        )
+        vx, vy = np.asarray(vx), np.asarray(vy)
+
+        if cfg.with_net:
+            cov = np.zeros((cfg.height, cfg.width), np.float32)
+            radius = rng.octaves * 2.2  # setup.rs:184
+            for i in range(12):
+                a = i / 12.0 * 2.0 * math.pi
+                p1 = (radius * math.cos(a), radius * math.sin(a))
+                cov = np.maximum(
+                    cov,
+                    _segment_coverage(xs, ys, (0.0, 0.0), p1, NET_THICKNESS / 2, aa),
+                )
+            for i in range(n_vis - 1):
+                cov = np.maximum(
+                    cov,
+                    _segment_coverage(
+                        xs, ys, (vx[i], vy[i]), (vx[i + 1], vy[i + 1]),
+                        NET_THICKNESS / 2, aa,
+                    ),
+                )
+            net = np.asarray(srgb_to_linear(np.asarray(NET_COLOR, np.float32)))
+            background = background * (1.0 - cov[..., None]) + net * cov[..., None]
+
+        n_cyl = bass_cylinder_count(rng.octaves)
+        bass_idx = np.full((cfg.height, cfg.width), -1, np.int32)
+        bass_cov = np.zeros((cfg.height, cfg.width), np.float32)
+        if cfg.with_bass:
+            for i in range(n_cyl):
+                p0 = np.array([vx[i], vy[i]])
+                p1 = np.array([vx[i + 1], vy[i + 1]])
+                d = p1 - p0
+                nrm = d / max(np.hypot(*d), 1e-9)
+                # the cylinder rect is (h + 0.01) long: extend half per end
+                c = _segment_coverage(
+                    xs, ys,
+                    tuple(p0 - nrm * BASS_END_EXTENSION),
+                    tuple(p1 + nrm * BASS_END_EXTENSION),
+                    BASS_WIDTH / 2, aa,
+                )
+                take = c > bass_cov
+                bass_idx[take] = i
+                bass_cov[take] = c[take]
+
+        self.background = jnp.asarray(background)
+        self.bass_idx = jnp.asarray(bass_idx)
+        self.bass_cov = jnp.asarray(bass_cov)
+        self.n_cylinders = n_cyl
+
+
+@lru_cache(maxsize=8)
+def make_scene(cfg: RenderConfig, rng: VqtRange) -> SceneStatics:
+    return SceneStatics(cfg, rng)
+
+
+def _bloom(img, intensity, cfg: RenderConfig):
+    """Approximation of Bevy's additive mip-chain bloom (setup.rs:367-377):
+    soft-threshold brightpass -> 3-level Gaussian pyramid -> add scaled by
+    intensity (= 1.3*scene_calmness, update.rs:346-347)."""
+    knee = BLOOM_THRESHOLD * BLOOM_SOFTNESS
+    lum = jnp.max(img, axis=-1, keepdims=True)
+    soft = jnp.clip(lum - BLOOM_THRESHOLD + knee, 0.0, 2.0 * knee)
+    soft = soft * soft / (4.0 * knee + 1e-5)
+    scale = jnp.maximum(soft, lum - BLOOM_THRESHOLD) / jnp.maximum(lum, 1e-5)
+    bright = img * scale
+
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+
+    def blur(x):
+        xpad = jnp.pad(x, ((2, 2), (0, 0), (0, 0)), mode="edge")
+        x = sum(k[i] * xpad[i : i + x.shape[0]] for i in range(5))
+        xpad = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+        return sum(k[i] * xpad[:, i : i + x.shape[1]] for i in range(5))
+
+    acc = jnp.zeros_like(img)
+    level = bright
+    h, w = cfg.height, cfg.width
+    for factor in (2, 4, 8):
+        lh, lw = max(h // factor, 1), max(w // factor, 1)
+        level = jax.image.resize(level, (lh, lw, 3), "linear")
+        level = blur(level)
+        acc = acc + jax.image.resize(level, (h, w, 3), "linear")
+    return img + acc * (intensity / 3.0)
+
+
+def _tonemap(img):
+    """Luminance Reinhard — stand-in for Bevy's
+    SomewhatBoringDisplayTransform (setup.rs:358)."""
+    lum = (
+        0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+    )[..., None]
+    return img / (1.0 + lum)
+
+
+@partial(jax.jit, static_argnames=("cfg", "rng"))
+def _render_frame_impl(
+    cfg: RenderConfig,
+    rng: VqtRange,
+    background, bass_idx, bass_cov,
+    balls: BallOutputs,
+    bass: BassSpiralOutputs,
+    scene_calmness,
+    time,
+):
+    img = background
+    time = jnp.asarray(time, jnp.float32)
+
+    if cfg.with_bass:
+        # prefix-lit cylinders: pixel lit iff its segment index < lit count
+        n_lit = jnp.sum(bass.visible.astype(jnp.int32))
+        lit = (bass_idx >= 0) & (bass_idx < n_lit)
+        bass_rgb = srgb_to_linear(bass.rgba[:3])
+        a = jnp.where(lit, bass_cov * bass.rgba[3], 0.0)[..., None]
+        img = bass_rgb * a + img * (1.0 - a)
+
+    # --- pitch balls, back to front (Bevy 2D transparent pass sorts by z) ---
+    order = jnp.argsort(balls.position[:, 2])
+    s = cfg.pixel_size
+    H, W = cfg.height, cfg.width
+    P = min(cfg.ball_patch, H, W)  # a patch cannot exceed the image
+
+    cx = balls.position[order, 0]
+    cy = balls.position[order, 1]
+    rgb_lin = srgb_to_linear(balls.rgba[order, :3])
+    mat_a = balls.rgba[order, 3]
+    scale = balls.scale[order]
+    gate = balls.visible[order].astype(jnp.float32)
+    calm = balls.calmness[order]
+    acc = balls.pitch_accuracy[order]
+    dev = balls.pitch_deviation[order]
+
+    half = jnp.maximum(BALL_HALF_EXTENT * scale, 1e-6)
+    gate = gate * (scale > 1e-5).astype(jnp.float32)
+
+    # pixel index of the ball center
+    pi = cx / s + (W - 1) / 2.0
+    pj = (H - 1) / 2.0 - cy / s
+    start_i = jnp.clip(jnp.round(pi).astype(jnp.int32) - P // 2, 0, max(W - P, 0))
+    start_j = jnp.clip(jnp.round(pj).astype(jnp.int32) - P // 2, 0, max(H - P, 0))
+
+    di = jnp.arange(P, dtype=jnp.float32)
+
+    def body(im, b):
+        (b_si, b_sj, b_cx, b_cy, b_half, b_rgb, b_a, b_gate, b_calm,
+         b_acc, b_dev) = b
+        # world coords of the patch pixels
+        wx = (b_si.astype(jnp.float32) + di - (W - 1) / 2.0) * s
+        wy = ((H - 1) / 2.0 - (b_sj.astype(jnp.float32) + di)) * s
+        uv_x = (wx[None, :] - b_cx) / b_half
+        uv_y = -(wy[:, None] - b_cy) / b_half  # shader v grows downward
+        rgb, a = ball_fragment(uv_x, uv_y, b_rgb, b_a, b_calm, time, b_acc, b_dev)
+        a = (a * b_gate)[..., None]
+        patch = jax.lax.dynamic_slice(im, (b_sj, b_si, 0), (P, P, 3))
+        patch = rgb * a + patch * (1.0 - a)
+        return jax.lax.dynamic_update_slice(im, patch, (b_sj, b_si, 0)), None
+
+    img, _ = jax.lax.scan(
+        body, img,
+        (start_i, start_j, cx, cy, half, rgb_lin, mat_a, gate, calm, acc, dev),
+    )
+
+    if cfg.with_bloom:
+        img = _bloom(img, bloom_intensity(scene_calmness), cfg)
+    img = _tonemap(img)
+    srgb = linear_to_srgb(jnp.clip(img, 0.0, None))
+    return jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def render_frame(
+    cfg: RenderConfig,
+    rng: VqtRange,
+    balls: BallOutputs,
+    bass: BassSpiralOutputs | None,
+    scene_calmness,
+    time,
+    statics: SceneStatics | None = None,
+) -> jnp.ndarray:
+    """Rasterize one frame -> (height, width, 3) uint8 sRGB."""
+    st = statics if statics is not None else make_scene(cfg, rng)
+    if bass is None:
+        n = st.n_cylinders
+        bass = BassSpiralOutputs(
+            visible=jnp.zeros(n, bool), rgba=jnp.zeros(4, jnp.float32)
+        )
+    return _render_frame_impl(
+        cfg, rng, st.background, st.bass_idx, st.bass_cov,
+        balls, bass, scene_calmness, time,
+    )
+
+
+def render_batch(
+    cfg: RenderConfig,
+    rng: VqtRange,
+    balls: BallOutputs,
+    bass: BassSpiralOutputs,
+    scene_calmness,
+    time,
+    statics: SceneStatics | None = None,
+) -> jnp.ndarray:
+    """Batched rasterize -> (B, height, width, 3) uint8; ``balls``/``bass``
+    carry a leading stream axis (the shapes the fused pipeline emits),
+    ``time`` is shared."""
+    st = statics if statics is not None else make_scene(cfg, rng)
+    fn = jax.vmap(
+        lambda ba, bs, sc: _render_frame_impl(
+            cfg, rng, st.background, st.bass_idx, st.bass_cov, ba, bs, sc, time
+        )
+    )
+    return fn(balls, bass, jnp.asarray(scene_calmness))

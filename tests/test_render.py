@@ -1,0 +1,272 @@
+"""Rasterizer tests (models/render.py vs noisy_color_rings_2d.wgsl math +
+display_system scene composition)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from pitchvis_tpu.core.config import VqtRange
+from pitchvis_tpu.models.render import (
+    RenderConfig,
+    ball_fragment,
+    linear_to_srgb,
+    make_scene,
+    pitch_indicator_center_dot,
+    render_batch,
+    render_frame,
+    ring_profile,
+    simplex_noise3,
+    srgb_to_linear,
+    tuning_indicator,
+)
+from pitchvis_tpu.models.viewer import (
+    BallState,
+    bass_spiral,
+    bin_to_spiral,
+    update_balls,
+)
+
+RANGE = VqtRange(min_freq=55.0, octaves=3, buckets_per_octave=24)
+CFG = RenderConfig(width=320, height=180, ball_patch=48)
+
+
+def _scene(bins_sizes, calmness=1.0, accuracy=0.0, deviation=0.0):
+    """BallOutputs + BassSpiralOutputs for a list of (bin, center, size)."""
+    n = RANGE.n_buckets
+    peaks = np.zeros(n, bool)
+    center = np.zeros(n, np.float32)
+    size = np.zeros(n, np.float32)
+    for b, c, s in bins_sizes:
+        peaks[b] = True
+        center[b] = c
+        size[b] = s
+    st = BallState.init(n)
+    _, balls = update_balls(
+        RANGE, st, jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size),
+        jnp.full(n, calmness), jnp.full(n, accuracy), jnp.full(n, deviation),
+        1.0 / 60.0,
+    )
+    bass = bass_spiral(RANGE, jnp.asarray(peaks), jnp.asarray(center),
+                       jnp.asarray(size))
+    return balls, bass
+
+
+class TestShaderMath:
+    def test_noise_deterministic_and_bounded(self):
+        u = np.linspace(0.0, 4.3, 64, dtype=np.float32)
+        a = np.asarray(simplex_noise3(u[None, :], u[:, None], 0.8))
+        b = np.asarray(simplex_noise3(u[None, :], u[:, None], 0.8))
+        np.testing.assert_array_equal(a, b)
+        assert a.min() >= -1.0 - 1e-5 and a.max() <= 1.0 + 1e-5
+        assert a.std() > 0.05  # not a constant field
+
+    def test_noise_varies_with_time(self):
+        u = np.linspace(0.0, 4.3, 16, dtype=np.float32)
+        a = np.asarray(simplex_noise3(u[None, :], u[:, None], 0.0))
+        b = np.asarray(simplex_noise3(u[None, :], u[:, None], 1.0))
+        assert np.abs(a - b).max() > 1e-3
+
+    def test_ring_profile(self):
+        """wgsl:116-120: sin(r*sqrt(r)*pi)^2 — zero at center, unity where
+        r^1.5 = 0.5."""
+        assert float(ring_profile(jnp.float32(0.0))) == 0.0
+        r_peak = 0.5 ** (2.0 / 3.0)
+        assert abs(float(ring_profile(jnp.float32(r_peak))) - 1.0) < 1e-6
+        assert float(ring_profile(jnp.float32(1.0))) < 1e-9  # sin(pi)^2
+
+    def test_center_dot_threshold(self):
+        """wgsl:126-141: nothing below accuracy 0.85; lit at the center
+        above, dark beyond the 0.08 radius."""
+        r0 = jnp.float32(0.0)
+        assert float(pitch_indicator_center_dot(r0, 0.84, 1.0)) == 0.0
+        assert float(pitch_indicator_center_dot(r0, 1.0, 1.0)) > 0.5
+        assert float(pitch_indicator_center_dot(jnp.float32(0.09), 1.0, 1.0)) == 0.0
+
+    def test_tuning_star_mirror_chirality(self):
+        """wgsl:231-260: flipping the deviation sign mirrors the spiral star
+        (sharp = clockwise, flat = counterclockwise)."""
+        xs = np.linspace(-0.24, 0.24, 21, dtype=np.float32)
+        X, Y = np.meshgrid(xs, xs)
+        R = np.sqrt(X * X + Y * Y).astype(np.float32)
+        sharp = np.asarray(tuning_indicator(X, Y, R, 0.3, 2.0))
+        flat_mirrored = np.asarray(tuning_indicator(X, -Y, R, -0.3, 2.0))
+        np.testing.assert_allclose(sharp, flat_mirrored, atol=1e-6)
+        assert sharp.max() > 0.0
+
+    def test_tuning_star_annulus_only(self):
+        assert float(tuning_indicator(0.3, 0.0, jnp.float32(0.3), 0.1, 1.0)) == 0.0
+        assert float(tuning_indicator(0.005, 0.0, jnp.float32(0.005), 0.1, 1.0)) == 0.0
+
+    def test_full_calm_is_solid_material_disk(self):
+        """ring_strength = clamp(1-calmness*1.65)^3 hits 0 at calmness
+        1/1.65 (wgsl:426): the fragment returns the material color at any
+        interior point, regardless of noise/indicators."""
+        rgb = jnp.asarray([0.2, 0.5, 0.8])
+        for ux, uy in ((0.0, 0.0), (0.4, -0.3), (-0.7, 0.2)):
+            out_rgb, out_a = ball_fragment(
+                jnp.float32(ux), jnp.float32(uy), rgb, jnp.float32(0.9),
+                jnp.float32(0.75), 1.0, jnp.float32(1.0), jnp.float32(0.4),
+            )
+            np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(rgb), atol=1e-6)
+            np.testing.assert_allclose(float(out_a), 0.9, atol=1e-6)
+
+    def test_boundary_alpha_zero(self):
+        """smooth_circle_boundary (wgsl:100-102): alpha fades to 0 at r=1."""
+        _, a = ball_fragment(
+            jnp.float32(1.0), jnp.float32(0.0), jnp.asarray([1.0, 1.0, 1.0]),
+            jnp.float32(1.0), jnp.float32(1.0), 0.0, jnp.float32(0.0),
+            jnp.float32(0.0),
+        )
+        assert float(a) == 0.0
+
+    def test_srgb_round_trip(self):
+        c = jnp.asarray([0.0, 0.01, 0.23, 0.5, 1.0])
+        np.testing.assert_allclose(
+            np.asarray(linear_to_srgb(srgb_to_linear(c))), np.asarray(c), atol=1e-6
+        )
+
+
+class TestScene:
+    def test_background_only_matches_closed_form(self):
+        """No visible balls, no bass: every pixel is the tonemapped clear
+        color or net gray (both below the bloom threshold, so bloom is a
+        no-op)."""
+        balls, _ = _scene([])
+        img = np.asarray(render_frame(CFG, RANGE, balls, None, 0.0, 1.0))
+        st = make_scene(CFG, RANGE)
+        bg = np.asarray(st.background)
+        lum = (0.2126 * bg[..., :1] + 0.7152 * bg[..., 1:2] + 0.0722 * bg[..., 2:])
+        expected = np.asarray(linear_to_srgb(jnp.asarray(bg / (1.0 + lum))))
+        expected = np.clip(np.round(expected * 255.0), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(img, expected)
+
+    def test_net_pixels_differ_from_clear(self):
+        st = make_scene(CFG, RANGE)
+        bg = np.asarray(st.background)
+        clear = np.asarray(srgb_to_linear(jnp.asarray([0.23, 0.23, 0.25])))
+        assert (np.abs(bg - clear).sum(-1) > 1e-4).any()  # net drawn
+        off = make_scene(RenderConfig(width=64, height=36, with_net=False), RANGE)
+        flat = np.asarray(off.background).reshape(-1, 3)
+        assert np.unique(flat, axis=0).shape[0] == 1  # uniform clear color
+        np.testing.assert_allclose(flat[0], clear, atol=1e-5)
+
+    def test_calm_ball_center_pixel_exact(self):
+        """A fully calm lone peak renders a solid disk of exactly its
+        material color (alpha = color coefficient = 1 for the only peak):
+        center pixel == tonemap(linear(material)) sRGB-encoded."""
+        cfg = RenderConfig(width=320, height=180, ball_patch=48, with_bloom=False)
+        b = 30
+        balls, bass = _scene([(b, float(b), 40.0)], calmness=1.0)
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
+
+        mat = np.asarray(balls.rgba[b])
+        assert abs(mat[3] - 1.0) < 1e-6
+        lin = np.asarray(srgb_to_linear(jnp.asarray(mat[:3])))
+        lum = 0.2126 * lin[0] + 0.7152 * lin[1] + 0.0722 * lin[2]
+        expected = np.asarray(linear_to_srgb(jnp.asarray(lin / (1.0 + lum))))
+        expected = np.clip(np.round(expected * 255.0), 0, 255).astype(np.uint8)
+
+        x, y = bin_to_spiral(RANGE.buckets_per_octave, float(np.asarray(balls.position[b, 0] * 0 + b)))
+        # pixel of the ball center from its actual position output
+        cx, cy = float(balls.position[b, 0]), float(balls.position[b, 1])
+        s = cfg.pixel_size
+        pi = int(round(cx / s + (cfg.width - 1) / 2.0))
+        pj = int(round((cfg.height - 1) / 2.0 - cy / s))
+        np.testing.assert_array_equal(img[pj, pi], expected)
+
+    def test_z_order_bigger_ball_on_top(self):
+        """update.rs:232-234: z = (size/max-1.01)*12.5 — the bigger ball
+        draws on top where two solid disks overlap."""
+        cfg = RenderConfig(width=320, height=180, ball_patch=96, with_bloom=False)
+        # an octave+1.5 semitones apart: close on the spiral, different
+        # colors; sizes keep both radii inside the ball patch
+        b1, b2 = 30, 57
+        balls, bass = _scene([(b1, float(b1), 60.0), (b2, float(b2), 100.0)],
+                             calmness=1.0)
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
+        s = cfg.pixel_size
+        p1 = np.asarray(balls.position[b1, :2])
+        p2 = np.asarray(balls.position[b2, :2])
+        r1 = 10.0 * float(balls.scale[b1])
+        r2 = 10.0 * float(balls.scale[b2])
+        assert np.hypot(*(p2 - p1)) < r1 + r2  # they do overlap
+        assert max(r1, r2) / s < cfg.ball_patch / 2  # no patch clipping
+        # walk from the small center toward the big one until inside both
+        for t in np.linspace(0.0, 1.0, 50):
+            q = p1 + (p2 - p1) * t
+            if np.hypot(*(q - p1)) < 0.8 * r1 and np.hypot(*(q - p2)) < 0.8 * r2:
+                break
+        pi = int(round(q[0] / s + (cfg.width - 1) / 2.0))
+        pj = int(round((cfg.height - 1) / 2.0 - q[1] / s))
+        ci = int(round(p2[0] / s + (cfg.width - 1) / 2.0))
+        cj = int(round((cfg.height - 1) / 2.0 - p2[1] / s))
+        # a probe inside the small ball but outside the big one
+        away = (p1 - p2) / np.hypot(*(p1 - p2))
+        q2 = p1 + away * 0.6 * r1
+        assert np.hypot(*(q2 - p2)) > r2
+        q2i = int(round(q2[0] / s + (cfg.width - 1) / 2.0))
+        q2j = int(round((cfg.height - 1) / 2.0 - q2[1] / s))
+        # the overlap pixel shows the bigger (top) ball's solid color,
+        # which differs from the smaller ball's own region
+        np.testing.assert_array_equal(img[pj, pi], img[cj, ci])
+        assert (img[pj, pi] != img[q2j, q2i]).any()
+
+    def test_bass_spiral_lights_pixels(self):
+        cfg = RenderConfig(width=320, height=180, ball_patch=48, with_bloom=False)
+        balls, bass = _scene([(30, 30.0, 25.0)])
+        lit = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
+        dark = np.asarray(render_frame(cfg, RANGE, balls, None, 0.5, 1.0))
+        assert int(np.sum(np.any(lit != dark, axis=-1))) > 50
+        n_lit = int(np.asarray(bass.visible).sum())
+        assert n_lit == round(30.0 / 24 * 12) * 6
+
+    def test_bloom_brightens_with_scene_calmness(self):
+        balls, bass = _scene([(30, 30.0, 40.0)], calmness=1.0)
+        calm = np.asarray(render_frame(CFG, RANGE, balls, bass, 1.0, 1.0))
+        tense = np.asarray(render_frame(CFG, RANGE, balls, bass, 0.0, 1.0))
+        assert calm.astype(np.int64).sum() > tense.astype(np.int64).sum()
+
+    def test_batch_matches_single(self):
+        balls, bass = _scene([(30, 30.3, 25.0), (50, 50.1, 15.0)])
+        import jax
+
+        batch_balls = jax.tree.map(lambda x: jnp.stack([x, x]), balls)
+        batch_bass = jax.tree.map(lambda x: jnp.stack([x, x]), bass)
+        out = np.asarray(
+            render_batch(CFG, RANGE, batch_balls, batch_bass,
+                         jnp.asarray([0.3, 0.9]), 1.0)
+        )
+        single0 = np.asarray(render_frame(CFG, RANGE, balls, bass, 0.3, 1.0))
+        single1 = np.asarray(render_frame(CFG, RANGE, balls, bass, 0.9, 1.0))
+        np.testing.assert_array_equal(out[0], single0)
+        np.testing.assert_array_equal(out[1], single1)
+
+
+class TestDemoRender:
+    def test_demo_render_cli(self, tmp_path):
+        """`demo --tone --render DIR` writes one PNG per hop (the headless
+        counterpart of the reference viewer's window)."""
+        import os
+        import subprocess
+        import sys
+
+        out = tmp_path / "frames"
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pitchvis_tpu.demo",
+                "--tone", "440", "--seconds", "0.5", "--fps", "30",
+                "--frames", "1", "--render", str(out),
+                "--render-size", "160x90",
+            ],
+            capture_output=True, timeout=600, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        pngs = sorted(out.glob("frame_*.png"))
+        assert len(pngs) == 15
+        from PIL import Image
+
+        im = Image.open(pngs[-1])
+        assert im.size == (160, 90)
