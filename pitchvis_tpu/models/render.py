@@ -229,7 +229,8 @@ def ball_fragment(uv_x, uv_y, mat_rgb_linear, mat_a, calmness, time,
 
     c = jnp.clip(1.0 - calmness * 1.65, 0.0, 1.0)
     ring_strength = c * c * c
-    out_rgb = mat_rgb_linear * (1.0 - ring_strength) + final_rgb * ring_strength
+    rs_rgb = jnp.asarray(ring_strength)[..., None]  # broadcast vs the rgb axis
+    out_rgb = mat_rgb_linear * (1.0 - rs_rgb) + final_rgb * rs_rgb
     out_a = mat_a * (1.0 - ring_strength) + ring_a * ring_strength
 
     edge = _smoothstep(0.96, 1.0, r)
@@ -241,12 +242,16 @@ class RenderConfig:
     """Frozen (jit-static) raster parameters. ``ball_patch`` is the square
     pixel tile each ball renders into; balls whose on-screen radius exceeds
     patch/2 are clipped at the tile edge (at the default 360p a ball needs
-    scale > ~0.19 to clip — beyond anything the serving chain produces)."""
+    scale > ~0.19 to clip — beyond anything the serving chain produces).
+    ``max_balls`` bounds how many balls shade per frame: the K frontmost
+    visible ones (a live scene shows at most a few dozen — active peaks
+    plus fading trails); overflow drops the backmost/smallest."""
 
     width: int = 640
     height: int = 360
     viewport_height: float = VIEWPORT_HEIGHT
     ball_patch: int = 96
+    max_balls: int = 64
     with_bloom: bool = True
     with_net: bool = True
     with_bass: bool = True
@@ -255,13 +260,27 @@ class RenderConfig:
     def pixel_size(self) -> float:
         return self.viewport_height / self.height
 
+    # The raster is computed at sublane-aligned (multiple-of-8) dimensions
+    # and cropped on output: measured on this chip, a 320x180 render is ~4x
+    # slower than 320x184 (the per-ball dynamic-slice composite relayouts
+    # on unaligned rows); padding is free by comparison.
+    @property
+    def padded_width(self) -> int:
+        return (self.width + 7) // 8 * 8
+
+    @property
+    def padded_height(self) -> int:
+        return (self.height + 7) // 8 * 8
+
 
 def _pixel_grid(cfg: RenderConfig):
-    """World coordinates of pixel centers; x right, y up, origin centered
-    (the orthographic camera at the origin)."""
+    """World coordinates of pixel centers over the PADDED raster; x right,
+    y up, origin at the center of the visible (unpadded) image (the
+    orthographic camera at the origin). Padding rows/cols extend the grid
+    beyond the right/bottom edge and are cropped after rendering."""
     s = cfg.pixel_size
-    xs = (np.arange(cfg.width) - (cfg.width - 1) / 2.0) * s
-    ys = ((cfg.height - 1) / 2.0 - np.arange(cfg.height)) * s
+    xs = (np.arange(cfg.padded_width) - (cfg.width - 1) / 2.0) * s
+    ys = ((cfg.height - 1) / 2.0 - np.arange(cfg.padded_height)) * s
     return xs.astype(np.float32), ys.astype(np.float32)
 
 
@@ -288,9 +307,8 @@ class SceneStatics:
         xs, ys = _pixel_grid(cfg)
         aa = cfg.pixel_size
         clear = np.asarray(srgb_to_linear(np.asarray(CLEAR_COLOR, np.float32)))
-        background = np.broadcast_to(
-            clear, (cfg.height, cfg.width, 3)
-        ).astype(np.float32).copy()
+        hp, wp = cfg.padded_height, cfg.padded_width
+        background = np.broadcast_to(clear, (hp, wp, 3)).astype(np.float32).copy()
 
         # visual spiral points: 72 per octave (setup.rs:47-48)
         from .viewer import bin_to_spiral
@@ -302,7 +320,7 @@ class SceneStatics:
         vx, vy = np.asarray(vx), np.asarray(vy)
 
         if cfg.with_net:
-            cov = np.zeros((cfg.height, cfg.width), np.float32)
+            cov = np.zeros((hp, wp), np.float32)
             radius = rng.octaves * 2.2  # setup.rs:184
             for i in range(12):
                 a = i / 12.0 * 2.0 * math.pi
@@ -323,8 +341,8 @@ class SceneStatics:
             background = background * (1.0 - cov[..., None]) + net * cov[..., None]
 
         n_cyl = bass_cylinder_count(rng.octaves)
-        bass_idx = np.full((cfg.height, cfg.width), -1, np.int32)
-        bass_cov = np.zeros((cfg.height, cfg.width), np.float32)
+        bass_idx = np.full((hp, wp), -1, np.int32)
+        bass_cov = np.zeros((hp, wp), np.float32)
         if cfg.with_bass:
             for i in range(n_cyl):
                 p0 = np.array([vx[i], vy[i]])
@@ -374,7 +392,7 @@ def _bloom(img, intensity, cfg: RenderConfig):
 
     acc = jnp.zeros_like(img)
     level = bright
-    h, w = cfg.height, cfg.width
+    h, w = cfg.padded_height, cfg.padded_width
     for factor in (2, 4, 8):
         lh, lw = max(h // factor, 1), max(w // factor, 1)
         level = jax.image.resize(level, (lh, lw, 3), "linear")
@@ -414,56 +432,71 @@ def _render_frame_impl(
         img = bass_rgb * a + img * (1.0 - a)
 
     # --- pitch balls, back to front (Bevy 2D transparent pass sorts by z) ---
-    order = jnp.argsort(balls.position[:, 2])
+    # Only the max_balls FRONTMOST visible balls render (the scene shows at
+    # most a few dozen: live peaks + their fading trails); if more are
+    # visible, the backmost (smallest z = drawn first = smallest on screen,
+    # update.rs:232-234) drop. The expensive fragment shading runs for all
+    # K patches in ONE vectorized pass; only the cheap composite is a scan.
     s = cfg.pixel_size
-    H, W = cfg.height, cfg.width
-    P = min(cfg.ball_patch, H, W)  # a patch cannot exceed the image
+    H, W = cfg.height, cfg.width  # the VISIBLE image (centering math)
+    Hp, Wp = cfg.padded_height, cfg.padded_width  # the compute raster
+    P = min(cfg.ball_patch, Hp, Wp)  # a patch cannot exceed the raster
+    K = min(cfg.max_balls, balls.position.shape[0])
+
+    z = balls.position[:, 2]
+    gate_all = balls.visible & (balls.scale > 1e-5)
+    key = jnp.where(gate_all, z, -jnp.inf)
+    _, top = jax.lax.top_k(key, K)  # K frontmost (largest z)
+    order = top[::-1]  # composite back to front
 
     cx = balls.position[order, 0]
     cy = balls.position[order, 1]
     rgb_lin = srgb_to_linear(balls.rgba[order, :3])
     mat_a = balls.rgba[order, 3]
     scale = balls.scale[order]
-    gate = balls.visible[order].astype(jnp.float32)
+    gate = gate_all[order].astype(jnp.float32)
     calm = balls.calmness[order]
     acc = balls.pitch_accuracy[order]
     dev = balls.pitch_deviation[order]
 
     half = jnp.maximum(BALL_HALF_EXTENT * scale, 1e-6)
-    gate = gate * (scale > 1e-5).astype(jnp.float32)
 
     # pixel index of the ball center
     pi = cx / s + (W - 1) / 2.0
     pj = (H - 1) / 2.0 - cy / s
-    start_i = jnp.clip(jnp.round(pi).astype(jnp.int32) - P // 2, 0, max(W - P, 0))
-    start_j = jnp.clip(jnp.round(pj).astype(jnp.int32) - P // 2, 0, max(H - P, 0))
+    start_i = jnp.clip(jnp.round(pi).astype(jnp.int32) - P // 2, 0, max(Wp - P, 0))
+    start_j = jnp.clip(jnp.round(pj).astype(jnp.int32) - P // 2, 0, max(Hp - P, 0))
 
     di = jnp.arange(P, dtype=jnp.float32)
+    # world coords of every patch pixel: (K, P)
+    wx = (start_i[:, None].astype(jnp.float32) + di[None, :] - (W - 1) / 2.0) * s
+    wy = ((H - 1) / 2.0 - start_j[:, None].astype(jnp.float32) - di[None, :]) * s
+    uv_x = (wx - cx[:, None])[:, None, :] / half[:, None, None]  # (K, 1, P)
+    uv_y = -(wy - cy[:, None])[:, :, None] / half[:, None, None]  # (K, P, 1)
+
+    patch_rgb, patch_a = ball_fragment(
+        uv_x, uv_y,
+        rgb_lin[:, None, None, :], mat_a[:, None, None],
+        calm[:, None, None], time,
+        acc[:, None, None], dev[:, None, None],
+    )  # (K, P, P, 3), (K, P, P)
+    patch_a = patch_a * gate[:, None, None]
 
     def body(im, b):
-        (b_si, b_sj, b_cx, b_cy, b_half, b_rgb, b_a, b_gate, b_calm,
-         b_acc, b_dev) = b
-        # world coords of the patch pixels
-        wx = (b_si.astype(jnp.float32) + di - (W - 1) / 2.0) * s
-        wy = ((H - 1) / 2.0 - (b_sj.astype(jnp.float32) + di)) * s
-        uv_x = (wx[None, :] - b_cx) / b_half
-        uv_y = -(wy[:, None] - b_cy) / b_half  # shader v grows downward
-        rgb, a = ball_fragment(uv_x, uv_y, b_rgb, b_a, b_calm, time, b_acc, b_dev)
-        a = (a * b_gate)[..., None]
+        b_si, b_sj, rgb, a = b
+        a = a[..., None]
         patch = jax.lax.dynamic_slice(im, (b_sj, b_si, 0), (P, P, 3))
         patch = rgb * a + patch * (1.0 - a)
         return jax.lax.dynamic_update_slice(im, patch, (b_sj, b_si, 0)), None
 
-    img, _ = jax.lax.scan(
-        body, img,
-        (start_i, start_j, cx, cy, half, rgb_lin, mat_a, gate, calm, acc, dev),
-    )
+    img, _ = jax.lax.scan(body, img, (start_i, start_j, patch_rgb, patch_a))
 
     if cfg.with_bloom:
         img = _bloom(img, bloom_intensity(scene_calmness), cfg)
     img = _tonemap(img)
     srgb = linear_to_srgb(jnp.clip(img, 0.0, None))
-    return jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    out = jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    return out[: cfg.height, : cfg.width]
 
 
 def render_frame(

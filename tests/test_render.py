@@ -135,7 +135,7 @@ class TestScene:
         balls, _ = _scene([])
         img = np.asarray(render_frame(CFG, RANGE, balls, None, 0.0, 1.0))
         st = make_scene(CFG, RANGE)
-        bg = np.asarray(st.background)
+        bg = np.asarray(st.background)[: CFG.height, : CFG.width]
         lum = (0.2126 * bg[..., :1] + 0.7152 * bg[..., 1:2] + 0.0722 * bg[..., 2:])
         expected = np.asarray(linear_to_srgb(jnp.asarray(bg / (1.0 + lum))))
         expected = np.clip(np.round(expected * 255.0), 0, 255).astype(np.uint8)
@@ -143,7 +143,7 @@ class TestScene:
 
     def test_net_pixels_differ_from_clear(self):
         st = make_scene(CFG, RANGE)
-        bg = np.asarray(st.background)
+        bg = np.asarray(st.background)[: CFG.height, : CFG.width]
         clear = np.asarray(srgb_to_linear(jnp.asarray([0.23, 0.23, 0.25])))
         assert (np.abs(bg - clear).sum(-1) > 1e-4).any()  # net drawn
         off = make_scene(RenderConfig(width=64, height=36, with_net=False), RANGE)
