@@ -63,8 +63,9 @@ from .viewer import (
 
 # setup.rs:359-363 — FixedVertical viewport height in world units
 VIEWPORT_HEIGHT = 38.0 * 0.414_213_57
-# mod.rs:18-19 — CLEAR_COLOR_NEUTRAL (sRGB)
-CLEAR_COLOR = (0.23, 0.23, 0.25)
+# mod.rs:18-21 — clear colors (sRGB)
+CLEAR_COLOR = (0.23, 0.23, 0.25)  # CLEAR_COLOR_NEUTRAL
+CLEAR_COLOR_GALAXY = (0.05, 0.0, 0.05)
 BALL_HALF_EXTENT = 10.0  # setup.rs:110 — Rectangle::new(20, 20) half size
 NET_COLOR = (0.3, 0.3, 0.3)  # setup.rs:200/220
 NET_THICKNESS = 0.05  # setup.rs:197/215
@@ -255,6 +256,21 @@ class RenderConfig:
     with_bloom: bool = True
     with_net: bool = True
     with_bass: bool = True
+    clear_color: tuple = CLEAR_COLOR
+
+    @classmethod
+    def for_mode(cls, visuals_mode: str = "full", **kw) -> "RenderConfig":
+        """Config for a SettingsState.visuals_mode: Galaxy uses the galaxy
+        clear color (update.rs:908-916) and hides the bass spiral
+        (update_bass_spiral's Galaxy early-out, update.rs:374-376);
+        zen/full/performance use the neutral clear color. (Performance
+        additionally shrinks balls 0.7x — that lives in
+        viewer.update_balls(ball_scale_factor=0.7), not here.)"""
+        mode = str(getattr(visuals_mode, "value", visuals_mode)).lower()
+        if mode == "galaxy":
+            kw.setdefault("clear_color", CLEAR_COLOR_GALAXY)
+            kw.setdefault("with_bass", False)
+        return cls(**kw)
 
     @property
     def pixel_size(self) -> float:
@@ -306,7 +322,7 @@ class SceneStatics:
     def __init__(self, cfg: RenderConfig, rng: VqtRange):
         xs, ys = _pixel_grid(cfg)
         aa = cfg.pixel_size
-        clear = np.asarray(srgb_to_linear(np.asarray(CLEAR_COLOR, np.float32)))
+        clear = np.asarray(srgb_to_linear(np.asarray(cfg.clear_color, np.float32)))
         hp, wp = cfg.padded_height, cfg.padded_width
         background = np.broadcast_to(clear, (hp, wp, 3)).astype(np.float32).copy()
 

@@ -136,7 +136,9 @@ class BallOutputs(struct.PyTreeNode):
     pitch_deviation: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("rng",))
+@partial(
+    jax.jit, static_argnames=("rng", "shader_params", "ball_scale_factor")
+)
 def update_balls(
     rng: VqtRange,
     state: BallState,
@@ -147,11 +149,21 @@ def update_balls(
     pitch_accuracy: jnp.ndarray,
     pitch_deviation: jnp.ndarray,
     dt,
+    *,
+    shader_params: bool = True,
+    ball_scale_factor: float = 1.0,
 ) -> tuple[BallState, BallOutputs]:
     """One display frame of ball state (update.rs:136-334): fade all balls
     with the per-bin dropoff (0.85 - 0.15*i/n)^(30*dt), then re-place/refresh
     balls whose bin holds a continuous peak (keyed by trunc(center)), hide
-    balls within 0.23 semitones of any peak, keep peaks themselves visible."""
+    balls within 0.23 semitones of any peak, keep peaks themselves visible.
+
+    ``shader_params=False`` models display modes other than
+    Normal/Debugging: the calmness/accuracy/deviation material params are
+    zeroed (update.rs:268-272), which also drops the calmness size boost
+    (calmness_scale reads the zeroed param, update.rs:276).
+    ``ball_scale_factor=0.7`` is VisualsMode::Performance
+    (update.rs:292-297)."""
     n = rng.n_buckets
     idx = jnp.arange(n)
     dt = jnp.asarray(dt, jnp.float32)
@@ -196,11 +208,20 @@ def update_balls(
     bucket = jnp.mod(center_at + rotation, rng.buckets_per_octave)
     rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
 
-    calm_param = jnp.clip(calmness - 0.27, 0.0, 1.0)  # update.rs:264
+    if shader_params:
+        calm_param = jnp.clip(calmness - 0.27, 0.0, 1.0)  # update.rs:264
+        out_accuracy = pitch_accuracy
+        out_deviation = pitch_deviation
+    else:  # update.rs:268-272 — params zeroed outside Normal/Debugging
+        calm_param = jnp.zeros_like(calmness)
+        out_accuracy = jnp.zeros_like(pitch_accuracy)
+        out_deviation = jnp.zeros_like(pitch_deviation)
     calmness_scale = 1.0 + 0.2 * calm_param
 
     new_scale = jnp.where(
-        active, size_at * PITCH_BALL_SCALE_FACTOR * calmness_scale, scale
+        active,
+        size_at * ball_scale_factor * PITCH_BALL_SCALE_FACTOR * calmness_scale,
+        scale,
     )
     z_order = jnp.where(active, (size_at / max_size - 1.01) * 12.5, z_offset)
     z_offset = jnp.where(active, jnp.zeros_like(z_offset), z_offset)
@@ -255,8 +276,8 @@ def update_balls(
         scale=new_scale,
         visible=visible,
         calmness=new_calm,
-        pitch_accuracy=pitch_accuracy,
-        pitch_deviation=pitch_deviation,
+        pitch_accuracy=out_accuracy,
+        pitch_deviation=out_deviation,
     )
 
 

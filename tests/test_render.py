@@ -270,3 +270,61 @@ class TestDemoRender:
 
         im = Image.open(pngs[-1])
         assert im.size == (160, 90)
+
+
+class TestModes:
+    def test_performance_mode_scales_balls(self):
+        """VisualsMode::Performance shrinks balls 0.7x (update.rs:292-297)."""
+        n = RANGE.n_buckets
+        peaks = np.zeros(n, bool); center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        peaks[30] = True; center[30] = 30.0; size[30] = 40.0
+        args = (jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size),
+                jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), 1.0 / 60.0)
+        _, full = update_balls(RANGE, BallState.init(n), *args)
+        _, perf = update_balls(RANGE, BallState.init(n), *args,
+                               ball_scale_factor=0.7)
+        np.testing.assert_allclose(
+            float(perf.scale[30]), 0.7 * float(full.scale[30]), rtol=1e-6
+        )
+
+    def test_shader_params_gated_off(self):
+        """Outside Normal/Debugging display modes the material params zero
+        out, which also drops the calmness size boost (update.rs:268-276)."""
+        n = RANGE.n_buckets
+        peaks = np.zeros(n, bool); center = np.zeros(n, np.float32)
+        size = np.zeros(n, np.float32)
+        peaks[30] = True; center[30] = 30.0; size[30] = 40.0
+        args = (jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size),
+                jnp.full(n, 1.0), jnp.full(n, 0.95), jnp.full(n, 0.2),
+                1.0 / 60.0)
+        _, on = update_balls(RANGE, BallState.init(n), *args)
+        _, off = update_balls(RANGE, BallState.init(n), *args,
+                              shader_params=False)
+        assert float(off.calmness[30]) == 0.0
+        assert float(off.pitch_accuracy[30]) == 0.0
+        assert float(off.pitch_deviation[30]) == 0.0
+        # calmness_scale reads the zeroed param: 1.0 vs 1 + 0.2*0.73
+        np.testing.assert_allclose(
+            float(on.scale[30]) / float(off.scale[30]), 1.0 + 0.2 * 0.73,
+            rtol=1e-5,
+        )
+
+    def test_galaxy_mode_clear_and_no_bass(self):
+        """Galaxy visuals: galaxy clear color, bass spiral hidden
+        (update.rs:374-376, 908-916)."""
+        from pitchvis_tpu.models.render import CLEAR_COLOR_GALAXY
+
+        cfg = RenderConfig.for_mode(
+            "galaxy", width=160, height=96, with_net=False, with_bloom=False
+        )
+        assert cfg.clear_color == CLEAR_COLOR_GALAXY and not cfg.with_bass
+        balls, bass = _scene([(30, 30.0, 25.0)])
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
+        # corner pixel = tonemapped galaxy clear color (purple-ish, G=0)
+        assert img[0, 0, 1] < img[0, 0, 0] and img[0, 0, 2] > 0
+        neutral = np.asarray(render_frame(
+            RenderConfig(width=160, height=96, with_net=False,
+                         with_bloom=False, with_bass=False),
+            RANGE, balls, bass, 0.5, 1.0))
+        assert (img[0, 0] != neutral[0, 0]).any()
