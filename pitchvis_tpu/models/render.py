@@ -462,8 +462,11 @@ def _render_frame_impl(
     z = balls.position[:, 2]
     gate_all = balls.visible & (balls.scale > 1e-5)
     key = jnp.where(gate_all, z, -jnp.inf)
-    _, top = jax.lax.top_k(key, K)  # K frontmost (largest z)
-    order = top[::-1]  # composite back to front
+    # K frontmost (largest z) via argsort, NOT lax.top_k: the TopK
+    # custom-call is opaque to GSPMD and forces an all-gather under a
+    # dp-sharded batch (test_render.py::TestShardedRender); sort partitions
+    # trivially along the batch dim
+    order = jnp.argsort(-key)[:K][::-1]  # composite back to front
 
     cx = balls.position[order, 0]
     cy = balls.position[order, 1]

@@ -328,3 +328,63 @@ class TestModes:
                          with_bloom=False, with_bass=False),
             RANGE, balls, bass, 0.5, 1.0))
         assert (img[0, 0] != neutral[0, 0]).any()
+
+
+class TestShardedRender:
+    """The rasterizer is per-stream independent: dp-sharded rendering must
+    match single-device bit-for-bit and stay collective-free."""
+
+    def _batch(self, B):
+        import jax
+
+        balls, bass = _scene([(30, 30.3, 25.0), (50, 50.1, 15.0)])
+        bb = jax.tree.map(lambda x: jnp.stack([x] * B), balls)
+        bs = jax.tree.map(lambda x: jnp.stack([x] * B), bass)
+        sc = jnp.linspace(0.0, 1.0, B)
+        return bb, bs, sc
+
+    def test_sharded_matches_single(self):
+        import jax
+
+        from pitchvis_tpu.parallel.sharding import make_mesh, shard_batch
+
+        cfg = RenderConfig(width=160, height=96, ball_patch=32)
+        bb, bs, sc = self._batch(8)
+        ref = np.asarray(render_batch(cfg, RANGE, bb, bs, sc, 1.0))
+
+        mesh = make_mesh(8)
+        bb_s = jax.tree.map(lambda x: shard_batch(mesh, np.asarray(x)), bb)
+        bs_s = jax.tree.map(lambda x: shard_batch(mesh, np.asarray(x)), bs)
+        sc_s = shard_batch(mesh, np.asarray(sc))
+        out = render_batch(cfg, RANGE, bb_s, bs_s, sc_s, 1.0)
+        assert len(out.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_sharded_render_collective_free(self):
+        import jax
+
+        from pitchvis_tpu.models.render import make_scene as _ms
+        from pitchvis_tpu.parallel.sharding import make_mesh, shard_batch
+
+        cfg = RenderConfig(width=160, height=96, ball_patch=32)
+        st = _ms(cfg, RANGE)
+        bb, bs, sc = self._batch(8)
+        mesh = make_mesh(8)
+        bb_s = jax.tree.map(lambda x: shard_batch(mesh, np.asarray(x)), bb)
+        bs_s = jax.tree.map(lambda x: shard_batch(mesh, np.asarray(x)), bs)
+        sc_s = shard_batch(mesh, np.asarray(sc))
+
+        from pitchvis_tpu.models.render import _render_frame_impl
+
+        fn = jax.jit(jax.vmap(
+            lambda ba, bsx, scx: _render_frame_impl(
+                cfg, RANGE, st.background, st.bass_idx, st.bass_cov,
+                ba, bsx, scx, 1.0,
+            )
+        ))
+        text = fn.lower(bb_s, bs_s, sc_s).compile().as_text().lower()
+        for op in (
+            "all-reduce", "all-gather", "collective-permute", "all-to-all",
+            "reduce-scatter",
+        ):
+            assert op not in text, f"collective {op} in sharded render"
