@@ -97,6 +97,13 @@ def main(argv=None) -> int:
         help="raster size for --render",
     )
     parser.add_argument(
+        "--debug-overlay",
+        action="store_true",
+        help="with --render: draw the Debugging display mode panels "
+        "(spectrum + peak circles, calmness histogram, scene-calmness "
+        "graph, scrolling spectrogram, chroma boxes)",
+    )
+    parser.add_argument(
         "--fast",
         action="store_true",
         help="bf16 VQT weights (error budget: tests/test_bf16.py)",
@@ -139,21 +146,45 @@ def main(argv=None) -> int:
     if args.render:
         import jax
 
-        from .models.render import RenderConfig, make_scene, render_frame
+        from .models.render import DebugInputs, RenderConfig, make_scene, render_frame
 
         w, h = (int(v) for v in args.render_size.lower().split("x"))
         render_cfg = RenderConfig(width=w, height=h)
         make_scene(render_cfg, params.range)  # precompute statics up front
         frames: list = []
 
+        sg_state = graph_state = None
+        if args.debug_overlay:
+            from .models.viewer import CalmnessGraphState, SpectrogramState
+
+            sg_state = SpectrogramState.init(200, params.range.n_buckets)
+            graph_state = CalmnessGraphState.init()
+
         def renderer(out, t):
+            nonlocal sg_state, graph_state
             balls = jax.tree.map(lambda x: x[0], out.viewer.balls)
             bass = jax.tree.map(lambda x: x[0], out.viewer.bass)
+            debug = None
+            if args.debug_overlay:
+                sg_state = sg_state.push(out.viewer.spectrogram_row[0])
+                graph_state = graph_state.push(out.analysis.scene_calmness[0])
+                a = out.analysis
+                debug = DebugInputs(
+                    x_vqt_smoothed=a.x_vqt_smoothed[0],
+                    peaks=a.peaks[0],
+                    peak_center=a.peak_center[0],
+                    peak_size=a.peak_size[0],
+                    calmness=a.calmness[0],
+                    graph_values=graph_state.trace()[0],
+                    spectrogram=sg_state.image,
+                    spectrogram_write_index=sg_state.write_index,
+                    chroma=out.viewer.chroma[0],
+                )
             frames.append(
                 np.asarray(
                     render_frame(
                         render_cfg, params.range, balls, bass,
-                        out.analysis.scene_calmness[0], t,
+                        out.analysis.scene_calmness[0], t, debug=debug,
                     )
                 )
             )

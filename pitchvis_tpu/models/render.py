@@ -50,6 +50,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..core.config import VqtRange
 from .viewer import (
@@ -426,6 +427,204 @@ def _tonemap(img):
     return img / (1.0 + lum)
 
 
+class DebugInputs(struct.PyTreeNode):
+    """Per-frame data for the Debugging display mode's overlay panels
+    (update.rs: spectrum 474-638, scene-calmness graph 640-744, calmness
+    histogram 745-869, spectrogram 1007-1087, chroma 1090-1144). All
+    unbatched; `render_batch` vmaps over a batched instance."""
+
+    x_vqt_smoothed: jnp.ndarray  # (n,)
+    peaks: jnp.ndarray  # (n,) bool
+    peak_center: jnp.ndarray  # (n,)
+    peak_size: jnp.ndarray  # (n,)
+    calmness: jnp.ndarray  # (n,)
+    graph_values: jnp.ndarray  # (capacity,) scene calmness oldest->newest
+    spectrogram: jnp.ndarray  # (height, n, 4) u8 circular rows
+    spectrogram_write_index: jnp.ndarray  # scalar int32
+    chroma: jnp.ndarray  # (12,)
+
+
+def _overlay_polyline(cfg, img, x0, dx, ys_world, seg_rgb_lin, seg_alpha,
+                      thickness):
+    """Alpha-blend a polyline onto the linear-space raster by column
+    sampling: point i sits at (x0 + i*dx, ys_world[i]); segment attributes
+    (n-1,) color/alpha. Lines thinner than a pixel draw one antialiased
+    pixel row (the reference's 0.01-0.02 world thickness is sub-pixel at
+    these raster sizes)."""
+    s = cfg.pixel_size
+    H, W = cfg.height, cfg.width
+    Hp, Wp = cfg.padded_height, cfg.padded_width
+    n = ys_world.shape[0]
+    colw = (jnp.arange(Wp, dtype=jnp.float32) - (W - 1) / 2.0) * s
+    f = (colw - x0) / dx
+    valid = (f >= 0.0) & (f <= n - 1.0)
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+    t = jnp.clip(f - i0.astype(jnp.float32), 0.0, 1.0)
+    y = ys_world[i0] * (1.0 - t) + ys_world[i0 + 1] * t  # (Wp,)
+    rgb = seg_rgb_lin[i0]  # (Wp, 3)
+    a_col = seg_alpha[i0] * valid.astype(jnp.float32)  # (Wp,)
+    roww = ((H - 1) / 2.0 - jnp.arange(Hp, dtype=jnp.float32)) * s
+    half_t = jnp.maximum(thickness * 0.5, s * 0.5)
+    cov = jnp.clip(
+        (half_t + 0.5 * s - jnp.abs(roww[:, None] - y[None, :])) / s, 0.0, 1.0
+    )
+    a = (cov * a_col[None, :])[..., None]
+    return rgb[None, :, :] * a + img * (1.0 - a)
+
+
+def _spectrum_panel_origin(cfg: RenderConfig, rng: VqtRange):
+    """update.rs:495-501: top-right anchored at (max.x - n*0.011 - 0.2,
+    max.y - 4.2) of the orthographic view area."""
+    max_x = cfg.viewport_height * cfg.width / cfg.height / 2.0
+    max_y = cfg.viewport_height / 2.0
+    return max_x - rng.n_buckets * 0.011 - 0.2, max_y - 4.2
+
+
+def _debug_world_panels(cfg: RenderConfig, rng: VqtRange, img, d: DebugInputs):
+    """The z=-13 debug meshes: spectrum line + peak circles
+    (update.rs:474-638), the mirrored calmness histogram (745-869) and the
+    scene-calmness graph (640-744)."""
+    from ..ops.colors import COLORS, GRAY_LEVEL, calculate_color
+    from .viewer import calmness_to_color, pitch_color_rotation
+
+    n = rng.n_buckets
+    bpo = rng.buckets_per_octave
+    rot = pitch_color_rotation(bpo)
+    x0, y0 = _spectrum_panel_origin(cfg, rng)
+
+    # spectrum: points (i*0.011, v/10); segment i colored at bucket
+    # (i+0.5+rot)%bpo with easing_pow 10.0 and alpha
+    # 1-(0.5 - v_i/max/2)^0.5 (update.rs:516-580)
+    v = d.x_vqt_smoothed
+    vmax = jnp.maximum(jnp.max(v), 1e-30)
+    segi = jnp.arange(n - 1, dtype=jnp.float32)
+    seg_rgb = srgb_to_linear(
+        calculate_color(bpo, jnp.mod(segi + 0.5 + rot, bpo), COLORS,
+                        GRAY_LEVEL, 10.0)
+    )
+    seg_alpha = 1.0 - jnp.sqrt(jnp.clip(0.5 - v[:-1] / vmax / 2.0, 0.0, 1.0))
+    img = _overlay_polyline(cfg, img, x0, 0.011, y0 + v / 10.0, seg_rgb,
+                            seg_alpha, 0.02)
+
+    # peak circles: filled disks r=0.08 at (center*0.011, size/10), colored
+    # at bucket (round(center)+0.5+rot)%bpo, alpha 0.9 (update.rs:582-616)
+    s = cfg.pixel_size
+    H, W = cfg.height, cfg.width
+    Hp, Wp = cfg.padded_height, cfg.padded_width
+    KP = min(16, n)
+    order = jnp.argsort(-d.peaks.astype(jnp.float32))[:KP]
+    gate = d.peaks[order].astype(jnp.float32)
+    pxw = x0 + d.peak_center[order] * 0.011
+    pyw = y0 + d.peak_size[order] / 10.0
+    from ..utils.rounding import rust_round
+
+    pbucket = jnp.mod(rust_round(d.peak_center[order]) + 0.5 + rot, bpo)
+    prgb = srgb_to_linear(
+        calculate_color(bpo, pbucket, COLORS, GRAY_LEVEL, 10.0)
+    )  # (KP, 3)
+    PR = 0.08
+    P2 = min(max(int(2.0 * PR / s) + 3, 4), Hp, Wp)
+    ci = jnp.clip(jnp.round(pxw / s + (W - 1) / 2.0).astype(jnp.int32) - P2 // 2,
+                  0, max(Wp - P2, 0))
+    cj = jnp.clip(jnp.round((H - 1) / 2.0 - pyw / s).astype(jnp.int32) - P2 // 2,
+                  0, max(Hp - P2, 0))
+    dp = jnp.arange(P2, dtype=jnp.float32)
+    wxp = (ci[:, None].astype(jnp.float32) + dp[None, :] - (W - 1) / 2.0) * s
+    wyp = ((H - 1) / 2.0 - cj[:, None].astype(jnp.float32) - dp[None, :]) * s
+    ddx = (wxp - pxw[:, None])[:, None, :]
+    ddy = (wyp - pyw[:, None])[:, :, None]
+    rr = jnp.sqrt(ddx * ddx + ddy * ddy)  # (KP, P2, P2)
+    cov = jnp.clip((PR + 0.5 * s - rr) / s, 0.0, 1.0)
+    pa = cov * 0.9 * gate[:, None, None]
+
+    def disk(im, b):
+        b_ci, b_cj, rgb, a = b
+        a = a[..., None]
+        patch = jax.lax.dynamic_slice(im, (b_cj, b_ci, 0), (P2, P2, 3))
+        patch = rgb[None, None, :] * a + patch * (1.0 - a)
+        return jax.lax.dynamic_update_slice(im, patch, (b_cj, b_ci, 0)), None
+
+    img, _ = jax.lax.scan(disk, img, (ci, cj, prgb, pa))
+
+    # calmness histogram: the same anchor, y mirrored (scale (1,-1,1)),
+    # heights calmness*0.5, midpoint threshold colors (update.rs:773-846)
+    mid = (d.calmness[:-1] + d.calmness[1:]) * 0.5
+    img = _overlay_polyline(
+        cfg, img, x0, 0.011, y0 - d.calmness * 0.5,
+        srgb_to_linear(calmness_to_color(mid)), jnp.ones(n - 1), 0.01,
+    )
+
+    # scene-calmness graph at (-5, -6.5), scale (3, 1): x = i/cap - 0.5,
+    # segment color keyed off the OLDER endpoint (update.rs:663-688)
+    cap = d.graph_values.shape[0]
+    img = _overlay_polyline(
+        cfg, img, -5.0 - 1.5, 3.0 / cap, -6.5 + d.graph_values,
+        srgb_to_linear(calmness_to_color(d.graph_values[:-1])),
+        jnp.ones(cap - 1), 0.01,
+    )
+    return img
+
+
+def _blit_spectrogram(cfg: RenderConfig, rng: VqtRange, img, d: DebugInputs):
+    """The spectrogram display quad (setup.rs:493-515: center (-7, 6) at
+    z=5, frequency axis vertical spanning 12 world units with low bins at
+    the bottom, time horizontal with the newest row at the right edge —
+    spectrogram_scroll.wgsl's fract(v + 1 - write_index/height) scroll,
+    nearest sampling)."""
+    tex = d.spectrogram
+    Hs = tex.shape[0]
+    n = rng.n_buckets
+    vis_h = 12.0
+    vis_w = vis_h * Hs / n  # setup.rs:498-499
+    s = cfg.pixel_size
+    H, W = cfg.height, cfg.width
+    Hp, Wp = cfg.padded_height, cfg.padded_width
+    colw = (jnp.arange(Wp, dtype=jnp.float32) - (W - 1) / 2.0) * s
+    roww = ((H - 1) / 2.0 - jnp.arange(Hp, dtype=jnp.float32)) * s
+    u = (colw - (-7.0 - vis_w / 2.0)) / vis_w  # 0 left -> 1 right
+    vf = (roww - (6.0 - vis_h / 2.0)) / vis_h  # 0 bottom -> 1 top
+    valid = ((u >= 0.0) & (u < 1.0))[None, :] & ((vf >= 0.0) & (vf < 1.0))[:, None]
+    bin_idx = jnp.clip(jnp.round(vf * (n - 1)).astype(jnp.int32), 0, n - 1)
+    # newest row (write_index-1) at u=1; the cleared next line at u=0
+    trow = jnp.mod(
+        d.spectrogram_write_index
+        - 1
+        - jnp.round((1.0 - u) * (Hs - 1)).astype(jnp.int32),
+        Hs,
+    )
+    px = tex[trow[None, :], bin_idx[:, None]].astype(jnp.float32) / 255.0
+    a = (px[..., 3] * valid.astype(jnp.float32))[..., None]
+    rgb = srgb_to_linear(px[..., :3])  # Rgba8UnormSrgb texture
+    return rgb * a + img * (1.0 - a)
+
+
+def _chroma_boxes(cfg: RenderConfig, srgb_img, chroma):
+    """The 12 chroma UI boxes (setup.rs:518-540: 40px squares at
+    left=400+45*pc, bottom=10 in the reference's UI pixels — scaled here by
+    height/720 — alpha = normalized pitch-class power, update.rs:1133-1144).
+    UI draws after tonemapping, so this blends in display sRGB space;
+    border radius and the 0.5-alpha border are not rasterized."""
+    from ..ops.colors import COLORS
+
+    u = cfg.height / 720.0
+    H, W = cfg.height, cfg.width
+    Hp, Wp = cfg.padded_height, cfg.padded_width
+    rows = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    for pc in range(12):
+        left = (400.0 + 45.0 * pc) * u
+        size = 40.0 * u
+        top = H - (10.0 + 40.0) * u
+        mask = (
+            (rows >= top) & (rows < top + size) & (cols >= left)
+            & (cols < left + size) & (rows < H) & (cols < W)
+        )
+        a = jnp.where(mask, chroma[pc], 0.0)[..., None]
+        color = jnp.asarray(COLORS[pc], jnp.float32)
+        srgb_img = color[None, None, :] * a + srgb_img * (1.0 - a)
+    return srgb_img
+
+
 @partial(jax.jit, static_argnames=("cfg", "rng"))
 def _render_frame_impl(
     cfg: RenderConfig,
@@ -435,6 +634,7 @@ def _render_frame_impl(
     bass: BassSpiralOutputs,
     scene_calmness,
     time,
+    debug: DebugInputs | None = None,
 ):
     img = background
     time = jnp.asarray(time, jnp.float32)
@@ -446,6 +646,9 @@ def _render_frame_impl(
         bass_rgb = srgb_to_linear(bass.rgba[:3])
         a = jnp.where(lit, bass_cov * bass.rgba[3], 0.0)[..., None]
         img = bass_rgb * a + img * (1.0 - a)
+
+    if debug is not None:  # the z=-13 debug meshes draw under the balls
+        img = _debug_world_panels(cfg, rng, img, debug)
 
     # --- pitch balls, back to front (Bevy 2D transparent pass sorts by z) ---
     # Only the max_balls FRONTMOST visible balls render (the scene shows at
@@ -510,10 +713,15 @@ def _render_frame_impl(
 
     img, _ = jax.lax.scan(body, img, (start_i, start_j, patch_rgb, patch_a))
 
+    if debug is not None:  # the spectrogram quad sits at z=5, above the balls
+        img = _blit_spectrogram(cfg, rng, img, debug)
+
     if cfg.with_bloom:
         img = _bloom(img, bloom_intensity(scene_calmness), cfg)
     img = _tonemap(img)
     srgb = linear_to_srgb(jnp.clip(img, 0.0, None))
+    if debug is not None:  # chroma boxes are UI: post-tonemap, sRGB space
+        srgb = _chroma_boxes(cfg, srgb, debug.chroma)
     out = jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
     return out[: cfg.height, : cfg.width]
 
@@ -526,8 +734,10 @@ def render_frame(
     scene_calmness,
     time,
     statics: SceneStatics | None = None,
+    debug: DebugInputs | None = None,
 ) -> jnp.ndarray:
-    """Rasterize one frame -> (height, width, 3) uint8 sRGB."""
+    """Rasterize one frame -> (height, width, 3) uint8 sRGB. Passing
+    ``debug`` adds the Debugging display mode's overlay panels."""
     st = statics if statics is not None else make_scene(cfg, rng)
     if bass is None:
         n = st.n_cylinders
@@ -536,7 +746,7 @@ def render_frame(
         )
     return _render_frame_impl(
         cfg, rng, st.background, st.bass_idx, st.bass_cov,
-        balls, bass, scene_calmness, time,
+        balls, bass, scene_calmness, time, debug,
     )
 
 
@@ -548,14 +758,24 @@ def render_batch(
     scene_calmness,
     time,
     statics: SceneStatics | None = None,
+    debug: DebugInputs | None = None,
 ) -> jnp.ndarray:
     """Batched rasterize -> (B, height, width, 3) uint8; ``balls``/``bass``
-    carry a leading stream axis (the shapes the fused pipeline emits),
-    ``time`` is shared."""
+    (and ``debug`` if given) carry a leading stream axis (the shapes the
+    fused pipeline emits), ``time`` is shared."""
     st = statics if statics is not None else make_scene(cfg, rng)
+    if debug is None:
+        fn = jax.vmap(
+            lambda ba, bs, sc: _render_frame_impl(
+                cfg, rng, st.background, st.bass_idx, st.bass_cov,
+                ba, bs, sc, time,
+            )
+        )
+        return fn(balls, bass, jnp.asarray(scene_calmness))
     fn = jax.vmap(
-        lambda ba, bs, sc: _render_frame_impl(
-            cfg, rng, st.background, st.bass_idx, st.bass_cov, ba, bs, sc, time
+        lambda ba, bs, sc, dbg: _render_frame_impl(
+            cfg, rng, st.background, st.bass_idx, st.bass_cov,
+            ba, bs, sc, time, dbg,
         )
     )
-    return fn(balls, bass, jnp.asarray(scene_calmness))
+    return fn(balls, bass, jnp.asarray(scene_calmness), debug)

@@ -388,3 +388,123 @@ class TestShardedRender:
             "reduce-scatter",
         ):
             assert op not in text, f"collective {op} in sharded render"
+
+
+class TestDebugOverlay:
+    """Debugging display mode panels (update.rs:474-1144) rasterized."""
+
+    def _dbg(self, n=RANGE.n_buckets, chroma=None, graph=0.0, tex_rgba=None):
+        from pitchvis_tpu.models.render import DebugInputs
+
+        xv = np.zeros(n, np.float32)
+        xv[10:20] = 15.0
+        tex = np.zeros((200, n, 4), np.uint8)
+        if tex_rgba is not None:
+            tex[:] = tex_rgba
+        return DebugInputs(
+            x_vqt_smoothed=jnp.asarray(xv),
+            peaks=jnp.zeros(n, bool).at[15].set(True),
+            peak_center=jnp.zeros(n).at[15].set(15.2),
+            peak_size=jnp.zeros(n).at[15].set(15.0),
+            calmness=jnp.linspace(0.0, 1.0, n),
+            graph_values=jnp.full(300, graph, jnp.float32),
+            spectrogram=jnp.asarray(tex),
+            spectrogram_write_index=jnp.asarray(100, jnp.int32),
+            chroma=jnp.asarray(chroma if chroma is not None
+                               else np.zeros(12, np.float32)),
+        )
+
+    def test_plain_regions_unchanged_without_debug(self):
+        balls, bass = _scene([(30, 30.0, 25.0)])
+        cfg = RenderConfig(width=320, height=180, with_bloom=False)
+        plain = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
+        dbg = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0,
+                                      debug=self._dbg()))
+        assert (plain != dbg).any()  # overlays drew something
+        # a corner away from every panel is identical
+        np.testing.assert_array_equal(plain[170:, :40], dbg[170:, :40])
+
+    def test_chroma_box_alpha(self):
+        """update.rs:1133-1144: box alpha = normalized chroma strength."""
+        balls, bass = _scene([])
+        cfg = RenderConfig(width=640, height=360, with_bloom=False)
+        chroma = np.zeros(12, np.float32)
+        chroma[0] = 1.0
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0,
+                                      debug=self._dbg(chroma=chroma)))
+        off = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0,
+                                      debug=self._dbg()))
+        u = cfg.height / 720.0
+        r0 = int(cfg.height - 30 * u)
+        c0 = int((400 + 20) * u)
+        c1 = int((400 + 45 * 1 + 20) * u)
+        assert (img[r0, c0] != off[r0, c0]).any()  # class 0 box lit
+        np.testing.assert_array_equal(img[r0, c1], off[r0, c1])  # class 1 off
+        # box 0 shows COLORS[0] at full alpha (blended in sRGB space)
+        from pitchvis_tpu.ops.colors import COLORS
+
+        expected = np.clip(np.round(np.asarray(COLORS[0]) * 255.0), 0, 255)
+        np.testing.assert_allclose(img[r0, c0], expected, atol=1.0)
+
+    def test_scene_calmness_graph_line(self):
+        """update.rs:640-744: 300-point line at (-5,-6.5), threshold color."""
+        balls, bass = _scene([])
+        cfg = RenderConfig(width=640, height=360, with_bloom=False)
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0,
+                                      debug=self._dbg(graph=0.1)))
+        s = cfg.pixel_size
+        # a point on the flat line: x=-5, y=-6.5+0.1
+        pi = int(round(-5.0 / s + (cfg.width - 1) / 2.0))
+        pj = int(round((cfg.height - 1) / 2.0 - (-6.5 + 0.1) / s))
+        px = img[pj, pi].astype(np.int32)
+        assert px[0] > px[1] and px[0] > px[2]  # red (calmness < 0.3)
+
+    def test_spectrogram_blit_region(self):
+        """setup.rs:493-515: quad at (-7,6), 12 world units of frequency."""
+        balls, bass = _scene([])
+        cfg = RenderConfig(width=640, height=360, with_bloom=False)
+        img = np.asarray(render_frame(
+            cfg, RANGE, balls, bass, 0.0, 1.0,
+            debug=self._dbg(tex_rgba=(200, 30, 30, 255)),
+        ))
+        off = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0,
+                                      debug=self._dbg()))
+        s = cfg.pixel_size
+        pi = int(round(-7.0 / s + (cfg.width - 1) / 2.0))
+        pj = int(round((cfg.height - 1) / 2.0 - 3.0 / s))  # inside the quad
+        assert img[pj, pi, 0] > img[pj, pi, 1] + 50  # red texture shows
+        assert (off[pj, pi] != img[pj, pi]).any()
+
+    def test_spectrum_peak_circle(self):
+        """update.rs:582-616: a disk at (center*0.011, size/10) in the
+        spectrum panel."""
+        from pitchvis_tpu.models.render import _spectrum_panel_origin
+
+        balls, bass = _scene([])
+        cfg = RenderConfig(width=640, height=360, with_bloom=False)
+        d = self._dbg()
+        img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0,
+                                      debug=d))
+        plain = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.0, 1.0))
+        x0, y0 = _spectrum_panel_origin(cfg, RANGE)
+        cx, cy = x0 + 15.2 * 0.011, y0 + 1.5
+        s = cfg.pixel_size
+        pi = int(round(cx / s + (cfg.width - 1) / 2.0))
+        pj = int(round((cfg.height - 1) / 2.0 - cy / s))
+        assert (img[pj, pi] != plain[pj, pi]).any()
+
+    def test_batched_debug_render(self):
+        import jax
+
+        balls, bass = _scene([(30, 30.0, 25.0)])
+        cfg = RenderConfig(width=160, height=96, ball_patch=32)
+        bb = jax.tree.map(lambda x: jnp.stack([x, x]), balls)
+        bs = jax.tree.map(lambda x: jnp.stack([x, x]), bass)
+        d = self._dbg()
+        dd = jax.tree.map(lambda x: jnp.stack([x, x]), d)
+        out = render_batch(cfg, RANGE, bb, bs, jnp.asarray([0.2, 0.8]), 1.0,
+                           debug=dd)
+        assert out.shape == (2, 96, 160, 3)
+        single = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.2, 1.0,
+                                         debug=d))
+        np.testing.assert_array_equal(np.asarray(out[0]), single)
