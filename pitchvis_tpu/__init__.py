@@ -24,6 +24,12 @@ from .models.analysis import (
     init_state_batch,
 )
 from .models.pipeline import PipelineState, StreamingPipeline, pipeline_step
+from .models.render import (
+    DebugInputs,
+    RenderConfig,
+    render_batch,
+    render_frame,
+)
 from .runtime.loop import ServeLoop
 from .runtime.server import CompactOutputs, ServeOutputs, StreamServer
 from .ops.vqt import (
@@ -73,4 +79,8 @@ __all__ = [
     "vqt_power_batch",
     "power_to_db",
     "enable_compilation_cache",
+    "RenderConfig",
+    "DebugInputs",
+    "render_frame",
+    "render_batch",
 ]
