@@ -1,6 +1,6 @@
 """The benchmark configurations, reproducible on one chip. The five
 BASELINE.json families plus their fast-path / latency / parallel variants
-(see ALL_CONFIGS at the bottom — 11 entries):
+(see ALL_CONFIGS at the bottom — 12 entries):
 
 1. offline_vqt[_bf16]  — batched offline VQT, default params
 2. streaming[...]      — ring + dagc AGC + VQT + EMA @ 60 Hz hops, incl.
@@ -11,6 +11,8 @@ BASELINE.json families plus their fast-path / latency / parallel variants
 4. serial              — spectrum -> colors -> 0xFF-framed LED byte stream
 5. train[_corpus]      — MIDI -> SF2 render -> batched VQT labels ->
                          inference; _corpus adds the rayon-style file pool
+6. render              — the headless-viewer rasterizer (scene -> uint8
+                         frames), a TPU-native extension
 
 Each bench returns a dict with metric/value/unit/vs_baseline. The reference
 baseline for VQT-bound configs is 6,060 frames/s (0.165 ms/frame on one CPU
@@ -493,6 +495,90 @@ def bench_train_corpus(
     }
 
 
+def bench_render(
+    n_streams: int = 64,
+    width: int = 640,
+    height: int = 360,
+    max_balls: int = 64,
+    inner: int = 4,
+) -> dict:
+    """Config #6 (TPU-native extension; the reference renders ONE stream
+    through a GPU-backed window at 60 FPS): the headless-viewer rasterizer
+    (models/render.py — spider net, bass spiral, WGSL ball fragment, bloom,
+    tonemap) as a reproducible throughput number. Renders a B-stream batch
+    of live 3-peak scenes at ``width``x``height``, scan-amortized over
+    ``inner`` display frames with the shader ``time`` advancing per frame
+    (which also defeats CSE). vs_baseline = rendered frames/s / 60 = how
+    many realtime 60 FPS displays one chip sustains."""
+    from ..core.config import VqtParameters
+    from ..models.render import RenderConfig, _render_frame_impl, make_scene
+    from ..models.viewer import BallState, bass_spiral, update_balls
+
+    rng_cfg = VqtParameters().range
+    n = rng_cfg.n_buckets
+    cfg = RenderConfig(width=width, height=height, max_balls=max_balls)
+    st = make_scene(cfg, rng_cfg)
+
+    rng = np.random.default_rng(0)
+    peaks = np.zeros((n_streams, n), bool)
+    center = np.tile(np.arange(n, dtype=np.float32), (n_streams, 1))
+    size = np.zeros((n_streams, n), np.float32)
+    for b in range(n_streams):
+        bins = rng.choice(np.arange(12, n - 12), size=3, replace=False)
+        peaks[b, bins] = True
+        center[b, bins] = bins + rng.uniform(-0.4, 0.4, 3)
+        size[b, bins] = rng.uniform(8.0, 25.0, 3)
+    calm = np.full((n_streams, n), 0.5, np.float32)
+    acc = np.full((n_streams, n), 0.9, np.float32)
+    dev = np.full((n_streams, n), 0.1, np.float32)
+
+    balls = jax.vmap(
+        lambda p, c, s, cl, a, d: update_balls(
+            rng_cfg, BallState.init(n), p, c, s, cl, a, d, 1.0 / 60.0
+        )[1]
+    )(
+        jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size),
+        jnp.asarray(calm), jnp.asarray(acc), jnp.asarray(dev),
+    )
+    bass = jax.vmap(lambda p, c, s: bass_spiral(rng_cfg, p, c, s))(
+        jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size)
+    )
+    scene_calm = jnp.full((n_streams,), 0.5, jnp.float32)
+
+    @jax.jit
+    def run(balls, bass, scene_calm, times):
+        def body(carry, t):
+            out = jax.vmap(
+                lambda ba, bs, sc: _render_frame_impl(
+                    cfg, rng_cfg, st.background, st.bass_idx, st.bass_cov,
+                    ba, bs, sc, t,
+                )
+            )(balls, bass, scene_calm)
+            return carry + jnp.sum(out.astype(jnp.uint32)), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.uint32(0), times
+        )
+        return total
+
+    times = jnp.arange(inner, dtype=jnp.float32) / 60.0
+    int(run(balls, bass, scene_calm, times))  # warm + hard barrier
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(run(balls, bass, scene_calm, times))
+        best = min(best, time.perf_counter() - t0)
+    fps = n_streams * inner / best
+    return {
+        "metric": "render_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 2),
+        "raster": f"{width}x{height}",
+        "max_balls": max_balls,
+    }
+
+
 ALL_CONFIGS = {
     "offline_vqt": bench_offline_vqt,
     "offline_vqt_bf16": lambda: bench_offline_vqt(fast=True),
@@ -511,4 +597,5 @@ ALL_CONFIGS = {
     "serial": bench_serial,
     "train": bench_train,
     "train_corpus": bench_train_corpus,
+    "render": bench_render,
 }
