@@ -29,6 +29,7 @@ from .models.render import (
     RenderConfig,
     render_batch,
     render_frame,
+    render_streams,
 )
 from .runtime.loop import ServeLoop
 from .runtime.server import CompactOutputs, ServeOutputs, StreamServer
@@ -83,4 +84,5 @@ __all__ = [
     "DebugInputs",
     "render_frame",
     "render_batch",
+    "render_streams",
 ]

@@ -18,6 +18,93 @@ import sys
 import numpy as np
 
 
+class _FrameRenderer:
+    """Shared ``--render`` machinery: rasterizes stream 0 of each hop's
+    outputs (offline pipeline or live server, models/render.py) and writes
+    an animated GIF or a PNG directory at the end."""
+
+    def __init__(self, args, params):
+        import jax
+
+        from .models.render import (
+            DebugInputs, RenderConfig, make_scene, render_frame,
+        )
+
+        self._jax, self._DebugInputs, self._render_frame = (
+            jax, DebugInputs, render_frame,
+        )
+        w, h = (int(v) for v in args.render_size.lower().split("x"))
+        self.cfg = RenderConfig(width=w, height=h)
+        self.params = params
+        make_scene(self.cfg, params.range)  # precompute statics up front
+        self.frames: list = []
+        self.out = args.render
+        self.debug = bool(args.debug_overlay)
+        self._sg = self._graph = None
+        if self.debug:
+            from .models.viewer import CalmnessGraphState, SpectrogramState
+
+            self._sg = SpectrogramState.init(200, params.range.n_buckets)
+            self._graph = CalmnessGraphState.init()
+
+    def add(self, analysis, viewer, t) -> None:
+        """Rasterize stream 0 of one hop (batched analysis + ViewerOutputs)."""
+        jax = self._jax
+        balls = jax.tree.map(lambda x: x[0], viewer.balls)
+        bass = jax.tree.map(lambda x: x[0], viewer.bass)
+        debug = None
+        if self.debug:
+            self._sg = self._sg.push(viewer.spectrogram_row[0])
+            self._graph = self._graph.push(analysis.scene_calmness[0])
+            a = analysis
+            debug = self._DebugInputs(
+                x_vqt_smoothed=a.x_vqt_smoothed[0],
+                peaks=a.peaks[0],
+                peak_center=a.peak_center[0],
+                peak_size=a.peak_size[0],
+                calmness=a.calmness[0],
+                graph_values=self._graph.trace()[0],
+                spectrogram=self._sg.image,
+                spectrogram_write_index=self._sg.write_index,
+                chroma=viewer.chroma[0],
+            )
+        self.frames.append(
+            np.asarray(
+                self._render_frame(
+                    self.cfg, self.params.range, balls, bass,
+                    analysis.scene_calmness[0], t, debug=debug,
+                )
+            )
+        )
+
+    def write(self, fps: float) -> None:
+        if not self.frames:
+            print("no frames rendered", file=sys.stderr)
+            return
+        from PIL import Image
+
+        if self.out.lower().endswith(".gif"):
+            imgs = [Image.fromarray(f) for f in self.frames]
+            imgs[0].save(
+                self.out, save_all=True, append_images=imgs[1:],
+                duration=int(1000 / fps), loop=0,
+            )
+            print(
+                f"wrote {len(self.frames)}-frame GIF to {self.out}",
+                file=sys.stderr,
+            )
+        else:
+            os.makedirs(self.out, exist_ok=True)
+            for k, f in enumerate(self.frames):
+                Image.fromarray(f).save(
+                    os.path.join(self.out, f"frame_{k:05d}.png")
+                )
+            print(
+                f"wrote {len(self.frames)} PNGs to {self.out}",
+                file=sys.stderr,
+            )
+
+
 def note_name(center_bins: float, buckets_per_octave: int, min_freq: float) -> str:
     from .ops.colors import PITCH_NAMES
 
@@ -88,7 +175,8 @@ def main(argv=None) -> int:
         metavar="OUT",
         help="rasterize the viewer scene per frame (models/render.py): OUT "
         "ending in .gif writes an animated GIF, otherwise OUT is a directory "
-        "of frame_%%05d.png files (offline WAV/--tone mode only)",
+        "of frame_%%05d.png files; works offline (WAV/--tone) and with "
+        "--serve (live viewer; needs the native runtime there)",
     )
     parser.add_argument(
         "--render-size",
@@ -142,52 +230,7 @@ def main(argv=None) -> int:
     else:
         parser.error("give a WAV file or --tone")
 
-    renderer = None
-    if args.render:
-        import jax
-
-        from .models.render import DebugInputs, RenderConfig, make_scene, render_frame
-
-        w, h = (int(v) for v in args.render_size.lower().split("x"))
-        render_cfg = RenderConfig(width=w, height=h)
-        make_scene(render_cfg, params.range)  # precompute statics up front
-        frames: list = []
-
-        sg_state = graph_state = None
-        if args.debug_overlay:
-            from .models.viewer import CalmnessGraphState, SpectrogramState
-
-            sg_state = SpectrogramState.init(200, params.range.n_buckets)
-            graph_state = CalmnessGraphState.init()
-
-        def renderer(out, t):
-            nonlocal sg_state, graph_state
-            balls = jax.tree.map(lambda x: x[0], out.viewer.balls)
-            bass = jax.tree.map(lambda x: x[0], out.viewer.bass)
-            debug = None
-            if args.debug_overlay:
-                sg_state = sg_state.push(out.viewer.spectrogram_row[0])
-                graph_state = graph_state.push(out.analysis.scene_calmness[0])
-                a = out.analysis
-                debug = DebugInputs(
-                    x_vqt_smoothed=a.x_vqt_smoothed[0],
-                    peaks=a.peaks[0],
-                    peak_center=a.peak_center[0],
-                    peak_size=a.peak_size[0],
-                    calmness=a.calmness[0],
-                    graph_values=graph_state.trace()[0],
-                    spectrogram=sg_state.image,
-                    spectrogram_write_index=sg_state.write_index,
-                    chroma=out.viewer.chroma[0],
-                )
-            frames.append(
-                np.asarray(
-                    render_frame(
-                        render_cfg, params.range, balls, bass,
-                        out.analysis.scene_calmness[0], t, debug=debug,
-                    )
-                )
-            )
+    renderer = _FrameRenderer(args, params) if args.render else None
 
     pipe = StreamingPipeline(
         1, params, path=args.path, fast=args.fast, with_viewer=bool(args.render)
@@ -201,7 +244,7 @@ def main(argv=None) -> int:
         chunk = audio[i * hop : (i + 1) * hop][None, :]
         out = pipe.step(chunk, hop / params.sr)
         if renderer is not None:
-            renderer(out, i * hop / params.sr)
+            renderer.add(out.analysis, out.viewer, i * hop / params.sr)
         peaks = np.asarray(out.analysis.peaks[0])
         centers = np.asarray(out.analysis.peak_center[0])
         sizes = np.asarray(out.analysis.peak_size[0])
@@ -234,23 +277,8 @@ def main(argv=None) -> int:
     if led_out is not None:
         led_out.close()
         print(f"wrote {n_hops} LED frames to {args.led}", file=sys.stderr)
-    if args.render:
-        from PIL import Image
-
-        if args.render.lower().endswith(".gif"):
-            imgs = [Image.fromarray(f) for f in frames]
-            imgs[0].save(
-                args.render, save_all=True, append_images=imgs[1:],
-                duration=int(1000 / args.fps), loop=0,
-            )
-            print(f"wrote {len(frames)}-frame GIF to {args.render}", file=sys.stderr)
-        else:
-            os.makedirs(args.render, exist_ok=True)
-            for k, f in enumerate(frames):
-                Image.fromarray(f).save(
-                    os.path.join(args.render, f"frame_{k:05d}.png")
-                )
-            print(f"wrote {len(frames)} PNGs to {args.render}", file=sys.stderr)
+    if renderer is not None:
+        renderer.write(args.fps)
     return 0
 
 
@@ -271,10 +299,14 @@ def serve(args) -> int:
     hop = int(input_sr / args.fps)  # read cadence follows the producer rate
 
     server = None
+    renderer = _FrameRenderer(args, params) if args.render else None
     try:
         from .runtime.server import StreamServer
 
-        server = StreamServer(1, params, path=args.path, fast=args.fast)
+        server = StreamServer(
+            1, params, path=args.path, fast=args.fast,
+            with_viewer=renderer is not None,
+        )
         push = lambda s, chunk: server.push(s, chunk, sr=input_sr)
         if args.pipelined:
             step = lambda: (server.step(pipelined=True) or (None,))[0]
@@ -283,6 +315,12 @@ def serve(args) -> int:
     except RuntimeError:  # no native runtime: device-ring pipeline fallback
         if args.loop:
             print("--loop needs the native runtime (make -C native)", file=sys.stderr)
+            return 2
+        if renderer is not None:
+            print(
+                "--render with --serve needs the native runtime (make -C native)",
+                file=sys.stderr,
+            )
             return 2
         if input_sr != sr:
             print(
@@ -334,7 +372,7 @@ def serve(args) -> int:
 
     if args.loop:
         return _serve_with_loop(
-            args, server, driver, push, led_out, params, max_hops
+            args, server, driver, push, led_out, params, max_hops, renderer
         )
 
     hops = 0
@@ -348,18 +386,21 @@ def serve(args) -> int:
             out = step()
             if out is None:  # pipelined priming hop
                 continue
-            peaks = np.asarray(out.peaks[0])
-            centers = np.asarray(out.peak_center[0])
-            sizes = np.asarray(out.peak_size[0])
+            a = getattr(out, "analysis", out)  # ServeOutputs when fused stages run
+            if renderer is not None:
+                renderer.add(a, out.viewer, hops / args.fps)
+            peaks = np.asarray(a.peaks[0])
+            centers = np.asarray(a.peak_center[0])
+            sizes = np.asarray(a.peak_size[0])
             notes = ", ".join(
                 note_name(centers[p], params.range.buckets_per_octave, params.range.min_freq)
                 + f"({sizes[p]:.1f}dB)"
                 for p in np.where(peaks)[0]
             )
-            print(f"{time.strftime('%H:%M:%S')} calm={float(out.scene_calmness[0]):.2f} {notes}")
+            print(f"{time.strftime('%H:%M:%S')} calm={float(a.scene_calmness[0]):.2f} {notes}")
             if led_out is not None:
                 led_out.write(
-                    led_frame(params.range, out.peaks[0], out.peak_center[0], out.peak_size[0])
+                    led_frame(params.range, a.peaks[0], a.peak_center[0], a.peak_size[0])
                 )
                 led_out.flush()
     except KeyboardInterrupt:
@@ -367,12 +408,16 @@ def serve(args) -> int:
     finally:
         if led_out is not None:
             led_out.close()
+        if renderer is not None:
+            renderer.write(args.fps)
         if server is not None and server.stats["hops"]:
             print(f"serving stats: {server.stats}", file=sys.stderr)
     return 0
 
 
-def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> int:
+def _serve_with_loop(
+    args, server, driver, push, led_out, params, max_hops, renderer=None
+) -> int:
     """--serve --loop: the decoupled live architecture. A producer thread
     feeds the native ring at the capture cadence while the serving runtime
     owns the hop clock (`server.serve()`); this thread is just a consumer
@@ -409,8 +454,10 @@ def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> i
         while True:
             trip = loop.wait_next(seq=last, timeout=0.5)
             if trip is not None:
-                last, out, _gains = trip
-                out = getattr(out, "analysis", out)
+                last, raw, _gains = trip
+                out = getattr(raw, "analysis", raw)
+                if renderer is not None:
+                    renderer.add(out, raw.viewer, last / args.fps)
                 peaks = np.asarray(out.peaks[0])
                 centers = np.asarray(out.peak_center[0])
                 sizes = np.asarray(out.peak_size[0])
@@ -455,6 +502,8 @@ def _serve_with_loop(args, server, driver, push, led_out, params, max_hops) -> i
         prod.join(timeout=10)
         if led_out is not None:
             led_out.close()
+        if renderer is not None:
+            renderer.write(args.fps)
         print(
             f"serving stats: {server.stats}; loop stats: {loop.stats}",
             file=sys.stderr,

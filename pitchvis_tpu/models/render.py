@@ -750,6 +750,29 @@ def render_frame(
     )
 
 
+def render_streams(
+    cfg: RenderConfig,
+    rng: VqtRange,
+    viewer,
+    scene_calmness,
+    time,
+    streams=(0,),
+    statics: SceneStatics | None = None,
+) -> jnp.ndarray:
+    """Rasterize selected stream rows of a batched serving output ->
+    (len(streams), height, width, 3) uint8. ``viewer`` is the fused
+    ``ViewerOutputs`` a StreamServer/StreamingPipeline step emits under
+    ``with_viewer=True`` (models/pipeline.py); ``scene_calmness`` the
+    matching (B,) analysis output. This is the display-rate consumer path:
+    a serving deployment renders the handful of streams somebody is
+    actually watching, not the whole batch."""
+    idx = jnp.asarray(list(streams) if not hasattr(streams, "shape") else streams)
+    balls = jax.tree.map(lambda a: a[idx], viewer.balls)
+    bass = jax.tree.map(lambda a: a[idx], viewer.bass)
+    sc = jnp.asarray(scene_calmness)[idx]
+    return render_batch(cfg, rng, balls, bass, sc, time, statics=statics)
+
+
 def render_batch(
     cfg: RenderConfig,
     rng: VqtRange,

@@ -391,6 +391,49 @@ class TestServeDemo:
         assert "loop stats" in proc.stderr.decode()
 
 
+    def test_serve_render_gif(self, tmp_path):
+        """--serve --render out.gif: live ingest -> fused viewer outputs ->
+        rasterized frames -> animated GIF (the reference's live mic ->
+        display UX, fully headless; needs the native runtime)."""
+        import os
+        import subprocess
+        import sys
+
+        import pytest
+
+        from pitchvis_tpu.runtime.native import available as native_available
+
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+
+        sr = 22050
+        t = np.arange(int(sr * 0.8)) / sr
+        tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        out = tmp_path / "live.gif"
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pitchvis_tpu.demo",
+                "--serve", "--fps", "30",
+                "--render", str(out), "--render-size", "160x90",
+            ],
+            input=tone.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        assert "frame GIF" in proc.stderr.decode()
+        from PIL import Image
+
+        im = Image.open(out)
+        assert im.size == (160, 90)
+        assert getattr(im, "n_frames", 1) >= 2
+
+
 class TestAlsaCapture:
     """io/alsa.py against the stub libasound (native/alsa_stub.c): the same
     ctypes call discipline a real libasound sees — short reads, one injected

@@ -243,6 +243,43 @@ class TestScene:
         np.testing.assert_array_equal(out[1], single1)
 
 
+class TestRenderStreams:
+    def test_selected_rows_match_render_frame(self):
+        """render_streams: rasterizing selected rows of a batched serving
+        output (ViewerOutputs + scene calmness) == render_frame on each
+        selected row (the display-rate consumer path)."""
+        import jax
+
+        from pitchvis_tpu.models.pipeline import ViewerOutputs
+        from pitchvis_tpu.models.render import render_streams
+
+        scenes = [
+            _scene([(30, 30.2, 20.0)]),
+            _scene([(50, 49.8, 15.0)], calmness=0.8),
+            _scene([(10, 10.0, 25.0)], accuracy=0.95),
+        ]
+        balls = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[0] for s in scenes])
+        bass = jax.tree.map(lambda *xs: jnp.stack(xs), *[s[1] for s in scenes])
+        viewer = ViewerOutputs(
+            balls=balls, chroma=None, bloom=None, spectrogram_row=None,
+            bass=bass, calmness_histogram=None,
+        )
+        sc = jnp.asarray([0.1, 0.6, 0.9])
+
+        out = np.asarray(
+            render_streams(CFG, RANGE, viewer, sc, 1.0, streams=(2, 0))
+        )
+        assert out.shape == (2, CFG.height, CFG.width, 3)
+        exp2 = np.asarray(
+            render_frame(CFG, RANGE, scenes[2][0], scenes[2][1], 0.9, 1.0)
+        )
+        exp0 = np.asarray(
+            render_frame(CFG, RANGE, scenes[0][0], scenes[0][1], 0.1, 1.0)
+        )
+        np.testing.assert_array_equal(out[0], exp2)
+        np.testing.assert_array_equal(out[1], exp0)
+
+
 class TestDemoRender:
     def test_demo_render_cli(self, tmp_path):
         """`demo --tone --render DIR` writes one PNG per hop (the headless
