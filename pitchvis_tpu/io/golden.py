@@ -317,6 +317,79 @@ def generate_viewer(
     return path
 
 
+def render_scene_inputs(params: VqtParameters | None = None):
+    """The deterministic raster-golden scene: a seeded 3-peak frame pushed
+    through the display math (update_balls/bass_spiral — themselves pinned
+    by the viewer golden) plus seeded Debugging-overlay panel data. Returns
+    (cfg, rng_cfg, balls, bass, debug, scene_calmness, time). Shared by the
+    generator and the regression test so both rasterize identical inputs."""
+    import jax.numpy as jnp
+
+    from ..core.config import SERIAL_VQT_PARAMETERS
+    from ..models.render import DebugInputs, RenderConfig
+    from ..models.viewer import BallState, bass_spiral, update_balls
+
+    params = params or SERIAL_VQT_PARAMETERS
+    rng_cfg = params.range
+    n = rng_cfg.n_buckets
+    cfg = RenderConfig(width=160, height=90, ball_patch=48, max_balls=16)
+
+    r = np.random.default_rng(42)
+    peaks = np.zeros(n, bool)
+    center = np.arange(n, dtype=np.float32)
+    size = np.zeros(n, np.float32)
+    for b in (20, 61, 118):
+        peaks[b] = True
+        center[b] = b + float(r.uniform(-0.4, 0.4))
+        size[b] = float(r.uniform(10.0, 25.0))
+    calmness = r.uniform(0.0, 1.0, n).astype(np.float32)
+    accuracy = r.uniform(0.5, 1.0, n).astype(np.float32)
+    deviation = r.uniform(-0.4, 0.4, n).astype(np.float32)
+
+    _, balls = update_balls(
+        rng_cfg, BallState.init(n), jnp.asarray(peaks), jnp.asarray(center),
+        jnp.asarray(size), jnp.asarray(calmness), jnp.asarray(accuracy),
+        jnp.asarray(deviation), 1.0 / 60.0,
+    )
+    bass = bass_spiral(
+        rng_cfg, jnp.asarray(peaks), jnp.asarray(center), jnp.asarray(size)
+    )
+    debug = DebugInputs(
+        x_vqt_smoothed=jnp.asarray(r.uniform(0, 30, n).astype(np.float32)),
+        peaks=jnp.asarray(peaks),
+        peak_center=jnp.asarray(center),
+        peak_size=jnp.asarray(size),
+        calmness=jnp.asarray(calmness),
+        graph_values=jnp.asarray(r.uniform(0, 1, 300).astype(np.float32)),
+        spectrogram=jnp.asarray(r.integers(0, 256, (200, n, 4), np.uint8)),
+        spectrogram_write_index=jnp.int32(37),
+        chroma=jnp.asarray(r.uniform(0, 1, 12).astype(np.float32)),
+    )
+    return cfg, rng_cfg, balls, bass, debug, np.float32(0.6), np.float32(1.25)
+
+
+def generate_render(
+    out_dir: str, filename: str = "render_golden.npz"
+) -> str:
+    """Rasterizer golden: the exact uint8 sRGB frames render_frame produces
+    for the deterministic scene of ``render_scene_inputs`` — one plain frame
+    and one with the Debugging overlay panels. The chain/viewer goldens pin
+    everything that FEEDS the rasterizer; this pins the pixels, so a
+    models/render.py refactor cannot silently shift what a user sees.
+    Canonical CPU backend (the suite replays there)."""
+    from ..models.render import render_frame
+
+    cfg, rng_cfg, balls, bass, debug, scene_calmness, t = render_scene_inputs()
+    plain = np.asarray(render_frame(cfg, rng_cfg, balls, bass, scene_calmness, t))
+    overlay = np.asarray(
+        render_frame(cfg, rng_cfg, balls, bass, scene_calmness, t, debug=debug)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    np.savez_compressed(path, plain=plain, overlay=overlay)
+    return path
+
+
 def load(path: str) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Loads a FRAME golden (generate()'s in_/out_ pairs). The streaming
     and chain goldens use different layouts (per-stage trajectory keys) —
@@ -362,9 +435,12 @@ if __name__ == "__main__":
         print(generate_chain(target))
     elif len(sys.argv) > 2 and sys.argv[2] == "viewer":
         print(generate_viewer(target))
+    elif len(sys.argv) > 2 and sys.argv[2] == "render":
+        print(generate_render(target))
     else:
         print(generate(target))
         print(generate(target, VqtParameters(), "vqt_golden_default.npz"))
         print(generate_streaming(target))
         print(generate_chain(target))
         print(generate_viewer(target))
+        print(generate_render(target))
