@@ -562,12 +562,7 @@ def bench_render(
         return total
 
     times = jnp.arange(inner, dtype=jnp.float32) / 60.0
-    int(run(balls, bass, scene_calm, times))  # warm + hard barrier
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(run(balls, bass, scene_calm, times))
-        best = min(best, time.perf_counter() - t0)
+    best = _best_time(lambda: run(balls, bass, scene_calm, times), n_iter=1)
     fps = n_streams * inner / best
     return {
         "metric": "render_frames_per_sec_per_chip",

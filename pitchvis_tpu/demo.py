@@ -40,6 +40,13 @@ class _FrameRenderer:
         self.frames: list = []
         self.out = args.render
         self.debug = bool(args.debug_overlay)
+        # a live --serve session is unbounded; PNG-directory output flushes
+        # incrementally (constant memory), GIF frames must stay in RAM until
+        # the end so they are capped (640x360 at 30 fps is ~20 MB/s)
+        self._is_gif = args.render.lower().endswith(".gif")
+        self.max_gif_frames = int(getattr(args, "render_max_frames", 1800))
+        self._written = 0
+        self._capped = False
         self._sg = self._graph = None
         if self.debug:
             from .models.viewer import CalmnessGraphState, SpectrogramState
@@ -49,6 +56,16 @@ class _FrameRenderer:
 
     def add(self, analysis, viewer, t) -> None:
         """Rasterize stream 0 of one hop (batched analysis + ViewerOutputs)."""
+        if self._is_gif and len(self.frames) >= self.max_gif_frames:
+            if not self._capped:
+                self._capped = True
+                print(
+                    f"--render: GIF capped at {self.max_gif_frames} frames "
+                    "(--render-max-frames; use a directory output for "
+                    "unbounded sessions)",
+                    file=sys.stderr,
+                )
+            return
         jax = self._jax
         balls = jax.tree.map(lambda x: x[0], viewer.balls)
         bass = jax.tree.map(lambda x: x[0], viewer.bass)
@@ -68,22 +85,31 @@ class _FrameRenderer:
                 spectrogram_write_index=self._sg.write_index,
                 chroma=viewer.chroma[0],
             )
-        self.frames.append(
-            np.asarray(
-                self._render_frame(
-                    self.cfg, self.params.range, balls, bass,
-                    analysis.scene_calmness[0], t, debug=debug,
-                )
+        frame = np.asarray(
+            self._render_frame(
+                self.cfg, self.params.range, balls, bass,
+                analysis.scene_calmness[0], t, debug=debug,
             )
         )
+        if self._is_gif:
+            self.frames.append(frame)
+        else:  # PNG directory: flush incrementally (constant memory)
+            from PIL import Image
+
+            if self._written == 0:
+                os.makedirs(self.out, exist_ok=True)
+            Image.fromarray(frame).save(
+                os.path.join(self.out, f"frame_{self._written:05d}.png")
+            )
+            self._written += 1
 
     def write(self, fps: float) -> None:
-        if not self.frames:
-            print("no frames rendered", file=sys.stderr)
-            return
-        from PIL import Image
+        if self._is_gif:
+            if not self.frames:
+                print("no frames rendered", file=sys.stderr)
+                return
+            from PIL import Image
 
-        if self.out.lower().endswith(".gif"):
             imgs = [Image.fromarray(f) for f in self.frames]
             imgs[0].save(
                 self.out, save_all=True, append_images=imgs[1:],
@@ -93,14 +119,11 @@ class _FrameRenderer:
                 f"wrote {len(self.frames)}-frame GIF to {self.out}",
                 file=sys.stderr,
             )
+        elif self._written == 0:
+            print("no frames rendered", file=sys.stderr)
         else:
-            os.makedirs(self.out, exist_ok=True)
-            for k, f in enumerate(self.frames):
-                Image.fromarray(f).save(
-                    os.path.join(self.out, f"frame_{k:05d}.png")
-                )
             print(
-                f"wrote {len(self.frames)} PNGs to {self.out}",
+                f"wrote {self._written} PNGs to {self.out}",
                 file=sys.stderr,
             )
 
@@ -183,6 +206,15 @@ def main(argv=None) -> int:
         default="640x360",
         metavar="WxH",
         help="raster size for --render",
+    )
+    parser.add_argument(
+        "--render-max-frames",
+        type=int,
+        default=1800,
+        metavar="N",
+        help="with --render OUT.gif: cap the in-RAM GIF at N frames "
+        "(~20 MB/s at 640x360; directory output flushes PNGs incrementally "
+        "and is unbounded)",
     )
     parser.add_argument(
         "--debug-overlay",
@@ -299,13 +331,13 @@ def serve(args) -> int:
     hop = int(input_sr / args.fps)  # read cadence follows the producer rate
 
     server = None
-    renderer = _FrameRenderer(args, params) if args.render else None
+    renderer = None
     try:
         from .runtime.server import StreamServer
 
         server = StreamServer(
             1, params, path=args.path, fast=args.fast,
-            with_viewer=renderer is not None,
+            with_viewer=bool(args.render),
         )
         push = lambda s, chunk: server.push(s, chunk, sr=input_sr)
         if args.pipelined:
@@ -316,7 +348,7 @@ def serve(args) -> int:
         if args.loop:
             print("--loop needs the native runtime (make -C native)", file=sys.stderr)
             return 2
-        if renderer is not None:
+        if args.render:
             print(
                 "--render with --serve needs the native runtime (make -C native)",
                 file=sys.stderr,
@@ -348,6 +380,12 @@ def serve(args) -> int:
 
         step = step  # noqa
 
+    if args.render and server is not None:
+        # only after the native check: make_scene precomputes the raster
+        # statics (seconds of numpy on a throttled host) — pointless work if
+        # the run is about to be rejected above
+        renderer = _FrameRenderer(args, params)
+
     if args.alsa:
         # in-process capture; ALSA soft-resamples any hardware rate to
         # input_sr device-side, so --input-sr is only needed if you WANT
@@ -376,6 +414,32 @@ def serve(args) -> int:
         )
 
     hops = 0
+    served = 0  # outputs consumed; lags `hops` by one when pipelined
+
+    def consume(out):
+        nonlocal served
+        served += 1
+        a = getattr(out, "analysis", out)  # ServeOutputs when fused stages run
+        if renderer is not None:
+            # timestamp by the OUTPUT's hop index: in pipelined mode step()
+            # returns the previous hop, so `hops` would skew the shader
+            # clock one hop ahead of the scene it draws
+            renderer.add(a, out.viewer, served / args.fps)
+        peaks = np.asarray(a.peaks[0])
+        centers = np.asarray(a.peak_center[0])
+        sizes = np.asarray(a.peak_size[0])
+        notes = ", ".join(
+            note_name(centers[p], params.range.buckets_per_octave, params.range.min_freq)
+            + f"({sizes[p]:.1f}dB)"
+            for p in np.where(peaks)[0]
+        )
+        print(f"{time.strftime('%H:%M:%S')} calm={float(a.scene_calmness[0]):.2f} {notes}")
+        if led_out is not None:
+            led_out.write(
+                led_frame(params.range, a.peaks[0], a.peak_center[0], a.peak_size[0])
+            )
+            led_out.flush()
+
     try:
         while max_hops is None or hops < max_hops:
             chunk = driver.read_chunk()
@@ -386,23 +450,11 @@ def serve(args) -> int:
             out = step()
             if out is None:  # pipelined priming hop
                 continue
-            a = getattr(out, "analysis", out)  # ServeOutputs when fused stages run
-            if renderer is not None:
-                renderer.add(a, out.viewer, hops / args.fps)
-            peaks = np.asarray(a.peaks[0])
-            centers = np.asarray(a.peak_center[0])
-            sizes = np.asarray(a.peak_size[0])
-            notes = ", ".join(
-                note_name(centers[p], params.range.buckets_per_octave, params.range.min_freq)
-                + f"({sizes[p]:.1f}dB)"
-                for p in np.where(peaks)[0]
-            )
-            print(f"{time.strftime('%H:%M:%S')} calm={float(a.scene_calmness[0]):.2f} {notes}")
-            if led_out is not None:
-                led_out.write(
-                    led_frame(params.range, a.peaks[0], a.peak_center[0], a.peak_size[0])
-                )
-                led_out.flush()
+            consume(out)
+        if args.pipelined and server is not None:
+            tail = server.flush()  # the in-flight hop a one-deep queue holds
+            if tail is not None:
+                consume(tail[0])
     except KeyboardInterrupt:
         pass
     finally:

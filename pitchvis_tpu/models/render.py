@@ -766,7 +766,7 @@ def render_streams(
     matching (B,) analysis output. This is the display-rate consumer path:
     a serving deployment renders the handful of streams somebody is
     actually watching, not the whole batch."""
-    idx = jnp.asarray(list(streams) if not hasattr(streams, "shape") else streams)
+    idx = jnp.asarray(streams)
     balls = jax.tree.map(lambda a: a[idx], viewer.balls)
     bass = jax.tree.map(lambda a: a[idx], viewer.bass)
     sc = jnp.asarray(scene_calmness)[idx]

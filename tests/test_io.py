@@ -391,10 +391,12 @@ class TestServeDemo:
         assert "loop stats" in proc.stderr.decode()
 
 
-    def test_serve_render_gif(self, tmp_path):
-        """--serve --render out.gif: live ingest -> fused viewer outputs ->
-        rasterized frames -> animated GIF (the reference's live mic ->
-        display UX, fully headless; needs the native runtime)."""
+    def test_serve_render_gif_pipelined_drains_tail(self, tmp_path):
+        """--serve --pipelined --render out.gif: live ingest -> fused viewer
+        outputs -> rasterized frames -> animated GIF (the reference's live
+        mic -> display UX, fully headless; needs the native runtime). The
+        one-deep pipelined queue's in-flight tail hop must be drained at
+        EOF, so the GIF has exactly one frame per ingested hop."""
         import os
         import subprocess
         import sys
@@ -407,7 +409,9 @@ class TestServeDemo:
             pytest.skip("native runtime unavailable")
 
         sr = 22050
-        t = np.arange(int(sr * 0.8)) / sr
+        fps = 30
+        n_hops = 24
+        t = np.arange(n_hops * (sr // fps)) / sr
         tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
         out = tmp_path / "live.gif"
 
@@ -417,7 +421,7 @@ class TestServeDemo:
         proc = subprocess.run(
             [
                 sys.executable, "-m", "pitchvis_tpu.demo",
-                "--serve", "--fps", "30",
+                "--serve", "--pipelined", "--fps", str(fps),
                 "--render", str(out), "--render-size", "160x90",
             ],
             input=tone.tobytes(),
@@ -426,12 +430,12 @@ class TestServeDemo:
             env=env,
         )
         assert proc.returncode == 0, proc.stderr.decode()[-2000:]
-        assert "frame GIF" in proc.stderr.decode()
+        assert f"{n_hops}-frame GIF" in proc.stderr.decode()
         from PIL import Image
 
         im = Image.open(out)
         assert im.size == (160, 90)
-        assert getattr(im, "n_frames", 1) >= 2
+        assert im.n_frames == n_hops
 
 
 class TestAlsaCapture:

@@ -32,6 +32,7 @@ class TestRenderGolden:
         with np.load(GOLDEN) as z:
             g_plain, g_overlay = z["plain"], z["overlay"]
         assert plain.shape == g_plain.shape and plain.dtype == np.uint8
+        assert overlay.shape == g_overlay.shape and overlay.dtype == np.uint8
         # tolerance: one 8-bit step (XLA version-to-version f32 fusion
         # differences land within the final quantization); anything larger
         # is a real visual change
