@@ -8,7 +8,7 @@ bf16 mode's error budget is pinned by tests/test_bf16.py (<=0.016 dB at
 default parameters on musical signals).
 
 `--config all` additionally persists the full sweep (every entry in
-bench/configs.py ALL_CONFIGS — currently 12: offline f32/bf16, four
+bench/configs.py ALL_CONFIGS — currently 13: offline f32/bf16, five
 streaming shapes, latency, analysis, serial, train, train_corpus, render) to
 BENCH_SWEEP.json, each config reported as the run closest to the median
 over --repeats runs (default 3), so round-over-round regressions are

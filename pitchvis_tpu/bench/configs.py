@@ -1,6 +1,6 @@
 """The benchmark configurations, reproducible on one chip. The five
 BASELINE.json families plus their fast-path / latency / parallel variants
-(see ALL_CONFIGS at the bottom — 12 entries):
+(see ALL_CONFIGS at the bottom — 13 entries):
 
 1. offline_vqt[_bf16]  — batched offline VQT, default params
 2. streaming[...]      — ring + dagc AGC + VQT + EMA @ 60 Hz hops, incl.
@@ -121,6 +121,7 @@ def bench_streaming(
     fused: bool = False,
     path: str = "time",
     fast: bool = False,
+    with_viewer: bool = False,
 ) -> dict:
     """Config #2: 60 Hz hops through ring+AGC+VQT+analysis; measures
     aggregate realtime factor per chip (streams * realtime). Hops are
@@ -132,7 +133,12 @@ def bench_streaming(
     common.rs:2076-2118) — the overhead vs analysis-only is the fusion
     cost of the full display-ready serving step. path="pallas" + fast=True
     serve the flagship bf16 fused-Pallas VQT (round-3: the fastest kernel
-    now rides the serving pipeline)."""
+    now rides the serving pipeline). with_viewer=True (implies fused) also
+    fuses every update_display-derived output (pitch balls with fade
+    carry, chroma, bloom, spectrogram rows, bass spiral, calmness
+    histogram — the complete per-stream display state short of pixels)."""
+    if with_viewer:
+        fused = True
     from ..core.config import VqtParameters
     from ..models.pipeline import StreamingPipeline
 
@@ -149,6 +155,7 @@ def bench_streaming(
         pipe = StreamingPipeline(
             n_streams, params, ml_model=model, ml_params=mp,
             ml_t_window=t_window, with_led=True, path=path, fast=fast,
+            with_viewer=with_viewer,
         )
     else:
         pipe = StreamingPipeline(n_streams, params, path=path, fast=fast)
@@ -165,6 +172,8 @@ def bench_streaming(
     dt = _best_time(step, n_iter=5) / hops_per_call
     realtime_factor = n_streams * dt_hop / dt
     name = "streaming_fused" if fused else "streaming"
+    if with_viewer:
+        name += "_viewer"
     if path == "pallas":
         name += "_pallas_bf16" if fast else "_pallas"
     return {
@@ -586,6 +595,11 @@ ALL_CONFIGS = {
     # LED fused) on the fastest VQT kernel
     "streaming_fused_pallas_bf16": lambda: bench_streaming(
         fused=True, path="pallas", fast=True
+    ),
+    # ...and with the complete viewer stage fused too (every
+    # update_display-derived output, short of rasterized pixels)
+    "streaming_fused_viewer_pallas_bf16": lambda: bench_streaming(
+        with_viewer=True, path="pallas", fast=True
     ),
     "latency": bench_latency,
     "analysis": bench_analysis,
