@@ -303,6 +303,15 @@ struct Oscillator {
     position = static_cast<double>(s);
   }
   bool process(const int16_t* data, int64_t n_data, float* block, int n, double pitch) {
+    if (n_data < 2) {
+      // empty/degenerate wave data (adversarial SF2 whose smpl chunk is
+      // shorter than its sample headers claim): the clamps below would
+      // otherwise compute negative upper bounds (clampi(i, n_data - 2)
+      // with n_data < 2) and read before the buffer — emit silence and
+      // kill the voice instead. Mirrored in engine.py.
+      for (int t = 0; t < n; ++t) block[t] = 0.0f;
+      return false;
+    }
     double pitch_change = pitch_change_scale * (pitch - root_key) + tune;
     double ratio = sample_rate_ratio * std::pow(2.0, pitch_change / 12.0);
     // sample addresses come from untrusted SF2 generators: every index is
@@ -1022,6 +1031,15 @@ void* pv_engine_create(const int16_t* wave, int64_t n_wave, const int16_t* inst_
                        int64_t n_preset_regions, const int32_t* presets, int64_t n_presets,
                        int32_t sample_rate, int32_t block_size, int32_t max_polyphony,
                        int32_t enable_effects) {
+  // same validated ranges as SynthesizerSettings (synthesizer_settings.rs
+  // semantics; mirrored in engine.py): out-of-range values would otherwise
+  // read past blocks (block_size < 2 in the biquad), never advance render
+  // (block_size == 0), or scale reverb delay lines to zero length
+  // (sample_rate < ~100) and hang. Returns nullptr; the ctypes wrapper
+  // raises.
+  if (sample_rate < 16000 || sample_rate > 192000) return nullptr;
+  if (block_size < 8 || block_size > 1024) return nullptr;
+  if (max_polyphony < 8 || max_polyphony > 256) return nullptr;
   auto* e = new Engine();
   e->wave.assign(wave, wave + n_wave);
   e->inst_regions.resize(n_inst_regions);

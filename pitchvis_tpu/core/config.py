@@ -101,6 +101,9 @@ class AnalysisParameters:
     float seconds because they become f32 scalars inside the jitted step).
     """
 
+    # unused, faithfully (analysis.rs:37-39: "currently unused within this
+    # crate — the spectrogram display in the viewer keeps its own history
+    # buffer"; the headless viewer's SpectrogramState does the same)
     spectrogram_length: int = 400
     peak_config: PeakDetectionParameters = dataclasses.field(
         default_factory=lambda: PeakDetectionParameters(10.0, 4.0)

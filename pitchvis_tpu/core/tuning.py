@@ -34,6 +34,11 @@ ANALYSIS_CLAMPS: dict[str, tuple[float, float]] = {
     "highest_bassnote": (12, 60),
     "vqt_smoothing_calmness_min": (0.1, 2.0),
     "vqt_smoothing_calmness_max": (0.5, 5.0),
+    # reference quirk preserved: analysis.rs:37-39 documents this field as
+    # "currently unused within this crate (the spectrogram display in the
+    # viewer keeps its own history buffer)" — here too (demo/_FrameRenderer
+    # sizes its SpectrogramState independently, like the viewer). Tuning it
+    # costs a recompile (jit-static params) and changes nothing else.
     "spectrogram_length": (100, 1000),
 }
 

@@ -46,6 +46,11 @@ def ring_push(
     poison every VQT frame the window still covers)."""
     b, t = chunk.shape
     assert state.buffer.shape[0] == b
+    if t > state.buffer.shape[1]:
+        raise ValueError(
+            f"chunk of {t} samples exceeds the {state.buffer.shape[1]}-sample "
+            "ring buffer; raise buffer_len or lower the hop"
+        )
 
     bad = jnp.any(~jnp.isfinite(chunk), axis=-1)
     safe_chunk = jnp.where(bad[:, None], 0.0, chunk)
@@ -60,4 +65,11 @@ def ring_push(
 
 def ring_window(state: RingState, n_fft: int) -> jnp.ndarray:
     """The trailing n_fft samples per stream (the VQT input)."""
+    if n_fft > state.buffer.shape[1]:
+        # buffer[:, -n_fft:] would silently return the whole (shorter)
+        # buffer and surface later as an opaque VQT shape mismatch
+        raise ValueError(
+            f"n_fft {n_fft} exceeds the {state.buffer.shape[1]}-sample ring "
+            "buffer; init the ring with buffer_len >= n_fft"
+        )
     return state.buffer[:, -n_fft:]

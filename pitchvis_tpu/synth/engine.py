@@ -17,12 +17,16 @@ biquad (scipy.signal.lfilter) and the reverb comb damping (also lfilter —
 the comb/allpass delay lines are longer than a block, so each block's reads
 only touch state older than the block).
 
-Deliberate deviations from the Rust fork, shared by both engines:
+Deliberate deviations from the Rust fork:
 * the oscillator tracks its position in float64 instead of 24.8 fixed point
-  (error < 2^-40 per sample, inaudible, and SIMD/vector friendly);
-* denormal flushing inside the comb damping recurrence is applied per block
-  rather than per sample (both are below the 1e-6 audibility floor the
-  reference uses).
+  (error < 2^-40 per sample, inaudible, and SIMD/vector friendly) — shared
+  by both engines;
+* in THIS engine only, denormal flushing inside the comb damping recurrence
+  is applied per block rather than per sample (lfilter cannot flush inside
+  the recurrence); the C++ mirror flushes per sample exactly like the
+  reference, so the two engines' reverb tails may diverge at the 1e-6
+  audibility floor the reference uses — within the committed golden's and
+  the parity tests' tolerances.
 """
 
 from __future__ import annotations
@@ -321,6 +325,14 @@ class Oscillator:
         pass
 
     def process(self, data: np.ndarray, block: np.ndarray, pitch: float) -> bool:
+        if len(data) < 2:
+            # empty/degenerate wave data (adversarial SF2 whose smpl chunk
+            # is shorter than its sample headers claim): np.clip(i, 0, -1)
+            # would return -1 and either wrap to data[-1] or IndexError on
+            # an empty array — emit silence and kill the voice instead.
+            # Mirrored in synth_engine.cpp.
+            block[:] = 0.0
+            return False
         pitch_change = self.pitch_change_scale * (pitch - self.root_key) + self.tune
         pitch_ratio = self.sample_rate_ratio * 2.0 ** (pitch_change / 12.0)
         n = len(block)
@@ -700,6 +712,29 @@ class Channel:
         return self.pitch_bend_range * self._pitch_bend
 
 
+# controller-number -> Channel method (synthesizer.rs process_midi_message's
+# 0xB0 match arms); module-level so controller-heavy MIDI streams don't
+# rebuild a bound-method dict per message
+_CC_DISPATCH = {
+    0x00: Channel.set_bank,
+    0x01: Channel.set_modulation_coarse,
+    0x21: Channel.set_modulation_fine,
+    0x06: Channel.data_entry_coarse,
+    0x26: Channel.data_entry_fine,
+    0x07: Channel.set_volume_coarse,
+    0x27: Channel.set_volume_fine,
+    0x0A: Channel.set_pan_coarse,
+    0x2A: Channel.set_pan_fine,
+    0x0B: Channel.set_expression_coarse,
+    0x2B: Channel.set_expression_fine,
+    0x40: Channel.set_hold_pedal,
+    0x5B: Channel.set_reverb_send,
+    0x5D: Channel.set_chorus_send,
+    0x65: Channel.set_rpn_coarse,
+    0x64: Channel.set_rpn_fine,
+}
+
+
 class VoiceCollection:
     """Fixed polyphony pool with exclusive-class reuse and lowest-priority
     stealing (voice_collection.rs)."""
@@ -939,26 +974,9 @@ class Synthesizer:
         elif command == 0x90:
             self.note_on(channel, data1, data2)
         elif command == 0xB0:
-            dispatch = {
-                0x00: ch.set_bank,
-                0x01: ch.set_modulation_coarse,
-                0x21: ch.set_modulation_fine,
-                0x06: ch.data_entry_coarse,
-                0x26: ch.data_entry_fine,
-                0x07: ch.set_volume_coarse,
-                0x27: ch.set_volume_fine,
-                0x0A: ch.set_pan_coarse,
-                0x2A: ch.set_pan_fine,
-                0x0B: ch.set_expression_coarse,
-                0x2B: ch.set_expression_fine,
-                0x40: ch.set_hold_pedal,
-                0x5B: ch.set_reverb_send,
-                0x5D: ch.set_chorus_send,
-                0x65: ch.set_rpn_coarse,
-                0x64: ch.set_rpn_fine,
-            }
-            if data1 in dispatch:
-                dispatch[data1](data2)
+            handler = _CC_DISPATCH.get(data1)
+            if handler is not None:
+                handler(ch, data2)
             elif data1 == 0x78:
                 self.note_off_all_channel(channel, True)
             elif data1 == 0x79:

@@ -114,9 +114,17 @@ class NativeSynthesizer:
         if lib is None:
             raise RuntimeError("native library unavailable; build native/ first")
         self._lib = lib
-        self.sample_rate = int(sample_rate)
-        self.block_size = int(block_size)
-        self.maximum_polyphony = int(maximum_polyphony)
+        # the same validated ranges as the NumPy mirror (SynthesizerSettings)
+        # — pv_engine_create also rejects these (returns nullptr) as
+        # defense in depth
+        from .engine import SynthesizerSettings
+
+        settings = SynthesizerSettings(
+            sample_rate, block_size, maximum_polyphony, enable_reverb_and_chorus
+        )
+        self.sample_rate = settings.sample_rate
+        self.block_size = settings.block_size
+        self.maximum_polyphony = settings.maximum_polyphony
         t = font_tables(font)
         self._tables = t  # keep alive for the duration of the create call
         self._handle = ctypes.c_void_p(
@@ -130,6 +138,12 @@ class NativeSynthesizer:
                 int(enable_reverb_and_chorus),
             )
         )
+        if not self._handle.value:
+            raise ValueError(
+                "pv_engine_create rejected the settings (out-of-range "
+                f"sample_rate/block_size/polyphony: {self.sample_rate}/"
+                f"{self.block_size}/{self.maximum_polyphony})"
+            )
 
     def reset(self) -> None:
         self._lib.pv_engine_reset(self._handle)

@@ -608,3 +608,93 @@ class TestMalformedSf2:
         spec = np.abs(np.fft.rfft(py * np.hanning(len(py))))
         f_peak = np.argmax(spec) * SR / len(py)
         assert abs(f_peak - 882.0) < 40.0, f_peak
+
+
+class TestAdversarialWaveData:
+    """Degenerate wave tables (adversarial SF2s whose smpl chunk is shorter
+    than the sample headers claim): voices must go silent, never index out
+    of bounds — the contract both oscillators document."""
+
+    def _osc(self, loop_mode):
+        osc = Oscillator(SR)
+        # generators claim a 100-sample region with a 50-sample loop
+        osc.start(loop_mode, SR, 0, 100, 0, 50, 60, 0, 0, 100)
+        return osc
+
+    @pytest.mark.parametrize("loop_mode", [0, 1])
+    @pytest.mark.parametrize("n_data", [0, 1])
+    def test_python_oscillator_silent(self, loop_mode, n_data):
+        osc = self._osc(loop_mode)
+        block = np.ones(64, np.float32)
+        alive = osc.process(np.zeros(n_data, np.int16), block, 60.0)
+        assert alive is False
+        assert np.all(block == 0.0)
+
+    @pytest.mark.skipif(not _native_available(), reason="native library not built")
+    def test_native_empty_wave_renders_silence(self, sine_font_factory, monkeypatch):
+        from pitchvis_tpu.synth import engine_native
+
+        font = sine_font_factory("emptywave")
+        tables = dict(engine_native.font_tables(font))
+        tables["wave"] = np.zeros(0, np.int16)  # headers still claim samples
+        monkeypatch.setattr(engine_native, "font_tables", lambda f: tables)
+        ns = engine_native.NativeSynthesizer(font, SR)
+        ns.note_on(0, 60, 100)
+        left = np.full(2048, 7.0, np.float32)
+        right = np.full(2048, 7.0, np.float32)
+        ns.render(left, right)
+        assert np.all(left == 0.0) and np.all(right == 0.0)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native library not built")
+class TestNativeSettingsValidation:
+    """NativeSynthesizer enforces the same validated ranges as
+    SynthesizerSettings (block_size < 2 would read before the block in the
+    biquad; block_size=0 and tiny sample rates hang the render loop)."""
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(block_size=0),
+            dict(block_size=1),
+            dict(block_size=4096),
+            dict(maximum_polyphony=1),
+            dict(maximum_polyphony=10_000),
+        ],
+    )
+    def test_out_of_range_rejected(self, sine_font_factory, kwargs):
+        from pitchvis_tpu.synth.engine_native import NativeSynthesizer
+
+        font = sine_font_factory("badsettings")
+        with pytest.raises(ValueError):
+            NativeSynthesizer(font, SR, **kwargs)
+
+    def test_bad_sample_rate_rejected(self, sine_font_factory):
+        from pitchvis_tpu.synth.engine_native import NativeSynthesizer
+
+        font = sine_font_factory("badsr")
+        with pytest.raises(ValueError):
+            NativeSynthesizer(font, 100)
+
+    def test_native_create_rejects_directly(self, sine_font_factory):
+        """Defense in depth: pv_engine_create itself returns nullptr for
+        out-of-range settings (the ctypes wrapper is not the only guard)."""
+        import ctypes
+
+        from pitchvis_tpu.runtime import native
+        from pitchvis_tpu.synth import engine_native
+
+        lib = native.get_lib()
+        font = sine_font_factory("rawcreate")
+        t = engine_native.font_tables(font)
+        h = lib.pv_engine_create(
+            engine_native._i16ptr(t["wave"]), len(t["wave"]),
+            engine_native._i16ptr(t["inst_gs"]),
+            engine_native._i32ptr(t["inst_extra"]), len(t["inst_gs"]),
+            engine_native._i32ptr(t["instruments"]), len(t["instruments"]),
+            engine_native._i16ptr(t["preset_gs"]),
+            engine_native._i32ptr(t["preset_inst"]), len(t["preset_gs"]),
+            engine_native._i32ptr(t["presets"]), len(t["presets"]),
+            SR, 1, 64, 0,  # block_size=1: out of range
+        )
+        assert not ctypes.c_void_p(h).value

@@ -74,6 +74,24 @@ class TestAgc:
 
 
 class TestRing:
+    def test_oversized_chunk_rejected(self):
+        """A chunk wider than the buffer would otherwise fail with a shape
+        broadcast error deep inside the jitted trace."""
+        import pytest
+
+        st = RingState.init(2, 16)
+        with pytest.raises(ValueError, match="exceeds"):
+            ring_push(st, jnp.zeros((2, 32)))
+
+    def test_window_longer_than_buffer_rejected(self):
+        """buffer[:, -n_fft:] would silently return a short window and
+        surface later as an opaque VQT shape mismatch."""
+        import pytest
+
+        st = RingState.init(2, 16)
+        with pytest.raises(ValueError, match="n_fft"):
+            ring_window(st, 32)
+
     def test_push_and_window(self):
         st = RingState.init(2, 16)
         # small amplitudes: AGC gain moves by <= distortion_factor per sample
