@@ -57,8 +57,15 @@ class WavStreamDriver:
         self.speed = speed
 
     def chunks(self):
-        for i in range(0, len(self.audio) - self.chunk_size + 1, self.chunk_size):
-            yield self.audio[i : i + self.chunk_size]
+        # the trailing partial chunk is zero-padded (same as RawPipeDriver's
+        # EOF handling) — a clip shorter than one chunk otherwise fed NOTHING
+        for i in range(0, len(self.audio), self.chunk_size):
+            chunk = self.audio[i : i + self.chunk_size]
+            if len(chunk) < self.chunk_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(self.chunk_size - len(chunk), np.float32)]
+                )
+            yield chunk
 
     def stream_to(self, push, stream_idx: int = 0, realtime: bool = False) -> int:
         """Feeds all chunks to `push(stream_idx, chunk)`; sleeps between

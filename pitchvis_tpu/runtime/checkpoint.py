@@ -12,8 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-
-
+import shutil
 
 from ..core.config import (
     AgcParameters,
@@ -23,6 +22,46 @@ from ..core.config import (
     VqtRange,
 )
 from ..models.pipeline import PipelineState, init_pipeline_state
+
+
+def _stage_dir(path: str) -> str:
+    """Fresh staging directory next to ``path`` (same filesystem, so the
+    commit renames are atomic); a leftover from a crashed save is cleared."""
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    return tmp
+
+
+def _commit_dir(tmp: str, path: str) -> None:
+    """Crash-safe checkpoint commit: the fully-written staging directory
+    replaces ``path`` via renames, so at every instant the on-disk state is
+    either the complete previous checkpoint, the complete new one, or (for
+    the instant between the two renames) only ``path.old`` — which the
+    loaders fall back to. Without this, a crash mid-save destroyed the
+    previous good checkpoint or left a silently inconsistent
+    mixed-generation directory."""
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def _resolve_dir(path: str, marker: str) -> str:
+    """Where to load from: ``path`` when it holds a complete checkpoint
+    (its ``marker`` metadata is written last), else the ``path.old``
+    generation a crash between _commit_dir's renames leaves behind."""
+    path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, marker)) and os.path.exists(
+        os.path.join(path + ".old", marker)
+    ):
+        return path + ".old"
+    return path
 
 
 def save_pipeline_state(
@@ -40,8 +79,9 @@ def save_pipeline_state(
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    tmp = _stage_dir(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.join(path, "pipeline_state"), state, force=True)
+    ckpt.save(os.path.join(tmp, "pipeline_state"), state, force=True)
     ckpt.wait_until_finished()
     ckpt.close()
     meta = {
@@ -60,8 +100,9 @@ def save_pipeline_state(
         "ml_t_window": int(state.ml.history.shape[1]) if state.ml is not None else None,
         "with_viewer": state.balls is not None,
     }
-    with open(os.path.join(path, "pipeline_meta.json"), "w") as f:
+    with open(os.path.join(tmp, "pipeline_meta.json"), "w") as f:
         json.dump(meta, f)
+    _commit_dir(tmp, path)
 
 
 def load_pipeline_config(
@@ -70,7 +111,9 @@ def load_pipeline_config(
     """The full parameter set a checkpointed pipeline ran under (analysis/
     AGC entries are None for checkpoints saved without them — i.e. defaults
     or a pre-upgrade save)."""
-    with open(os.path.join(os.path.abspath(path), "pipeline_meta.json")) as f:
+    with open(
+        os.path.join(_resolve_dir(path, "pipeline_meta.json"), "pipeline_meta.json")
+    ) as f:
         meta = json.load(f)
     ap = meta.get("analysis_params")
     gp = meta.get("agc_params")
@@ -84,7 +127,7 @@ def load_pipeline_config(
 def load_pipeline_state(path: str) -> tuple[PipelineState, VqtParameters]:
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
+    path = _resolve_dir(path, "pipeline_meta.json")
     with open(os.path.join(path, "pipeline_meta.json")) as f:
         meta = json.load(f)
     params = _vqt_params_from_dict(meta["params"])
@@ -136,7 +179,7 @@ def save_server_state(path: str, server) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
+    tmp = _stage_dir(path)
     with server._state_lock:
         state = server.analysis_state
         ml_state = server.ml_state
@@ -144,14 +187,14 @@ def save_server_state(path: str, server) -> None:
         vqt_params = server.vqt_params
     audio, heads, gains = server.rings.export_state()
     np.savez_compressed(
-        os.path.join(path, "server_rings.npz"), audio=audio, heads=heads, gains=gains
+        os.path.join(tmp, "server_rings.npz"), audio=audio, heads=heads, gains=gains
     )
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.join(path, "server_analysis_state"), state, force=True)
+    ckpt.save(os.path.join(tmp, "server_analysis_state"), state, force=True)
     if ml_state is not None:
-        ckpt.save(os.path.join(path, "server_ml_state"), ml_state, force=True)
+        ckpt.save(os.path.join(tmp, "server_ml_state"), ml_state, force=True)
     if balls_state is not None:
-        ckpt.save(os.path.join(path, "server_balls_state"), balls_state, force=True)
+        ckpt.save(os.path.join(tmp, "server_balls_state"), balls_state, force=True)
     ckpt.wait_until_finished()
     ckpt.close()
     meta = {
@@ -173,8 +216,9 @@ def save_server_state(path: str, server) -> None:
         "ml_t_window": server._ml_t,
         "has_ml_state": ml_state is not None,
     }
-    with open(os.path.join(path, "server_meta.json"), "w") as f:
+    with open(os.path.join(tmp, "server_meta.json"), "w") as f:
         json.dump(meta, f)
+    _commit_dir(tmp, path)
 
 
 def restore_server(path: str, ml_model=None, ml_params=None, mesh=None):
@@ -195,7 +239,7 @@ def restore_server(path: str, ml_model=None, ml_params=None, mesh=None):
     from ..models.analysis import init_state_batch
     from .server import StreamServer
 
-    path = os.path.abspath(path)
+    path = _resolve_dir(path, "server_meta.json")
     with open(os.path.join(path, "server_meta.json")) as f:
         meta = json.load(f)
     vqt_params = _vqt_params_from_dict(meta["vqt_params"])

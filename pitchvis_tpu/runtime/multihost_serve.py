@@ -196,10 +196,30 @@ def main(argv=None) -> int:
     producer_thread = threading.Thread(target=producer, daemon=True)
     producer_thread.start()
 
-    step_fn = jax.jit(
-        lambda a, st, x, dt: analysis_step_batch(aparams, params.range, st, vqt_db_auto(a, x, path=args.path), dt),
-        static_argnames=(),
-    )
+    # shard_map boundary (same rationale as runtime/server.py): the Pallas
+    # path's Mosaic custom call cannot be partitioned by GSPMD — without the
+    # explicit boundary the partitioner all-gathers the batch and the HLO
+    # assertion below aborts startup for path="pallas". Inside shard_map each
+    # device serves its local stream slice, collective-free by construction
+    # (the time path too; the assertion stays as belt and braces).
+    from jax.sharding import PartitionSpec as P
+
+    if global_streams % mesh.size:
+        raise SystemExit(
+            f"streams ({global_streams}) must divide over the {mesh.size}-device mesh"
+        )
+
+    def _step(a, st, x, dt):
+        return analysis_step_batch(
+            aparams, params.range, st, vqt_db_auto(a, x, path=args.path), dt
+        )
+
+    batch_spec = P(tuple(mesh.axis_names))
+    step_fn = jax.jit(jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(), batch_spec, batch_spec, P()),
+        out_specs=(batch_spec, batch_spec), check_vma=False,
+    ))
 
     # serving must be collective-free: assert once on the compiled HLO
     probe = glob(np.zeros((local_streams, params.n_fft), np.float32))
@@ -247,7 +267,10 @@ def main(argv=None) -> int:
     # racing pv_rb_destroy would dereference a freed handle
     stop.set()
     producer_thread.join(timeout=10)
-    if use_native:
+    if use_native and not producer_thread.is_alive():
+        # a producer still alive after the timeout (burst-throttled host mid
+        # np.roll) must NOT have the handle freed under it; leaking the bank
+        # at process exit is the safe failure
         rings.close()
     if pid == 0:
         realtime = total_rate / args.hop_hz

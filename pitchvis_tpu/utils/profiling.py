@@ -95,14 +95,9 @@ class StageTimer:
         }
 
 
-@contextlib.contextmanager
-def trace(log_dir: str):
-    """Device-level profiler trace (jax.profiler): view in TensorBoard."""
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+#: Device-level profiler trace (view in TensorBoard) — jax.profiler.trace
+#: is already the context manager this module used to reimplement.
+trace = jax.profiler.trace
 
 
 def annotate(name: str):

@@ -178,6 +178,31 @@ class TestCapture:
         dump_input_devices(file=buf)
         assert "WavStreamDriver" in buf.getvalue()
 
+    def test_wav_driver_pads_partial_tail(self, tmp_path):
+        """The trailing partial chunk is zero-padded (RawPipeDriver's EOF
+        semantics): a clip shorter than one chunk previously fed NOTHING."""
+        from pitchvis_tpu.io.capture import WavStreamDriver
+        from pitchvis_tpu.io.wav import save_wav
+
+        sr = 22050
+        x = (0.3 * np.sin(2 * np.pi * 330.0 * np.arange(300) / sr)).astype(
+            np.float32
+        )
+        path = str(tmp_path / "short.wav")
+        save_wav(path, x, sr)
+        driver = WavStreamDriver(path, target_sr=sr, chunk_size=735)
+        chunks = list(driver.chunks())
+        assert len(chunks) == 1 and len(chunks[0]) == 735
+        np.testing.assert_allclose(chunks[0][:300], x, atol=2e-4)
+        assert np.all(chunks[0][300:] == 0.0)
+
+        # and a 1.5-chunk clip yields 2 chunks, the tail padded
+        x2 = np.concatenate([x] * 4).astype(np.float32)[: int(735 * 1.5)]
+        save_wav(path, x2, sr)
+        chunks = list(WavStreamDriver(path, target_sr=sr, chunk_size=735).chunks())
+        assert len(chunks) == 2
+        assert np.all(chunks[1][len(x2) - 735:] == 0.0)
+
     def test_wav_driver_resamples(self, tmp_path):
         from pitchvis_tpu.io.capture import WavStreamDriver
         from pitchvis_tpu.io.wav import save_wav

@@ -161,7 +161,10 @@ class TestMultiProcessDistributed:
         """The runnable deployment recipe (runtime/multihost_serve.py:
         per-host native ring banks, host-local ingest, collective-free
         serving assertion, aggregated bench line) completes on 2 virtual
-        hosts and prints the cluster JSON line."""
+        hosts and prints the cluster JSON line — on the FLAGSHIP pallas
+        path, which requires the recipe's shard_map boundary (plain jit
+        all-gathers around the Mosaic custom call and the startup HLO
+        assertion aborts)."""
         import json
 
         # same cache pre-warm rationale as above
@@ -181,6 +184,7 @@ class TestMultiProcessDistributed:
                 sys.executable, "-m", "pitchvis_tpu.runtime.multihost_serve",
                 "--spawn", "2", "--devices-per-host", "2",
                 "--streams-per-host", "8", "--seconds", "1.5", "--small",
+                "--path", "pallas",
             ],
             capture_output=True,
             text=True,

@@ -1082,6 +1082,50 @@ class TestServerCheckpoint:
         )
 
 
+    def test_crash_safe_commit(self, tmp_path, small_params):
+        """A checkpoint save is committed via staging + rename: a save that
+        never completes cannot destroy the previous good checkpoint, a stale
+        staging dir from a crashed save is cleared, and the loader falls
+        back to the `.old` generation a crash between the two commit renames
+        leaves behind."""
+        import os
+        import shutil
+
+        from pitchvis_tpu.runtime.checkpoint import restore_server, save_server_state
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        path = str(tmp_path / "ckpt")
+        server = StreamServer(2, small_params, buffer_seconds=1.0)
+        server.push(0, np.full(512, 0.05, np.float32))
+        server.step(dt=1.0 / 60.0)
+        save_server_state(path, server)
+
+        # stale staging dir from a crashed save must not break the next one
+        os.makedirs(path + ".tmp/junk")
+        server.step(dt=1.0 / 60.0)
+        save_server_state(path, server)
+        assert not os.path.exists(path + ".tmp")
+        hops_at_save = server.stats["hops"]
+        server.close()
+        restored = restore_server(path)
+        assert restored.n_streams == 2
+        restored.close()
+        assert hops_at_save == 2
+
+        # a crash between _commit_dir's renames leaves only `.old`:
+        # restore must fall back to it
+        os.rename(path, path + ".old")
+        restored = restore_server(path)
+        assert restored.n_streams == 2
+        restored.close()
+        shutil.rmtree(path + ".old")
+
+        # an interrupted save (staging written, never committed) leaves the
+        # previous checkpoint untouched and loadable
+        with pytest.raises(FileNotFoundError):
+            restore_server(path)
+
+
 class TestPipelineCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path, small_params):
         import numpy as np
