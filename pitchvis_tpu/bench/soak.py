@@ -257,8 +257,13 @@ def soak_server(
         "hops": hops,
         "hops_per_s": round(hops / wall, 2),
         # per-hop charge (amortized when hops_per_call > 1)
-        "hop_p50_ms": round(times[len(times) // 2] * 1e3, 1),
-        "hop_p95_ms": round(times[int(len(times) * 0.95)] * 1e3, 1),
+        # a deadline that lapses before the first step leaves no timings
+        # (same guard soak_serve_loop's gaps get) — None, not IndexError,
+        # so the other legs' results still reach SOAK.json
+        "hop_p50_ms": round(times[len(times) // 2] * 1e3, 1) if times else None,
+        "hop_p95_ms": (
+            round(times[int(len(times) * 0.95)] * 1e3, 1) if times else None
+        ),
         "samples_ingested": sum(writes),
         "ingest_realtime_fraction": round(
             sum(writes) / (n_streams * sr * wall), 3

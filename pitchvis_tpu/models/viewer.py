@@ -309,22 +309,45 @@ def spectrogram_row_peaks(
 
     rotation = pitch_color_rotation(rng.buckets_per_octave)
 
+    brightness = jnp.clip((1.0 - (1.0 - peak_size / max_size) ** 2.0) * 1.5, 0.0, 1.0)
+    bucket = jnp.mod(peak_center + rotation, rng.buckets_per_octave)
+    rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
+
     rgba = jnp.zeros((n, 4))
-    # accumulate per peak via shifted writes: peaks live on bins, so iterate
-    # static offsets within the radius
-    for off in range(-int(PEAK_RADIUS) - 1, int(PEAK_RADIUS) + 2):
-        target = jnp.clip(rust_round(peak_center).astype(jnp.int32) + off, 0, n - 1)
-        distance = jnp.abs(target.astype(jnp.float32) - peak_center)
-        in_radius = peaks & (distance <= PEAK_RADIUS)
-        brightness = jnp.clip((1.0 - (1.0 - peak_size / max_size) ** 2.0) * 1.5, 0.0, 1.0)
+    # Pixel j is painted by the peak at source bin j-s whose bin window
+    # [floor(c-R), ceil(c+R)) contains j with |j-c| <= R (update.rs:1038-1046;
+    # centers sit within one bin of their source, ops/peaks.py enhance, so s
+    # spans [-(R+1), R+1]). The reference iterates peaks ASCENDING by center
+    # with overwrite (update.rs:1017-1058), so the highest in-radius peak
+    # wins every contested pixel: iterate s DESCENDING (= source bin
+    # ascending) with selects — defined winner everywhere, no scatter (a
+    # duplicate-index .at[].set left contested pixels undefined and an
+    # ascending-offset loop let the LOWER peak win).
+    radius = int(PEAK_RADIUS)
+    for s in range(radius + 1, -radius - 2, -1):
+
+        def shift(x):
+            y = jnp.roll(x, s, axis=0)
+            edge = (jnp.arange(n) < s) if s > 0 else (jnp.arange(n) >= n + s)
+            return jnp.where(edge if x.ndim == 1 else edge[:, None], 0.0, y)
+
+        src_peak = shift(peaks.astype(jnp.float32)) > 0.5
+        src_center = shift(peak_center)
+        distance = jnp.abs(idx - src_center)
+        # the reference's bin loop runs floor(c-R) .. ceil(c+R) EXCLUSIVE:
+        # when c+R is exactly integral that upper-edge bin is skipped even
+        # though its distance == R
+        valid = (
+            src_peak
+            & (distance <= PEAK_RADIUS)
+            & (idx < jnp.ceil(src_center + PEAK_RADIUS))
+        )
         falloff = jnp.exp(-distance * distance / (PEAK_RADIUS * PEAK_RADIUS * 0.5))
-        bucket = jnp.mod(peak_center + rotation, rng.buckets_per_octave)
-        rgb = calculate_color(rng.buckets_per_octave, bucket, COLORS, GRAY_LEVEL, EASING_POW)
-        px = jnp.concatenate([rgb * 1.2, (brightness * falloff)[:, None] * 1.2], axis=-1)
-        # out-of-radius offsets DROP: writing 0 there would clobber pixels a
-        # nearer peak already wrote (peaks can sit ~2.5-3 bins apart)
-        write = jnp.where(peaks & in_radius, target, n)
-        rgba = rgba.at[write].set(px, mode="drop")
+        px = jnp.concatenate(
+            [shift(rgb) * 1.2, (shift(brightness) * falloff)[:, None] * 1.2],
+            axis=-1,
+        )
+        rgba = jnp.where(valid[:, None], px, rgba)
     # clamp then truncate, like the reference's `as u8` (update.rs:1052-1058)
     return jnp.floor(jnp.clip(rgba * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
@@ -350,7 +373,6 @@ def bass_spiral(
     cylinders, setup.rs:134-137)."""
     n_segments = bass_cylinder_count(rng.octaves)
     bpo = rng.buckets_per_octave
-    n = rng.n_buckets
 
     has_peak = jnp.any(peaks)
     # lowest peak via masked reduction, not a data-dependent gather (the
@@ -431,7 +453,6 @@ class CalmnessGraphState(struct.PyTreeNode):
     def trace(self) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(values oldest->newest (capacity,), segment colors (capacity-1, 3)).
         Segment i's color keys off its OLDER endpoint, like update.rs:683-688."""
-        cap = self.values.shape[0]
         ordered = jnp.roll(self.values, -self.write_index)
         return ordered, calmness_to_color(ordered[:-1])
 

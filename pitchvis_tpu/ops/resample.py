@@ -38,9 +38,10 @@ def _design_prototype(l: int, m: int, taps_per_phase: int) -> np.ndarray:
         - 0.01168 * np.cos(6 * np.pi * np.arange(n_taps) / (n_taps - 1))
     )
     h = sinc * w
-    h *= cutoff  # normalize lowpass gain
-    h *= l  # compensate zero-stuffing
-    # normalize DC gain exactly: sum over each phase ~ 1
+    # exact DC normalization (sum over each phase ~ 1). This single rescale
+    # subsumes the textbook `h *= cutoff` (lowpass gain) and `h *= l`
+    # (zero-stuffing compensation) steps — any prior uniform scaling would
+    # be cancelled here, so none is applied.
     h /= np.sum(h) / l
     return h.astype(np.float64)
 

@@ -72,6 +72,15 @@ def _env(attack: float, decay: float, sustain_cb: int, release: float):
     ]
 
 
+# GM programs of the training timbres — the single source for both
+# _timbre_specs (which asserts against it) and build_midi_corpus's
+# defaults, so adding/renumbering a timbre cannot silently leave the
+# generated corpus unrepresentative of the font.
+TIMBRE_PROGRAMS = (0, 4, 19, 24, 32, 48, 52, 61, 73, 80)
+MELODY_PROGRAMS = (0, 4, 24, 61, 73, 80)  # lead-capable subset
+CHORD_PROGRAMS = (0, 19, 48, 52)  # pad/comping subset
+
+
 # (program, name, harmonic recipe, root_key, f0, envelope)
 # sustain is in centibels of attenuation (0 = full level).
 def _timbre_specs(rng) -> list[dict]:
@@ -93,6 +102,7 @@ def _timbre_specs(rng) -> list[dict]:
         (73, "flute", np.array([1.0, 0.18, 0.08, 0.03]), 69, _env(0.06, 0.3, 80, 0.2)),
         (80, "sqlead", odd * roll(0.4, 9)[: len(odd)], 57, _env(0.01, 0.4, 200, 0.1)),
     ]
+    assert tuple(s[0] for s in specs) == TIMBRE_PROGRAMS
     out = []
     for program, name, amps, root, env in specs:
         f0 = 440.0 * 2.0 ** ((root - 69) / 12.0)
@@ -205,9 +215,9 @@ def build_midi_corpus(
     deterministic for a given seed)."""
     from ..synth.midi import write_midi
 
-    programs = programs or [0, 4, 19, 24, 32, 48, 52, 61, 73, 80]
-    melody = [p for p in programs if p in (0, 4, 24, 73, 80, 61)] or programs
-    chords = [p for p in programs if p in (0, 19, 48, 52)] or programs
+    programs = programs or list(TIMBRE_PROGRAMS)
+    melody = [p for p in programs if p in MELODY_PROGRAMS] or programs
+    chords = [p for p in programs if p in CHORD_PROGRAMS] or programs
     os.makedirs(dir_path, exist_ok=True)
     paths = []
     for i in range(n_files):
@@ -241,10 +251,16 @@ def train_demo(
 
     if metrics_copy == "auto":
         # follow the recipe: a tuned library call must not overwrite the
-        # committed reference-hparams artifact
-        metrics_copy = (
-            "artifacts/TRAIN_DEMO_TUNED.json" if tuned else "artifacts/TRAIN_DEMO.json"
-        )
+        # committed reference-hparams artifact — and only demo-scale runs
+        # copy at all (a toy/smoke library call with a handful of files
+        # must not clobber the committed evidence artifacts either)
+        if n_files >= 420:
+            metrics_copy = (
+                "artifacts/TRAIN_DEMO_TUNED.json" if tuned
+                else "artifacts/TRAIN_DEMO.json"
+            )
+        else:
+            metrics_copy = None
     os.makedirs(out_dir, exist_ok=True)
     font_path = os.path.join(out_dir, "train_font.sf2")
     midi_dir = os.path.join(out_dir, "midi")
@@ -332,12 +348,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.reference_hparams and not args.full:
         ap.error("--reference-hparams only applies to --full (smaller runs "
                  "already default to the reference recipe)")
+    # preset flags fill in only values the user did NOT set explicitly
+    # (same default-vs-explicit pattern as --out below)
     if args.quick:
-        args.files, args.seconds, args.epochs = 4, 10.0, 2
+        if args.files == ap.get_default("files"):
+            args.files = 4
+        if args.seconds == ap.get_default("seconds"):
+            args.seconds = 10.0
+        if args.epochs == ap.get_default("epochs"):
+            args.epochs = 2
     if args.full:
-        args.files = 1535
+        if args.files == ap.get_default("files"):
+            args.files = 1535
         args.tuned = not args.reference_hparams
-        args.epochs = 32 if args.reference_hparams else 20
+        if args.epochs == ap.get_default("epochs"):
+            args.epochs = 32 if args.reference_hparams else 20
         if args.out == ap.get_default("out"):
             args.out = (
                 "artifacts/train_demo_full_ref"

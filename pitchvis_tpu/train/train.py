@@ -241,8 +241,15 @@ def load_checkpoint(path: str, cfg: TrainConfig):
     dirs = sorted(
         (d
          for d in os.listdir(path)
-         if d.startswith("model_") and not d.endswith("-tmp")),
+         if d.startswith("model_") and not d.endswith("-tmp")
+         and d.split("_", 1)[1].isdigit()),  # skip strays like "model_best"
         key=lambda d: int(d.split("_", 1)[1]),  # numeric: second- and
         # nanosecond-stamped names must not compare lexicographically
     )
+    if not dirs:
+        raise FileNotFoundError(
+            f"no model_<step> checkpoint under {path!r} (training may have "
+            "crashed before its first save; orbax staging dirs end in -tmp "
+            "and are skipped)"
+        )
     return ckpt.restore(os.path.join(os.path.abspath(path), dirs[-1]), template)

@@ -77,7 +77,14 @@ def warm(args) -> int:
         "from pitchvis_tpu.models.pipeline import StreamingPipeline\n"
         "a = sys.argv[1:]\n"
         "def opt(name, default=None):\n"
-        "    return a[a.index(name) + 1] if name in a else default\n"
+        "    for i, arg in enumerate(a):\n"
+        "        if arg == name:\n"
+        "            if i + 1 >= len(a):\n"
+        "                sys.exit(f'{name} needs a value')\n"
+        "            return a[i + 1]\n"
+        "        if arg.startswith(name + '='):\n"
+        "            return arg.split('=', 1)[1]\n"
+        "    return default\n"
         "n = int(opt('--streams', '512'))\n"
         "params = (VqtParameters(n_fft=2048, range=VqtRange(min_freq=220.0, octaves=3, buckets_per_octave=12))\n"
         "          if '--small' in a else VqtParameters())\n"
@@ -91,7 +98,8 @@ def warm(args) -> int:
         "pipe = StreamingPipeline(n, params, **kw)\n"
         "hop = int(params.sr / 60.0)\n"
         "t0 = time.perf_counter()\n"
-        "pipe.step(np.zeros((n, hop), np.float32), hop / params.sr)\n"
+        "out = pipe.step(np.zeros((n, hop), np.float32), hop / params.sr)\n"
+        "np.asarray(out.x_vqt.ravel()[0])  # element fetch: the repo's hard barrier rule\n"
         "print(f'warmed pipeline step ({n} streams, {kw[\"path\"]}'\n"
         "      f'{\", fast\" if kw[\"fast\"] else \"\"}): {time.perf_counter()-t0:.1f}s')\n"
         "# the StreamServer deployment shape uses a DIFFERENT program (the\n"

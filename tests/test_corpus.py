@@ -167,6 +167,13 @@ class TestTunedCli:
             corpus.train_demo(out_dir=str(tmp_path / f"t{tuned}"), tuned=tuned)
             assert os.path.exists(tmp_path / "artifacts" / name), name
 
+        # ...but a TOY-scale library call (n_files below demo scale) must
+        # NOT clobber the committed evidence artifacts
+        for p in (tmp_path / "artifacts").glob("*.json"):
+            p.unlink()
+        corpus.train_demo(out_dir=str(tmp_path / "toy"), n_files=4, tuned=False)
+        assert not list((tmp_path / "artifacts").glob("*.json"))
+
     def test_quick_and_full_mutually_exclusive(self, monkeypatch):
         """--quick --full would otherwise silently produce a hybrid run
         (full's 1535 files at quick's 10 s clips, no artifact copy)."""

@@ -323,6 +323,59 @@ class TestSpectrogram:
         assert row[30, 3] > row[31, 3] > row[32, 3]
         assert row[35, 3] == 0
 
+    def test_peaks_row_contested_pixel_highest_peak_wins(self):
+        """The reference iterates peaks ascending by center with overwrite
+        (update.rs:1017-1058), so where two peaks' splat radii overlap the
+        HIGHER peak paints the contested pixels — including when both
+        rounded centers coincide (2-bin spacing with converging +-1-bin
+        centers). A per-peak NumPy port of the reference loop is the oracle."""
+        from pitchvis_tpu.ops.colors import COLORS, GRAY_LEVEL, calculate_color
+        from pitchvis_tpu.models.viewer import (
+            EASING_POW, PEAK_RADIUS, pitch_color_rotation,
+        )
+
+        n = RANGE.n_buckets
+        rot = pitch_color_rotation(RANGE.buckets_per_octave)
+
+        def oracle(mask, center, size):
+            mx = max(float(size[mask].max()), 1e-30)
+            row = np.zeros((n, 4))
+            for b in np.where(mask)[0]:  # ascending = ascending center
+                c, s = float(center[b]), float(size[b])
+                bright = min(max((1.0 - (1.0 - s / mx) ** 2.0) * 1.5, 0.0), 1.0)
+                rgb = np.asarray(calculate_color(
+                    RANGE.buckets_per_octave,
+                    (c + rot) % RANGE.buckets_per_octave,
+                    COLORS, GRAY_LEVEL, EASING_POW,
+                ))
+                lo = max(int(np.floor(c - PEAK_RADIUS)), 0)
+                hi = min(int(np.ceil(c + PEAK_RADIUS)), n)
+                for j in range(lo, hi):
+                    d = abs(j - c)
+                    if d <= PEAK_RADIUS:
+                        fall = np.exp(-d * d / (PEAK_RADIUS * PEAK_RADIUS * 0.5))
+                        row[j, :3] = rgb * 1.2
+                        row[j, 3] = bright * fall * 1.2
+            return np.floor(np.clip(row * 255.0, 0.0, 255.0)).astype(np.uint8)
+
+        cases = [
+            (40, 40.9, 10.0, 42, 41.1, 20.0),  # rounded centers COINCIDE at 41
+            (40, 40.5, 25.0, 43, 42.6, 8.0),  # overlapping radii, distinct rounds
+            (40, 40.0, 10.0, 42, 42.0, 10.0),  # integral centers (ceil-exclusive edge)
+        ]
+        for bA, cA, sA, bB, cB, sB in cases:
+            mask = np.zeros(n, bool)
+            center = np.arange(n, dtype=np.float32)
+            size = np.zeros(n, np.float32)
+            mask[[bA, bB]] = True
+            center[bA], center[bB] = cA, cB
+            size[bA], size[bB] = sA, sB
+            got = np.asarray(spectrogram_row_peaks(
+                RANGE, jnp.asarray(mask), jnp.asarray(center), jnp.asarray(size)
+            ))
+            np.testing.assert_array_equal(got, oracle(mask, center, size),
+                                          err_msg=str((cA, cB)))
+
     def test_quantization_truncates_like_as_u8(self):
         """The reference clamps then casts `as u8` — truncation. Find a
         brightness whose float alpha has a fractional part > 0.6 and assert
