@@ -129,15 +129,26 @@ int32_t pv_rb_write_agc(void* handle, int64_t stream, const float* samples, int6
   const int64_t cap = bank->capacity;
   float gain = r.gain.load(std::memory_order_relaxed);
   const float inv = 1.0f / desired_rms;
-  for (int64_t i = 0; i < n; ++i) {
-    float x = samples[i] * gain;
-    r.buf[(head + i) % cap] = x;
-    if (!frozen) {
-      float y = x * x * inv;
-      float g = 1.0f + distortion * (1.0f - y);
-      if (g < distortion) g = distortion;
-      gain *= g;
+  // the AGC recurrence is sequential but the store address is not: index
+  // once per wrap segment instead of `% cap` per sample (the file-header
+  // rule — this is the default path of the batched capacity-scale ingest)
+  int64_t i = 0;
+  while (i < n) {
+    const int64_t idx = (int64_t)((head + (uint64_t)i) % (uint64_t)cap);
+    const int64_t seg = std::min<int64_t>(n - i, cap - idx);
+    float* dst = r.buf.data() + idx;
+    const float* src = samples + i;
+    for (int64_t k = 0; k < seg; ++k) {
+      float x = src[k] * gain;
+      dst[k] = x;
+      if (!frozen) {
+        float y = x * x * inv;
+        float g = 1.0f + distortion * (1.0f - y);
+        if (g < distortion) g = distortion;
+        gain *= g;
+      }
     }
+    i += seg;
   }
   r.gain.store(gain, std::memory_order_relaxed);
   r.head.store(head + n, std::memory_order_release);

@@ -34,6 +34,14 @@ class PitchMLP(nn.Module):
         (0, 1)."""
         if x.ndim == 2:
             x = x[:, None, :]
+        if x.shape[-1] != self.input_bins:
+            # every layer shape derives from the actual input, so a
+            # t_window/n_buckets mismatch would otherwise only surface as a
+            # cryptic Dense kernel-shape error when applying trained params
+            raise ValueError(
+                f"input has {x.shape[-1]} bins, model configured for "
+                f"{self.input_bins}"
+            )
         b = x.shape[0]
         # Conv1d(1, 16, k=5, s=2, p=0): flax conv is NWC
         h = jnp.transpose(x, (0, 2, 1))  # (B, L, 1)

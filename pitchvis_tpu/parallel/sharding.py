@@ -49,8 +49,9 @@ def make_multihost_mesh(axis_name: str = "dp", dcn_axis: str = "hosts") -> Mesh:
 
 
 def multihost_stream_sharding(mesh: Mesh) -> NamedSharding:
-    """Stream axis sharded over hosts x chips."""
-    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    """Stream axis sharded over hosts x chips — the multihost-named alias of
+    ``stream_sharding``'s default (one rule, two entry points)."""
+    return stream_sharding(mesh)
 
 
 def stream_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:

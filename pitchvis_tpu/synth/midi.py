@@ -68,6 +68,11 @@ def _parse_midi(data: bytes) -> MidiFile:
     if data[:4] != b"MThd":
         raise ValueError("not a MIDI file")
     hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    if fmt not in (0, 1):
+        # format 2 = independent patterns per track; merging them onto one
+        # absolute-tick timeline (what the loop below does) would play every
+        # pattern simultaneously — reject like other malformed inputs
+        raise ValueError(f"unsupported SMF format {fmt} (only 0/1)")
     if division & 0x8000:
         raise ValueError("SMPTE time division not supported")
     ticks_per_beat = division or 480

@@ -215,6 +215,10 @@ def generate_data_row(
 ) -> np.ndarray:
     """One flat (n_buckets + 128) row: VQT dB + binary attack targets
     (train.rs:443-460)."""
+    if len(x_vqt) != n_buckets:
+        # a wrong-width spectrum would silently produce misaligned flat
+        # rows that window_data later reshapes into garbage
+        raise ValueError(f"x_vqt has {len(x_vqt)} bins, expected {n_buckets}")
     targets = np.zeros(N_MIDI, np.float32)
     for key, attack in active_keys.items():
         if 0 <= key < N_MIDI:

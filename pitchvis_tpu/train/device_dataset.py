@@ -53,6 +53,9 @@ class NoteSchedule:
     decay: np.ndarray
     sustain: np.ndarray
     release: np.ndarray
+    # (K,) absolute seconds a voice is force-silenced by the 64-voice pool
+    # (inf = never evicted); see _polyphony_forced_ends
+    t_cut: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.t_on)
@@ -108,7 +111,36 @@ def schedule_from_midi(
     for i, r in enumerate(rows):
         h = r[4].harmonics[:MAX_HARMONICS]
         sched.harmonics[i, : len(h)] = h
+    if quantize_secs is not None:
+        sched.t_cut = _polyphony_forced_ends(sched, quantize_secs)
     return sched
+
+
+def _polyphony_forced_ends(
+    sched: NoteSchedule, block_secs: float, max_voices: int = 64
+) -> np.ndarray:
+    """Simulates synth/synthesizer.py's voice pool over the schedule:
+    ``note_on`` evicts the OLDEST live voice when the pool holds
+    ``MAX_VOICES=64`` (``voices.pop(0)``), and finished voices leave the
+    pool at the first block boundary STRICTLY after their envelope end
+    (``done()`` is checked after each rendered block). Returns per-note
+    absolute times the pool force-silences them (inf = never evicted) —
+    without this, dense files (>64 overlapping voices incl. release tails)
+    rendered different audio AND different labels on the device path than
+    the host additive synthesizer."""
+    order = np.argsort(sched.t_on, kind="stable")  # dispatch order
+    forced = np.full(len(sched), np.inf, np.float32)
+    live: list[tuple[float, int]] = []  # insertion-ordered (leave_time, idx)
+    for i in order:
+        t = float(sched.t_on[i])
+        live = [(d, j) for (d, j) in live if d > t]
+        if len(live) >= max_voices:
+            _, j = live.pop(0)
+            forced[j] = t
+        env_end = float(sched.t_off[i]) + float(sched.release[i])
+        leave = (math.floor(env_end / block_secs) + 1) * block_secs
+        live.append((leave, int(i)))
+    return forced
 
 
 def _envelope(t_rel, released_rel, attack, decay, sustain, release):
@@ -132,20 +164,23 @@ DEFAULT_MASTER_GAIN = 0.18
 
 
 def _render_core(
-    t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release,
+    t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release, t_cut,
     n_samples: int, sr: float, master_gain: float,
 ) -> jax.Array:
     """Shared synthesis body ((K,) note arrays -> (n_samples,) f32 mono):
     ADSR envelope x band-limited harmonic stack x velocity, summed over
     notes. The single implementation behind both render_schedule_device and
     the fused _render_agc_jit (previously duplicated; a fix in one copy
-    would silently not apply to the other)."""
+    would silently not apply to the other). ``t_cut`` (K,) absolute seconds
+    force-silences evicted voices (the host pool's pop(0), see
+    _polyphony_forced_ends)."""
     t = jnp.arange(n_samples, dtype=jnp.float32) / sr  # (T,)
     t_rel = t[None, :] - t_on[:, None]  # (K, T)
     env = _envelope(
         t_rel, (t_off - t_on)[:, None], attack[:, None], decay[:, None],
         sustain[:, None], release[:, None],
     )
+    env = jnp.where(t[None, :] < t_cut[:, None], env, 0.0)
     nyq = sr / 2.0
     wave = jnp.zeros_like(t_rel)
     for h in range(MAX_HARMONICS):
@@ -172,6 +207,11 @@ def render_schedule_device(
         jnp.asarray(sched.decay),
         jnp.asarray(sched.sustain),
         jnp.asarray(sched.release),
+        jnp.asarray(
+            sched.t_cut
+            if sched.t_cut is not None
+            else np.full(len(sched), np.inf, np.float32)
+        ),
         n_samples, sr, master_gain,
     )
 
@@ -201,37 +241,40 @@ def agc_signal_device(
 
 def active_keys_at(sched: NoteSchedule, t: float, agc_gain: float) -> dict[int, float]:
     """Host-side label extraction at time t (train.rs:318-338 semantics:
-    per-voice gain = velocity/127 * envelope, max per key, times AGC gain)."""
+    per-voice gain = velocity/127 * envelope, max per key, times AGC gain).
+    Vectorized over the note table (the per-note Python loop dominated
+    wall-clock on large files: O(total_notes) per capture); pool-evicted
+    voices (t >= t_cut) are excluded like the host's get_active_voices."""
+    t_rel = t - sched.t_on.astype(np.float64)
+    rel_rel = (sched.t_off - sched.t_on).astype(np.float64)
+    release = sched.release.astype(np.float64)
+    alive = (t_rel >= 0) & (t_rel <= rel_rel + release)
+    if sched.t_cut is not None:
+        alive &= t < sched.t_cut
+    if not alive.any():
+        return {}
+    attack = sched.attack.astype(np.float64)
+    decay = sched.decay.astype(np.float64)
+    sustain = sched.sustain.astype(np.float64)
+    env = np.where(
+        t_rel < attack,
+        t_rel / np.maximum(attack, 1e-5),
+        np.where(
+            t_rel < attack + decay,
+            1.0 - (1.0 - sustain) * (t_rel - attack) / np.maximum(decay, 1e-5),
+            sustain,
+        ),
+    )
+    tr = t_rel - rel_rel
+    env = np.where(tr > 0, env * np.maximum(1.0 - tr / np.maximum(release, 1e-5), 0.0), env)
+    gain = sched.velocity.astype(np.float64) / 127.0 * env * agc_gain
     out: dict[int, float] = {}
-    for i in range(len(sched)):
-        t_rel = t - float(sched.t_on[i])
-        if t_rel < 0:
-            continue
-        rel_rel = float(sched.t_off[i] - sched.t_on[i])
-        if t_rel > rel_rel + float(sched.release[i]):
-            continue
-        env = _env_host(
-            t_rel, rel_rel, float(sched.attack[i]), float(sched.decay[i]),
-            float(sched.sustain[i]), float(sched.release[i]),
-        )
-        gain = float(sched.velocity[i]) / 127.0 * env * agc_gain
+    for i in np.nonzero(alive)[0]:
         key = int(sched.key[i])
-        if gain > out.get(key, -1.0):
-            out[key] = gain
+        g = float(gain[i])
+        if g > out.get(key, -1.0):
+            out[key] = g
     return out
-
-
-def _env_host(t_rel, released_rel, attack, decay, sustain, release):
-    if t_rel < attack:
-        env = t_rel / max(attack, 1e-5)
-    elif t_rel < attack + decay:
-        env = 1.0 - (1.0 - sustain) * (t_rel - attack) / max(decay, 1e-5)
-    else:
-        env = sustain
-    tr = t_rel - released_rel
-    if tr > 0:
-        env *= max(1.0 - tr / max(release, 1e-5), 0.0)
-    return env
 
 
 import functools
@@ -239,14 +282,14 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "sr", "chunk"))
 def _render_agc_jit(
-    t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release,
+    t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release, t_cut,
     *, n_samples: int, sr: float, chunk: int,
 ):
     """One compiled program: render the full signal + AGC it + per-chunk
     gains. Note arrays are padded to a static bucket (vel=0 rows silent)."""
     sig = _render_core(
         t_on, t_off, freq, vel, harmonics, attack, decay, sustain, release,
-        n_samples, sr, DEFAULT_MASTER_GAIN,
+        t_cut, n_samples, sr, DEFAULT_MASTER_GAIN,
     )
 
     def step(gain, c):
@@ -303,6 +346,7 @@ def annotate_midi_device(
         jnp.asarray(pad(sched.decay, 1.0)),
         jnp.asarray(pad(sched.sustain)),
         jnp.asarray(pad(sched.release, 1.0)),
+        jnp.asarray(pad(sched.t_cut, np.inf)),
         n_samples=n_samples, sr=float(sr), chunk=chunk,
     )
     gains = np.asarray(gains)
@@ -312,17 +356,17 @@ def annotate_midi_device(
     if not capture_chunks:
         return []
 
-    # windows ending at each capture chunk boundary (ring starts zeroed)
-    proc_host = np.asarray(processed)
-    padded = np.concatenate([np.zeros(params.n_fft, np.float32), proc_host])
-    windows = np.stack([padded[c * chunk : c * chunk + params.n_fft] for c in capture_chunks])
+    # windows ending at each capture chunk boundary (ring starts zeroed) —
+    # the same slicing + pow2-bucketed VQT the host path uses (shared
+    # helpers; this code previously duplicated both)
+    from ..synth.engine_native import windows_from_stream
+    from .dataset import _batched_specs
 
-    bucket = max(64, 1 << (len(windows) - 1).bit_length())
-    if bucket != len(windows):
-        windows = np.concatenate(
-            [windows, np.zeros((bucket - len(windows), params.n_fft), np.float32)]
-        )
-    specs = np.asarray(vqt.calculate_vqt_batch_in_db(windows))[: len(capture_chunks)]
+    windows = windows_from_stream(
+        np.asarray(processed), len(capture_chunks),
+        chunk=chunk, step_chunks=step_size_in_chunks, n_fft=params.n_fft,
+    )
+    specs = _batched_specs(vqt, windows)
 
     # labels: previous capture's snapshot (train.rs:317-347)
     out = []

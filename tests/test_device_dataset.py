@@ -81,6 +81,43 @@ class TestDeviceRender:
         assert err.mean() < 2e-3
         assert np.corrcoef(dev, host)[0, 1] > 0.99
 
+    def test_polyphony_cap_matches_host(self, tmp_path):
+        """>64 concurrently-live voices: the host pool evicts the OLDEST at
+        note_on (synthesizer.py MAX_VOICES=64 pop(0)); the device render
+        must silence exactly the same voices (NoteSchedule.t_cut via
+        _polyphony_forced_ends) — without the cap, dense files rendered
+        different audio AND labels on the two paths."""
+        from pitchvis_tpu.train.device_dataset import active_keys_at
+
+        sr = 22050
+        notes = [(0.001 * i, 2.5, 0, 20 + i, 100) for i in range(80)]
+        path = str(tmp_path / "dense.mid")
+        write_midi(path, notes)
+        midi = load_midi(path)
+        n = int(sr * 3.0) // 64 * 64
+        sched = schedule_from_midi(midi, n / sr, quantize_secs=64 / sr)
+        # 80 simultaneous holds: notes 64..79 each evict one -> 16 forced
+        assert int(np.isfinite(sched.t_cut).sum()) == 16
+        dev = np.asarray(render_schedule_device(sched, n, float(sr)))
+
+        synth = Synthesizer(sr)
+        seq = MidiFileSequencer(synth)
+        seq.play(midi)
+        host = np.zeros(n, np.float32)
+        buf_r = np.zeros(n, np.float32)
+        seq.render(host, buf_r)
+
+        scale = max(float(np.abs(host).max()), 1e-9)
+        assert np.abs(dev - host).max() / scale < 1e-2
+        assert np.corrcoef(dev, host)[0, 1] > 0.999
+
+        # labels exclude the evicted voices, like get_active_voices()
+        active = active_keys_at(sched, 1.0, 1.0)
+        evicted = {20 + i for i in range(16)}
+        held = {20 + i for i in range(16, 80)}
+        assert not (set(active) & evicted)
+        assert held <= set(active)
+
     def test_empty_schedule(self):
         sched = schedule_from_midi(load_midi_empty(), 1.0)
         out = np.asarray(render_schedule_device(sched, 1024, 22050.0))
