@@ -43,10 +43,14 @@ def _commit_dir(tmp: str, path: str) -> None:
     previous good checkpoint or left a silently inconsistent
     mixed-generation directory."""
     old = path + ".old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
     if os.path.exists(path):
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         os.rename(path, old)
+    # When ``path`` is absent (a prior save crashed between the renames and
+    # only ``path.old`` survives), install the new generation BEFORE touching
+    # ``path.old`` — clearing it first would leave a window with zero
+    # loadable checkpoints.
     os.rename(tmp, path)
     if os.path.isdir(old):
         shutil.rmtree(old)

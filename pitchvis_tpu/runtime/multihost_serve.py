@@ -202,7 +202,7 @@ def main(argv=None) -> int:
     # assertion below aborts startup for path="pallas". Inside shard_map each
     # device serves its local stream slice, collective-free by construction
     # (the time path too; the assertion stays as belt and braces).
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     if global_streams % mesh.size:
         raise SystemExit(
@@ -257,8 +257,6 @@ def main(argv=None) -> int:
     # --- aggregated bench line (the ONLY cross-host reduction; off the hot
     # path): all-gather each host's step rate, process 0 reports the cluster
     local_rate = np.array([steps * local_streams / elapsed], np.float64)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     gathered = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("hosts")), local_rate, global_shape=(n_hosts,)
     )

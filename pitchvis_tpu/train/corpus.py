@@ -372,16 +372,23 @@ def main(argv: list[str] | None = None) -> int:
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # The committed artifacts are evidence of runs at a stated scale; a
+    # downsized run (explicit --files below the preset's corpus size) keeps
+    # its own out_dir/metrics.json but must not clobber them.
     metrics_copy = None
     if not args.quick:
         if args.full and args.reference_hparams:
-            metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE_REF.json"
+            if args.files >= 1535:
+                metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE_REF.json"
         elif args.full:
-            metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE.json"
-        elif args.tuned:
-            metrics_copy = "artifacts/TRAIN_DEMO_TUNED.json"
-        else:
-            metrics_copy = "artifacts/TRAIN_DEMO.json"
+            if args.files >= 1535:
+                metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE.json"
+        elif args.files >= 420:
+            metrics_copy = (
+                "artifacts/TRAIN_DEMO_TUNED.json"
+                if args.tuned
+                else "artifacts/TRAIN_DEMO.json"
+            )
     report = train_demo(
         out_dir=args.out,
         n_files=args.files,

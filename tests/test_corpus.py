@@ -117,6 +117,32 @@ class TestTunedCli:
         assert corpus.main(["--full", "--out", "/tmp/elsewhere"]) == 0
         assert calls[-1]["out_dir"] == "/tmp/elsewhere"
 
+    def test_downscaled_runs_do_not_clobber_artifacts(self, monkeypatch):
+        """An explicit --files below the preset's corpus size keeps its own
+        out_dir metrics but must not overwrite the committed evidence
+        artifacts (they state results at a specific scale)."""
+        from pitchvis_tpu.train import corpus
+
+        calls = []
+
+        def fake_train_demo(**kw):
+            calls.append(kw)
+            return {"n_frames": 1, "metrics": {"f1_micro": 0.0, "accuracy": 0.0}}
+
+        monkeypatch.setattr(corpus, "train_demo", fake_train_demo)
+        assert corpus.main(["--full", "--files", "8"]) == 0
+        assert calls[-1]["n_files"] == 8
+        assert calls[-1]["metrics_copy"] is None
+        assert corpus.main(["--full", "--reference-hparams", "--files", "8"]) == 0
+        assert calls[-1]["metrics_copy"] is None
+        assert corpus.main(["--files", "4"]) == 0
+        assert calls[-1]["metrics_copy"] is None
+        assert corpus.main(["--tuned", "--files", "4"]) == 0
+        assert calls[-1]["metrics_copy"] is None
+        # at or above the preset scale the copy still happens
+        assert corpus.main(["--full", "--files", "2000"]) == 0
+        assert calls[-1]["metrics_copy"] == "artifacts/TRAIN_DEMO_FULLSCALE.json"
+
     def test_full_reference_hparams(self, monkeypatch):
         """--full --reference-hparams keeps the reference recipe at full
         scale (32 epochs, tuned off, REF artifact); it is rejected without

@@ -1010,6 +1010,48 @@ class TestIngestResampling:
         server.close()
 
 
+class TestCommitDir:
+    def test_fallback_generation_never_destroyed_early(self, tmp_path):
+        """When only ``path.old`` survives a crashed save (the recovery
+        state _commit_dir exists for), the next commit must install the new
+        generation BEFORE clearing the fallback — at every rmtree of the
+        fallback a loadable ``path`` must already exist."""
+        import os
+        import shutil as _shutil
+
+        from pitchvis_tpu.runtime import checkpoint
+
+        path = str(tmp_path / "ckpt")
+        old, tmp = path + ".old", path + ".tmp"
+        for d in (old, tmp):
+            os.makedirs(d)
+            with open(os.path.join(d, "meta.json"), "w") as f:
+                f.write("{}")
+
+        real_rmtree = _shutil.rmtree
+        observed = []
+
+        def guarded(p, *a, **kw):
+            if os.path.abspath(str(p)) == os.path.abspath(old):
+                observed.append(os.path.exists(path))
+            return real_rmtree(p, *a, **kw)
+
+        orig = checkpoint.shutil.rmtree
+        checkpoint.shutil.rmtree = guarded
+        try:
+            checkpoint._commit_dir(tmp, path)
+            # and the ordinary path-exists case keeps the same invariant
+            os.makedirs(tmp)
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                f.write("{}")
+            checkpoint._commit_dir(tmp, path)
+        finally:
+            checkpoint.shutil.rmtree = orig
+        assert observed and all(observed)
+        assert os.path.isdir(path) and not os.path.isdir(old)
+        assert not os.path.isdir(tmp)
+
+
 class TestServerCheckpoint:
     """Restart drill (round-3 verdict item 8): a StreamServer checkpoint
     must carry the native ring audio, write positions, AGC gains, and
