@@ -50,11 +50,64 @@ def _run_sweep(repeats: int) -> None:
         json.dump(sweep, f, indent=1)
 
 
+# configs whose metric improves DOWNWARD (everything else: higher = better)
+_LOWER_IS_BETTER = {"latency"}
+# throttle-aware floor: this host's identical ops vary ~2x between burst
+# windows (docs/PERFORMANCE.md), so the gate fails only BEYOND that
+# envelope — best-of-N under 0.4x the committed median (latency: over 2.5x)
+# is real rot, not noise
+_CHECK_FLOOR = 0.4
+
+
+def _check(repeats: int) -> int:
+    """`bench.py --check` (also `xtask bench --check`): the regression
+    gate. Re-runs every committed BENCH_SWEEP.json config and fails (exit
+    1) on any beyond-throttle-envelope regression, so a perf rot in the
+    pallas kernel or the serving chain cannot land silently."""
+    from pitchvis_tpu.bench.configs import ALL_CONFIGS
+
+    with open("BENCH_SWEEP.json") as f:
+        committed = json.load(f)
+    failures = []
+    for key, ref in committed.items():
+        fn = ALL_CONFIGS.get(key)
+        if fn is None:
+            print(json.dumps({"config": key, "check": "skipped",
+                              "reason": "config no longer exists"}))
+            continue
+        values = [fn()["value"] for _ in range(repeats)]
+        lower = key in _LOWER_IS_BETTER
+        best = min(values) if lower else max(values)
+        ratio = (ref["value"] / best) if lower else (best / ref["value"])
+        ok = ratio >= _CHECK_FLOOR
+        print(json.dumps({
+            "config": key, "check": "pass" if ok else "FAIL",
+            "committed": ref["value"], "best_of_n": best,
+            "ratio_vs_committed": round(ratio, 3), "floor": _CHECK_FLOOR,
+            "unit": ref.get("unit"),
+        }))
+        if not ok:
+            failures.append(key)
+    if failures:
+        print(json.dumps({"check": "FAIL", "regressed": failures}))
+        return 1
+    print(json.dumps({"check": "pass", "configs": len(committed)}))
+    return 0
+
+
 def main() -> None:
     from pitchvis_tpu.bench.configs import ALL_CONFIGS, bench_offline_vqt
     from pitchvis_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if "--check" in sys.argv:
+        repeats = (
+            int(sys.argv[sys.argv.index("--repeats") + 1])
+            if "--repeats" in sys.argv
+            else 2
+        )
+        sys.exit(_check(repeats))
 
     if "--config" in sys.argv:
         name = sys.argv[sys.argv.index("--config") + 1]

@@ -560,6 +560,7 @@ def bench_render(
             out = jax.vmap(
                 lambda ba, bs, sc: _render_frame_impl(
                     cfg, rng_cfg, st.background, st.bass_idx, st.bass_cov,
+                    st.text_premul, st.text_a,
                     ba, bs, sc, t,
                 )
             )(balls, bass, scene_calm)

@@ -290,6 +290,7 @@ def soak_serve_loop(
     fast: bool = True,
     reset_every_s: float = 5.0,
     hops_per_dispatch: int = 1,
+    publish: str = "latest",
     leg: str = "serve_loop",
 ) -> dict:
     """Self-driving-loop leg: ``StreamServer.serve()`` owns the dispatch
@@ -312,8 +313,11 @@ def soak_serve_loop(
     threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
     # compile the program the LOOP will dispatch before pacing starts (the
-    # throughput mode runs step_multi, a different jitted program)
-    if hops_per_dispatch > 1:
+    # multi-hop modes run step_multi variants, different jitted programs)
+    if publish == "per_hop":
+        out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
+        out = __import__("jax").tree.map(lambda a: a[-1], out)
+    elif hops_per_dispatch > 1:
         out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0)
     else:
         out, _ = server.step(dt=1.0 / 60.0)
@@ -331,7 +335,9 @@ def soak_serve_loop(
     last_seq = 0
     t_start = time.monotonic()
     advanced0 = server.stats["advanced"]  # exclude the compile hop
-    loop = server.serve(rate_hz=rate_hz, hops_per_dispatch=hops_per_dispatch)
+    loop = server.serve(
+        rate_hz=rate_hz, hops_per_dispatch=hops_per_dispatch, publish=publish
+    )
     try:
         while time.monotonic() < deadline:
             nxt = loop.wait_next(seq=last_seq, timeout=30.0)
@@ -374,6 +380,7 @@ def soak_serve_loop(
         "path": path,
         "fast": fast,
         "hops_per_dispatch": hops_per_dispatch,
+        "publish": publish,
         "wall_s": round(wall, 1),
         # audio actually advanced through analysis per stream-second of wall
         "served_realtime_fraction": round(
@@ -410,6 +417,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--capacity-hops-per-call", type=int, default=16)
     ap.add_argument("--loop-streams", type=int, default=512)
     ap.add_argument("--loop-throughput-hops", type=int, default=16)
+    ap.add_argument("--loop-cadenced-hops", type=int, default=8)
     ap.add_argument("--minutes", type=float, default=3.0)
     ap.add_argument("--out", default="artifacts/SOAK.json")
     ap.add_argument("--skip-server", action="store_true")
@@ -472,9 +480,22 @@ def main(argv: list[str] | None = None) -> int:
                 leg="serve_loop_throughput",
             )
             print(json.dumps(report["serve_loop_throughput"]), flush=True)
+            # cadenced interactive mode: publish="per_hop" — one fused k-hop
+            # dispatch, ONE barrier, every hop published on its own grid
+            # slot, so 60 device-complete hops/s hold through a tunnel whose
+            # round-trip exceeds the hop period (runtime/loop.py::
+            # _run_cadenced; the round-5 interactive-cadence fix)
+            report["serve_loop_cadenced"] = soak_serve_loop(
+                args.loop_streams, args.minutes,
+                hops_per_dispatch=args.loop_cadenced_hops,
+                publish="per_hop",
+                leg="serve_loop_cadenced",
+            )
+            print(json.dumps(report["serve_loop_cadenced"]), flush=True)
         else:
             report["serve_loop"] = {"skipped": "native library unavailable"}
             report["serve_loop_throughput"] = {"skipped": "native library unavailable"}
+            report["serve_loop_cadenced"] = {"skipped": "native library unavailable"}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

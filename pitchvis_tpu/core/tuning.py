@@ -18,11 +18,12 @@ from .config import AnalysisParameters, VqtParameters
 
 REBUILD_DEBOUNCE_SECS = 2.0  # common.rs:1105-1165
 
-# clamp ranges from common.rs:916-1058
+# clamp ranges from common.rs:916-1102
 VQT_CLAMPS: dict[str, tuple[float, float]] = {
     "quality": (0.5, 5.0),
     "gamma": (0.0, 30.0),
     "sparsity_quantile": (0.9, 0.9999),
+    "n_fft": (4096, 131072),  # stepped by powers of two (common.rs:975-999)
 }
 
 ANALYSIS_CLAMPS: dict[str, tuple[float, float]] = {
@@ -34,6 +35,12 @@ ANALYSIS_CLAMPS: dict[str, tuple[float, float]] = {
     "highest_bassnote": (12, 60),
     "vqt_smoothing_calmness_min": (0.1, 2.0),
     "vqt_smoothing_calmness_max": (0.5, 5.0),
+    # durations in seconds (the reference clamps milliseconds,
+    # common.rs:1033-1102)
+    "vqt_smoothing_duration_base": (0.0, 0.5),
+    "note_calmness_smoothing_duration": (0.1, 10.0),
+    "scene_calmness_smoothing_duration": (0.1, 5.0),
+    "tuning_inaccuracy_smoothing_duration": (0.1, 10.0),
     # reference quirk preserved: analysis.rs:37-39 documents this field as
     # "currently unused within this crate (the spectrogram display in the
     # viewer keeps its own history buffer)" — here too (demo/_FrameRenderer
@@ -83,6 +90,8 @@ class ParameterTuner:
         cur = _get_nested(self._pending_vqt or self.vqt_params, field)
         new = (cur + delta) if delta is not None else value
         new = min(max(new, lo), hi)
+        if isinstance(cur, int):
+            new = int(new)
         self._pending_vqt = _set_nested(self._pending_vqt or self.vqt_params, field, new)
         self._last_vqt_change = self._clock()
         return new

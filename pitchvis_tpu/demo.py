@@ -188,6 +188,27 @@ def main(argv=None) -> int:
         "pace (requires the native runtime)",
     )
     parser.add_argument(
+        "--tune",
+        action="store_true",
+        help="with --serve --loop: interactive live tuning from the "
+        "terminal (the reference viewer's digit+/-/reset keymap, "
+        "common.rs:847-1165): digits 1-9 select a parameter combo, +/- "
+        "step it, / resets it, r resets all, s toggles spectrogram mode, "
+        "q quits; VQT changes rebuild the kernel 2 s after the last "
+        "keystroke (reads /dev/tty, so it works alongside stdin audio)",
+    )
+    parser.add_argument(
+        "--hops-per-dispatch",
+        type=int,
+        default=1,
+        metavar="K",
+        help="with --loop: cadenced serving (publish='per_hop') — each "
+        "dispatch fuses K hops on-device and the loop publishes every hop "
+        "on its own 1/fps grid slot, paying one transport round-trip per K "
+        "hops (the interactive mode for networked devices; adds ~K/fps of "
+        "display latency)",
+    )
+    parser.add_argument(
         "--path",
         default="time",
         choices=["time", "freq", "pallas"],
@@ -497,13 +518,64 @@ def _serve_with_loop(
             done.set()
 
     prod = threading.Thread(target=producer, daemon=True)
-    loop = server.serve(rate_hz=args.fps)
+    k = max(1, int(getattr(args, "hops_per_dispatch", 1)))
+    loop = server.serve(
+        rate_hz=args.fps,
+        hops_per_dispatch=k,
+        publish="per_hop" if k > 1 else "latest",
+    )
     prod.start()
+
+    # --tune: raw-mode /dev/tty keystrokes -> ParameterTuner -> debounced
+    # server.rebuild()/retune_analysis() swaps, live during the serve loop
+    # (the reference's keyboard tuning + rebuild_vqt_system debounce,
+    # common.rs:847-1165)
+    keytuner = tty_restore = None
+    if getattr(args, "tune", False):
+        from .core.tuning import ParameterTuner
+        from .io.keytune import KeyTuner, open_tty_raw, run_reader
+
+        tty_fd, tty_restore = open_tty_raw()
+        if tty_fd is None:
+            print("--tune: no controlling terminal; tuning disabled", file=sys.stderr)
+        else:
+            keytuner = KeyTuner(ParameterTuner(server.vqt_params, server.analysis_params))
+            threading.Thread(
+                target=run_reader,
+                args=(tty_fd, keytuner),
+                kwargs=dict(on_status=lambda s: print(f"[tune] {s}", file=sys.stderr)),
+                daemon=True,
+            ).start()
+
+    def pump_tuner():
+        """Applies settled tuner changes to the live server (call once per
+        consumed hop — the debounce makes this cheap)."""
+        if keytuner is None:
+            return False
+        if keytuner.quit:
+            return True
+        ap = keytuner.take_retuned_analysis()
+        if ap is not None:
+            print("[tune] recompiling with new analysis parameters", file=sys.stderr)
+            server.retune_analysis(ap)
+        try:
+            vp = keytuner.tuner.take_rebuilt()
+        except Exception as e:  # invalid combo: tuner already queued defaults
+            print(f"[tune] rebuild failed, resetting to defaults: {e}", file=sys.stderr)
+            vp = None
+        if vp is not None:
+            print(f"[tune] rebuilding kernel (Q={vp.quality:.2f}, gamma={vp.gamma:.2f}, "
+                  f"n_fft={vp.n_fft})", file=sys.stderr)
+            server.rebuild(vp)
+        return False
+
     last = 0
     drain_check = None  # (advanced, time) snapshot once the producer is done
     settle_left = None  # published hops to serve after the ring drains
     try:
         while True:
+            if pump_tuner():  # tuner requested quit
+                break
             trip = loop.wait_next(seq=last, timeout=0.5)
             if trip is not None:
                 last, raw, _gains = trip
@@ -552,6 +624,8 @@ def _serve_with_loop(
     finally:
         loop.stop()
         prod.join(timeout=10)
+        if tty_restore is not None:
+            tty_restore()
         if led_out is not None:
             led_out.close()
         if renderer is not None:

@@ -6,7 +6,12 @@ log-spiral of 588 "pitch balls" shaded by `noisy_color_rings_2d.wgsl`, a
 spider net, a bass spiral, and HDR bloom. That GUI stack is platform glue —
 but the *image* it produces is math, and this module computes it as one
 batched, jittable JAX program so the framework can serve rendered frames
-(thousands of streams' visualizations per chip) with no GPU/windowing stack.
+with no GPU/windowing stack — measured at a few dozen concurrent realtime
+60 FPS 360p displays per chip (`bench.py --config render` is the
+reproducible number; the per-frame bottleneck is the K-patch ball
+composite). Analysis itself scales to thousands of streams; rendering is
+the display-rate consumer path for the streams somebody is watching
+(render_streams).
 
 Faithful pieces (exact formulas, cited):
 * scene layout: camera `FixedVertical { viewport_height: 38*0.41421357 }`
@@ -25,15 +30,22 @@ Faithful pieces (exact formulas, cited):
 * shading happens in LINEAR color space (Bevy converts `Color::srgb*`
   uniforms to LinearRgba before upload); sRGB encode happens at the end.
 
-Approximated pieces (documented, no bit-contract — the reference's own
-output here is GPU/driver-dependent):
-* bloom: Bevy's mip-chain bloom (setup.rs:367-377: additive, prefilter
-  threshold 0.17 / softness 0.82, intensity = 1.3*scene_calmness from
-  update.rs:336-351) is approximated by a soft-threshold brightpass and a
-  3-level Gaussian pyramid.
-* tonemapping: `Tonemapping::SomewhatBoringDisplayTransform` is
-  approximated by luminance-Reinhard.
-* pitch-name Text2d glyphs (setup.rs:386-416) are not rasterized.
+* post-processing, ported from the published implementations behind the
+  reference's camera components (the crates are Bevy's, not vendored in
+  the reference tree, so the port is pinned by this repo's own pixel
+  goldens rather than a GPU capture): the full mip-chain bloom
+  (bevy_core_pipeline bloom: 13-tap Jimenez downsample pyramid at the
+  512-high internal resolution, soft-threshold prefilter 0.17/0.82, 3x3
+  tent upsampling, compute_blend_factor per-mip weights for the
+  reference's Additive settings, setup.rs:367-377) — expressed as
+  separable MXU matmul pairs (see `_resample_matrix`), and
+  `Tonemapping::SomewhatBoringDisplayTransform` (Stachowiak's SBDT as
+  shipped in Bevy's tonemapping.wgsl, setup.rs:358).
+* the pitch-name Text2d ring (setup.rs:386-416): DejaVuSans glyphs (the
+  same typeface the reference ships) baked into a committed atlas
+  (models/glyph_atlas.py) and composited as a static layer. Known
+  layout-metric deviation (<0.5 px): Bevy's 1.2 em line box vs FreeType's
+  ascent+descent (see glyph_atlas.py docstring).
 
 This is a DISPLAY-RATE stage (it runs per rendered frame, not per analysis
 hop); it deliberately uses a sorted `lax.scan` with per-ball dynamic patch
@@ -72,9 +84,17 @@ NET_COLOR = (0.3, 0.3, 0.3)  # setup.rs:200/220
 NET_THICKNESS = 0.05  # setup.rs:197/215
 BASS_WIDTH = 0.05  # setup.rs:159 — Rectangle::new(0.05, h + 0.01)
 BASS_END_EXTENSION = 0.005  # the h + 0.01 overhang, half per end
-# setup.rs:367-377 — Bloom prefilter
-BLOOM_THRESHOLD = 0.17
-BLOOM_SOFTNESS = 0.82
+# setup.rs:367-377 — the reference's Bloom component settings
+BLOOM_THRESHOLD = 0.17  # prefilter.threshold
+BLOOM_SOFTNESS = 0.82  # prefilter.threshold_softness
+BLOOM_LF_BOOST = 1.0  # low_frequency_boost
+BLOOM_LF_CURVATURE = 1.0  # low_frequency_boost_curvature
+BLOOM_HIGH_PASS = 0.52  # high_pass_frequency
+# bevy_core_pipeline bloom internals: the pyramid runs at a fixed internal
+# resolution capped at 512 px high (MAX_MIP_DIMENSION), mip count
+# ilog2(512).max(2) - 1 = 8
+BLOOM_MAX_MIP_DIMENSION = 512
+BLOOM_MIP_COUNT = 8
 
 
 def srgb_to_linear(c):
@@ -257,6 +277,7 @@ class RenderConfig:
     with_bloom: bool = True
     with_net: bool = True
     with_bass: bool = True
+    with_pitch_names: bool = True
     clear_color: tuple = CLEAR_COLOR
 
     @classmethod
@@ -264,13 +285,17 @@ class RenderConfig:
         """Config for a SettingsState.visuals_mode: Galaxy uses the galaxy
         clear color (update.rs:908-916) and hides the bass spiral
         (update_bass_spiral's Galaxy early-out, update.rs:374-376);
-        zen/full/performance use the neutral clear color. (Performance
-        additionally shrinks balls 0.7x — that lives in
-        viewer.update_balls(ball_scale_factor=0.7), not here.)"""
+        zen/full/performance use the neutral clear color. Pitch names show
+        in Full and Performance only (show_hide_pitch_names,
+        update.rs:871-885). (Performance additionally shrinks balls 0.7x —
+        that lives in viewer.update_balls(ball_scale_factor=0.7), not
+        here.)"""
         mode = str(getattr(visuals_mode, "value", visuals_mode)).lower()
         if mode == "galaxy":
             kw.setdefault("clear_color", CLEAR_COLOR_GALAXY)
             kw.setdefault("with_bass", False)
+        if mode not in ("full", "performance"):
+            kw.setdefault("with_pitch_names", False)
         return cls(**kw)
 
     @property
@@ -315,10 +340,68 @@ def _segment_coverage(xs, ys, p0, p1, half_width, aa):
     return np.clip((half_width + 0.5 * aa - d) / aa, 0.0, 1.0)
 
 
+def _scale_bitmap(cov_u8: np.ndarray, s: float):
+    """Downscale a u8 coverage bitmap by factor ``s`` (< 1) with area-ish
+    quality: 2x box reductions while the remaining factor is below 0.5,
+    then one bilinear resample to the exact target size. Returns
+    ``(coverage [0,1], a, b)`` where original pixel coordinate p maps to
+    output coordinate ``a*p + b`` (needed to place the glyph center)."""
+    cov = cov_u8.astype(np.float32) / 255.0
+    a, b = 1.0, 0.0
+    while s < 0.5:
+        h2, w2 = cov.shape[0] // 2 * 2, cov.shape[1] // 2 * 2
+        cov = cov[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+        a, b = a / 2.0, (b - 0.5) / 2.0  # box reduce: p' = (p - 0.5) / 2
+        s *= 2.0
+    h_out = max(int(round(cov.shape[0] * (s))), 1)
+    w_out = max(int(round(cov.shape[1] * (s))), 1)
+    yi = (np.arange(h_out) + 0.5) / s - 0.5
+    xi = (np.arange(w_out) + 0.5) / s - 0.5
+    y0 = np.clip(np.floor(yi).astype(np.int64), 0, cov.shape[0] - 1)
+    y1 = np.clip(y0 + 1, 0, cov.shape[0] - 1)
+    x0 = np.clip(np.floor(xi).astype(np.int64), 0, cov.shape[1] - 1)
+    x1 = np.clip(x0 + 1, 0, cov.shape[1] - 1)
+    fy = np.clip(yi - y0, 0.0, 1.0)[:, None].astype(np.float32)
+    fx = np.clip(xi - x0, 0.0, 1.0)[None, :].astype(np.float32)
+    out = (
+        cov[y0][:, x0] * (1 - fy) * (1 - fx)
+        + cov[y0][:, x1] * (1 - fy) * fx
+        + cov[y1][:, x0] * fy * (1 - fx)
+        + cov[y1][:, x1] * fy * fx
+    )
+    # bilinear stage: p'' = (p' + 0.5) * s - 0.5
+    return out, a * s, (b + 0.5) * s - 0.5
+
+
+def _stamp_bitmap(premul, alpha, cov, rgb_linear, row0: float, col0: float):
+    """Alpha-composites a coverage bitmap (top-left at float raster coords
+    (row0, col0)) into the premultiplied layer arrays in place, with
+    bilinear subpixel placement and edge clipping."""
+    ri, rf = int(np.floor(row0)), row0 - np.floor(row0)
+    ci, cf = int(np.floor(col0)), col0 - np.floor(col0)
+    pad = np.pad(cov, ((1, 1), (1, 1)))
+    shifted = (
+        pad[1:, 1:] * (1 - rf) * (1 - cf)
+        + pad[1:, :-1] * (1 - rf) * cf
+        + pad[:-1, 1:] * rf * (1 - cf)
+        + pad[:-1, :-1] * rf * cf
+    )[: cov.shape[0] + 1, : cov.shape[1] + 1]
+    h, w = shifted.shape
+    hp, wp = alpha.shape[0], alpha.shape[1]
+    r0, c0 = max(ri, 0), max(ci, 0)
+    r1, c1 = min(ri + h, hp), min(ci + w, wp)
+    if r1 <= r0 or c1 <= c0:
+        return
+    sub = shifted[r0 - ri : r1 - ri, c0 - ci : c1 - ci, None]
+    premul[r0:r1, c0:c1] = rgb_linear * sub + premul[r0:r1, c0:c1] * (1.0 - sub)
+    alpha[r0:r1, c0:c1] = sub + alpha[r0:r1, c0:c1] * (1.0 - sub)
+
+
 class SceneStatics:
     """Precomputed per-(config, range) raster data: the linear-space
-    background (clear color + spider net) and the bass-spiral segment index
-    map (nearest cylinder per pixel, -1 where none) + coverage."""
+    background (clear color + spider net), the bass-spiral segment index
+    map (nearest cylinder per pixel, -1 where none) + coverage, and the
+    static pitch-name overlay layer."""
 
     def __init__(self, cfg: RenderConfig, rng: VqtRange):
         xs, ys = _pixel_grid(cfg)
@@ -377,10 +460,72 @@ class SceneStatics:
                 bass_idx[take] = i
                 bass_cov[take] = c[take]
 
+        # -- pitch-name ring (setup.rs:386-416): 12 static Text2d entities,
+        # DejaVuSans 40px scaled 0.02, centered on the outermost 12 visual-
+        # spiral points squashed by (0.85 + 0.025*|x|), colored with the
+        # pitch-class palette; z=-0.02 puts them in front of the balls.
+        # Baked from the committed glyph atlas into a premultiplied layer.
+        self.text_premul = self.text_a = None
+        if cfg.with_pitch_names:
+            layer = self._pitch_name_layer(cfg, rng, xs, ys)
+            if layer is not None:
+                self.text_premul = jnp.asarray(layer[0])
+                self.text_a = jnp.asarray(layer[1])
+
         self.background = jnp.asarray(background)
         self.bass_idx = jnp.asarray(bass_idx)
         self.bass_cov = jnp.asarray(bass_cov)
         self.n_cylinders = n_cyl
+
+    @staticmethod
+    def _pitch_name_layer(cfg: RenderConfig, rng: VqtRange, xs, ys):
+        """Rasterizes the 12 pitch-name glyphs into one premultiplied
+        (rgb, alpha) overlay layer, or None if the committed atlas is
+        missing."""
+        from ..ops.colors import COLORS
+        from .glyph_atlas import ATLAS_FONT_PX, REFERENCE_FONT_PX, load_atlas
+        from .viewer import bin_to_spiral
+
+        atlas = load_atlas()
+        if atlas is None:
+            import warnings
+
+            warnings.warn(
+                "pitch-name atlas missing; run "
+                "`python -m pitchvis_tpu.models.glyph_atlas` to regenerate",
+                stacklevel=2,
+            )
+            return None
+        hp, wp = cfg.padded_height, cfg.padded_width
+        H, W = cfg.height, cfg.width
+        s = cfg.pixel_size
+        # raster px per atlas px: Text2d scale 0.02 applied to the 40px
+        # font, atlas rendered at ATLAS_FONT_PX
+        scale = 0.02 * (REFERENCE_FONT_PX / ATLAS_FONT_PX) / s
+        # outermost 12 points of the (octaves, 12) spiral (setup.rs:395-397)
+        tx, ty = bin_to_spiral(
+            12, np.arange((rng.octaves - 1) * 12, rng.octaves * 12, dtype=np.float32)
+        )
+        tx, ty = np.asarray(tx), np.asarray(ty)
+        premul = np.zeros((hp, wp, 3), np.float32)
+        alpha = np.zeros((hp, wp, 1), np.float32)
+        for idx in range(12):
+            pitch_idx = (idx + 12 - 3) % 12  # setup.rs:398
+            x, y = tx[idx], ty[idx]
+            squash = 0.85 + 0.025 * abs(x)  # setup.rs:401
+            x, y = x * squash, y * squash
+            bitmap, center = atlas[pitch_idx]
+            cov, a_lin, b_off = _scale_bitmap(bitmap, scale)
+            # glyph layout-box center -> raster pixel position
+            col_c = x / s + (W - 1) / 2.0
+            row_c = (H - 1) / 2.0 - y / s
+            col0 = col_c - (a_lin * float(center[0]) + b_off)
+            row0 = row_c - (a_lin * float(center[1]) + b_off)
+            _stamp_bitmap(premul, alpha, cov,
+                          np.asarray(srgb_to_linear(
+                              np.asarray(COLORS[pitch_idx], np.float32))),
+                          row0, col0)
+        return premul, alpha
 
 
 @lru_cache(maxsize=8)
@@ -388,43 +533,187 @@ def make_scene(cfg: RenderConfig, rng: VqtRange) -> SceneStatics:
     return SceneStatics(cfg, rng)
 
 
-def _bloom(img, intensity, cfg: RenderConfig):
-    """Approximation of Bevy's additive mip-chain bloom (setup.rs:367-377):
-    soft-threshold brightpass -> 3-level Gaussian pyramid -> add scaled by
-    intensity (= 1.3*scene_calmness, update.rs:346-347)."""
-    knee = BLOOM_THRESHOLD * BLOOM_SOFTNESS
-    lum = jnp.max(img, axis=-1, keepdims=True)
-    soft = jnp.clip(lum - BLOOM_THRESHOLD + knee, 0.0, 2.0 * knee)
-    soft = soft * soft / (4.0 * knee + 1e-5)
-    scale = jnp.maximum(soft, lum - BLOOM_THRESHOLD) / jnp.maximum(lum, 1e-5)
-    bright = img * scale
+def _resample_matrix(n_out: int, n_in: int, taps, texel_offsets=True) -> np.ndarray:
+    """1-D clamp-to-edge bilinear resampling operator M (n_out, n_in):
+    ``M @ x`` equals GPU-sampler bilinear sampling of x at every output
+    pixel center, summed over ``taps`` = [(offset, weight), ...]. Offsets
+    are in SOURCE texels (``texel_offsets=True``, the WGSL
+    ``textureSample(..., offset)`` convention) or source-texture UV units.
+    Expressing the taps as dense operators turns the whole bloom pyramid
+    into pairs of small matmuls (one per axis) — the MXU-native form of the
+    GPU's bilinear-sampler passes, bit-faithful per tap."""
+    m = np.zeros((n_out, n_in), np.float64)
+    for off, w in taps:
+        o = off if texel_offsets else off * n_in
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5 + o
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        i1 = np.clip(i0 + 1, 0, n_in - 1)
+        i0 = np.clip(i0, 0, n_in - 1)
+        np.add.at(m, (np.arange(n_out), i0), w * (1.0 - frac))
+        np.add.at(m, (np.arange(n_out), i1), w * frac)
+    return m.astype(np.float32)
 
-    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
 
-    def blur(x):
-        xpad = jnp.pad(x, ((2, 2), (0, 0), (0, 0)), mode="edge")
-        x = sum(k[i] * xpad[i : i + x.shape[0]] for i in range(5))
-        xpad = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
-        return sum(k[i] * xpad[:, i : i + x.shape[1]] for i in range(5))
+def _bloom_mip_sizes(view_w: int, view_h: int):
+    """bevy_core_pipeline bloom texture sizing: internal height capped at
+    MAX_MIP_DIMENSION (512), width scaled to keep the viewport aspect,
+    BLOOM_MIP_COUNT mips halving from there."""
+    w0 = max(int(round(view_w * BLOOM_MAX_MIP_DIMENSION / view_h)), 1)
+    return [
+        (max(w0 >> i, 1), max(BLOOM_MAX_MIP_DIMENSION >> i, 1))
+        for i in range(BLOOM_MIP_COUNT)
+    ]
 
-    acc = jnp.zeros_like(img)
-    level = bright
-    h, w = cfg.padded_height, cfg.padded_width
-    for factor in (2, 4, 8):
-        lh, lw = max(h // factor, 1), max(w // factor, 1)
-        level = jax.image.resize(level, (lh, lw, 3), "linear")
-        level = blur(level)
-        acc = acc + jax.image.resize(level, (h, w, 3), "linear")
-    return img + acc * (intensity / 3.0)
+
+# The 13-tap downsample filter (Jimenez SIGGRAPH 2014, as shipped in Bevy's
+# bloom downsampling shader): center/edge/corner weights 0.125/0.0625/
+# 0.03125 on the +-2 texel grid plus 0.125 on each +-1 diagonal. Both tap
+# groups factor exactly into per-axis 1-D kernels (the +-1 group:
+# sqrt(0.125) per axis tap; the +-2 group: 4:2:1 weights scaling to
+# 0.03125 at the corners), which is what makes the matmul form exact.
+_DOWN_INNER_1D = [(-1.0, math.sqrt(0.125)), (1.0, math.sqrt(0.125))]
+_DOWN_OUTER_1D = [
+    (-2.0, math.sqrt(0.03125)),
+    (0.0, 2.0 * math.sqrt(0.03125)),
+    (2.0, math.sqrt(0.03125)),
+]
+
+
+@lru_cache(maxsize=8)
+def _bloom_ops(view_w: int, view_h: int):
+    """Per-(view size) static operator matrices for the bloom pyramid:
+    downsample pairs (inner + outer 13-tap groups) and tent-upsample pairs
+    per mip transition. Numpy at trace time; baked into the jit as
+    constants."""
+    sizes = [(view_w, view_h)] + _bloom_mip_sizes(view_w, view_h)
+    down = []
+    for (w_in, h_in), (w_out, h_out) in zip(sizes[:-1], sizes[1:]):
+        # numpy (NOT jnp): this cache outlives jit traces, and device
+        # arrays created inside a trace would leak tracers; einsum embeds
+        # numpy operands as constants
+        down.append(tuple(
+            (
+                _resample_matrix(h_out, h_in, taps),
+                _resample_matrix(w_out, w_in, taps).T,
+            )
+            for taps in (_DOWN_INNER_1D, _DOWN_OUTER_1D)
+        ))
+    # upsampling tent: 0.004 UV radius, x scaled by the viewport aspect
+    # ratio (Bevy's uniforms.aspect), weights (0.25, 0.5, 0.25) per axis
+    aspect = view_w / view_h
+    up = []
+    for (w_in, h_in), (w_out, h_out) in zip(sizes[::-1][:-1], sizes[::-1][1:]):
+        taps_y = [(-0.004, 0.25), (0.0, 0.5), (0.004, 0.25)]
+        taps_x = [(-0.004 / aspect, 0.25), (0.0, 0.5), (0.004 / aspect, 0.25)]
+        up.append((
+            _resample_matrix(h_out, h_in, taps_y, texel_offsets=False),
+            _resample_matrix(w_out, w_in, taps_x, texel_offsets=False).T,
+        ))
+    return down, up
+
+
+def _apply_pair(x, pair):
+    """(H_in, W_in, 3) -> (H_out, W_out, 3) via the separable operator pair
+    (two dense matmuls per channel batch — MXU work, f32)."""
+    my, mxT = pair
+    h_out, w_out = my.shape[0], mxT.shape[1]
+    y = jnp.einsum("oh,hwc->owc", my, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("owc,wp->opc", y, mxT, precision=jax.lax.Precision.HIGHEST)
+
+
+def _bloom_blend_factor(intensity, mip: float, max_mip: float):
+    """Bevy's compute_blend_factor for the reference's settings
+    (setup.rs:367-377: low_frequency_boost 1.0, curvature 1.0, high-pass
+    0.52, Additive). curvature=1.0 makes the boost exponent infinite:
+    (1 - mip/max)^inf is 1.0 at mip 0 and 0.0 beyond (IEEE pow), so
+    lf_boost is exactly 0 for mip 0 and 1.0 for every deeper mip — the
+    composite weight is `intensity` at the finest mip and
+    (intensity + 1) * high_pass(mip) below."""
+    frac = mip / max_mip
+    # (1 - frac)^(1/(1-curvature)) with curvature=1.0: pow(base, +inf) is
+    # 1.0 iff base == 1.0 (i.e. mip 0), else 0.0 (IEEE 754 pow semantics,
+    # matching Rust f32::powf)
+    powed = 1.0 if frac <= 0.0 else 0.0
+    lf_boost = (1.0 - powed) * BLOOM_LF_BOOST  # Additive: no (1-I) scaling
+    high_pass = 1.0 - min(max((frac - BLOOM_HIGH_PASS) / BLOOM_HIGH_PASS, 0.0), 1.0)
+    return (intensity + lf_boost) * high_pass
+
+
+def _bloom(img, intensity, view_w: int, view_h: int):
+    """Bevy's mip-chain bloom (bevy_core_pipeline/src/bloom, the
+    implementation behind the reference's Bloom component,
+    setup.rs:367-377), computed as MXU matmul pairs:
+
+    * 13-tap downsample pyramid at the fixed 512-high internal resolution,
+      first level clamped to [1e-4, 3.4e38] and soft-thresholded with the
+      published knee curve (threshold 0.17, softness 0.82),
+    * 3x3 tent upsampling (0.004 UV radius, aspect-corrected),
+    * per-mip composite weights from compute_blend_factor (intensity +
+      low-frequency boost, high-pass rolloff), applied through one
+      accumulating upsample chain so each pyramid level contributes
+      exactly its documented weight, Additive composite into the view.
+
+    ``intensity`` is driven per frame as 1.3 * scene_calmness
+    (update.rs:336-351). ``img`` is the VISIBLE (unpadded) linear view."""
+    down, up = _bloom_ops(view_w, view_h)
+
+    # -- downsample first: 13-tap from the view + clamp + soft threshold ----
+    (inner, outer) = down[0]
+    m0 = _apply_pair(img, inner) + _apply_pair(img, outer)
+    m0 = jnp.clip(m0, 1e-4, 3.40282347e38)
+    knee = BLOOM_THRESHOLD * min(max(BLOOM_SOFTNESS, 0.0), 1.0)
+    brightness = jnp.max(m0, axis=-1, keepdims=True)
+    softness = jnp.clip(brightness - (BLOOM_THRESHOLD - knee), 0.0, 2.0 * knee)
+    softness = softness * softness * (0.25 / (knee + 0.00001))
+    contribution = jnp.maximum(brightness - BLOOM_THRESHOLD, softness)
+    contribution = contribution / jnp.maximum(brightness, 0.00001)
+    m0 = m0 * contribution
+
+    mips = [m0]
+    for pair2 in down[1:]:
+        inner, outer = pair2
+        mips.append(_apply_pair(mips[-1], inner) + _apply_pair(mips[-1], outer))
+
+    # -- upsample + composite: one accumulating tent chain ------------------
+    max_mip = float(BLOOM_MIP_COUNT - 1)
+    v = mips[-1] * _bloom_blend_factor(intensity, max_mip, max_mip)
+    for i, pair in enumerate(up[:-1]):
+        mip_idx = BLOOM_MIP_COUNT - 2 - i
+        v = _apply_pair(v, pair) + mips[mip_idx] * _bloom_blend_factor(
+            intensity, float(mip_idx), max_mip
+        )
+    return img + _apply_pair(v, up[-1])
 
 
 def _tonemap(img):
-    """Luminance Reinhard — stand-in for Bevy's
-    SomewhatBoringDisplayTransform (setup.rs:358)."""
-    lum = (
-        0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+    """Bevy's ``Tonemapping::SomewhatBoringDisplayTransform``
+    (setup.rs:358) — Tomasz Stachowiak's SBDT exactly as shipped in Bevy's
+    tonemapping.wgsl: luminance tonemapped by 1-exp(-v), bright saturated
+    colors desaturated toward luma via the BT.709 YCbCr chroma magnitude,
+    blended by bt^2, final 0.97 multiplier. Color grading is the identity
+    (the reference does not set any)."""
+    col = jnp.maximum(img, 0.0)
+    r, g, b = col[..., 0], col[..., 1], col[..., 2]
+    # rgb_to_ycbcr (BT.709 matrix, column-major in the WGSL)
+    y = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    cb = -0.1146 * r - 0.3854 * g + 0.5 * b
+    cr = 0.5 * r - 0.4542 * g - 0.0458 * b
+
+    def curve(v):
+        return 1.0 - jnp.exp(-v)
+
+    bt = curve(jnp.sqrt(cb * cb + cr * cr) * 2.4)
+    desat = jnp.maximum((bt - 0.7) * 0.8, 0.0)
+    desat = desat * desat
+    desat_col = col * (1.0 - desat[..., None]) + y[..., None] * desat[..., None]
+    tm_luma = curve(y)
+    tm0 = col * jnp.maximum(
+        0.0, tm_luma / jnp.maximum(1e-5, y)
     )[..., None]
-    return img / (1.0 + lum)
+    tm1 = curve(desat_col)
+    w = (bt * bt)[..., None]
+    return (tm0 * (1.0 - w) + tm1 * w) * 0.97
 
 
 class DebugInputs(struct.PyTreeNode):
@@ -608,9 +897,8 @@ def _chroma_boxes(cfg: RenderConfig, srgb_img, chroma):
 
     u = cfg.height / 720.0
     H, W = cfg.height, cfg.width
-    Hp, Wp = cfg.padded_height, cfg.padded_width
-    rows = jnp.arange(Hp, dtype=jnp.float32)[:, None]
-    cols = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(srgb_img.shape[0], dtype=jnp.float32)[:, None]
+    cols = jnp.arange(srgb_img.shape[1], dtype=jnp.float32)[None, :]
     for pc in range(12):
         left = (400.0 + 45.0 * pc) * u
         size = 40.0 * u
@@ -630,6 +918,7 @@ def _render_frame_impl(
     cfg: RenderConfig,
     rng: VqtRange,
     background, bass_idx, bass_cov,
+    text_rgb, text_a,
     balls: BallOutputs,
     bass: BassSpiralOutputs,
     scene_calmness,
@@ -713,17 +1002,24 @@ def _render_frame_impl(
 
     img, _ = jax.lax.scan(body, img, (start_i, start_j, patch_rgb, patch_a))
 
+    if text_rgb is not None:  # pitch-name ring at z=-0.02, over the balls
+        # the layer is premultiplied (glyphs over-composited at bake time)
+        img = text_rgb + img * (1.0 - text_a)
+
     if debug is not None:  # the spectrogram quad sits at z=5, above the balls
         img = _blit_spectrogram(cfg, rng, img, debug)
 
+    # bloom + tonemap run on the VISIBLE view (the padded rows/cols exist
+    # only for the ball composite's sublane alignment; Bevy's bloom sizes
+    # its pyramid from the camera viewport)
+    img = img[: cfg.height, : cfg.width]
     if cfg.with_bloom:
-        img = _bloom(img, bloom_intensity(scene_calmness), cfg)
+        img = _bloom(img, bloom_intensity(scene_calmness), cfg.width, cfg.height)
     img = _tonemap(img)
     srgb = linear_to_srgb(jnp.clip(img, 0.0, None))
     if debug is not None:  # chroma boxes are UI: post-tonemap, sRGB space
         srgb = _chroma_boxes(cfg, srgb, debug.chroma)
-    out = jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
-    return out[: cfg.height, : cfg.width]
+    return jnp.clip(jnp.round(srgb * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
 
 def render_frame(
@@ -746,6 +1042,7 @@ def render_frame(
         )
     return _render_frame_impl(
         cfg, rng, st.background, st.bass_idx, st.bass_cov,
+        st.text_premul, st.text_a,
         balls, bass, scene_calmness, time, debug,
     )
 
@@ -791,6 +1088,7 @@ def render_batch(
         fn = jax.vmap(
             lambda ba, bs, sc: _render_frame_impl(
                 cfg, rng, st.background, st.bass_idx, st.bass_cov,
+                st.text_premul, st.text_a,
                 ba, bs, sc, time,
             )
         )
@@ -798,6 +1096,7 @@ def render_batch(
     fn = jax.vmap(
         lambda ba, bs, sc, dbg: _render_frame_impl(
             cfg, rng, st.background, st.bass_idx, st.bass_cov,
+            st.text_premul, st.text_a,
             ba, bs, sc, time, dbg,
         )
     )

@@ -199,10 +199,24 @@ def _suppress_by_distance(
     """Greedy min-distance selection (scipy _select_by_peak_distance):
     among candidates, iteratively suppress any with an unsuppressed
     strictly-higher-priority candidate strictly within `distance` bins.
-    Priority = (height, index); larger index wins ties. (scipy's own tie
-    order is arbitrary — it argsorts priorities with an unstable quicksort —
-    so any deterministic tie-break is equally faithful; exact-tie clusters
-    are the only possible divergence from scipy.)
+    Priority = (height, index); larger index wins exact-height ties.
+
+    Tie-order audit (round-5 verdict item 6). The reference wraps the Rust
+    `find_peaks` crate v0.1.5 (reference Cargo.lock; used at
+    pitchvis_analysis/src/analysis_modules/peak_detection.rs:26-51), whose
+    distance filter is the same scipy-family greedy: process peaks from
+    highest to lowest priority, suppressing lower ones in range. For exact
+    ties both scipy (unstable introsort argsort) and the crate (Rust sort's
+    unspecified equal-key order) are deterministic-but-unspecified; this
+    implementation pins the one total order that is EXPRESSIBLE as a pure
+    elementwise rule — (height, index) lexicographic, larger index wins —
+    which equals greedy processing under a STABLE priority sort. The crate's
+    source is not vendored in the reference tree and this environment has no
+    cargo/network to fetch it (attempt recorded, ROADMAP.md), so the pin is
+    a checked fixture rather than a source-matched one:
+    tests/test_peaks.py::TestDistance::test_exact_tie_fixture pins 2-tie and
+    3-tie clusters (where scipy's small-array argsort happens to agree) and
+    fuzzes tie-heavy spectra against an independent stable-sort greedy.
 
     The greedy solution is the unique Jacobi fixpoint, reached in <= the
     longest decreasing-priority chain of overlapping candidates.

@@ -54,6 +54,7 @@ class ServeLoop:
         on_outputs=None,
         sync: str = "element",
         hops_per_dispatch: int = 1,
+        publish: str = "latest",
     ):
         if rate_hz <= 0:
             raise ValueError("rate_hz must be positive")
@@ -61,14 +62,22 @@ class ServeLoop:
             raise ValueError(f"sync must be 'element', 'host' or 'none', got {sync!r}")
         if hops_per_dispatch < 1:
             raise ValueError("hops_per_dispatch must be >= 1")
-        if hops_per_dispatch > 1 and server.ingest != "delta":
-            raise ValueError("hops_per_dispatch > 1 requires ingest='delta'")
+        if publish not in ("latest", "per_hop"):
+            raise ValueError(f"publish must be 'latest' or 'per_hop', got {publish!r}")
+        if (hops_per_dispatch > 1 or publish == "per_hop") and server.ingest != "delta":
+            raise ValueError(
+                "hops_per_dispatch > 1 / publish='per_hop' require ingest='delta'"
+            )
         self._server = server
         self._k = int(hops_per_dispatch)
-        # throughput mode dispatches k hops at a time; the deadline grid
+        # multi-hop modes dispatch k hops at a time; the deadline grid
         # spaces DISPATCHES so the audio cadence still averages rate_hz
         self._period = self._k / float(rate_hz)
-        self._pipelined = pipelined and self._k == 1
+        self._per_hop = publish == "per_hop"
+        self._pipelined = pipelined and self._k == 1 and not self._per_hop
+        # cadenced mode's one-deep dispatch overlap: window i-1's barrier +
+        # paced publishes run while window i computes on device
+        self._pipelined_multi = pipelined and self._per_hop
         self._sync = sync
         self._on_outputs = on_outputs
         self._cond = threading.Condition()
@@ -86,8 +95,12 @@ class ServeLoop:
         self._thread.start()
 
     # -- loop thread -----------------------------------------------------------
-    def _publish(self, outputs, gains) -> None:
-        outputs = self._synced(outputs)
+    def _publish(self, outputs, gains, synced: bool = False) -> None:
+        """``synced=True`` skips the per-publish barrier — the cadenced mode
+        barriers once per k-hop dispatch and then publishes device-complete
+        slices."""
+        if not synced:
+            outputs = self._synced(outputs)
         with self._cond:
             self._seq += 1
             self.stats["published"] = self._seq
@@ -113,30 +126,105 @@ class ServeLoop:
         np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])  # completion barrier
         return outputs
 
-    def _run(self) -> None:
+    def _run_latest(self) -> None:
+        """The original pacing loop: one publish per dispatch (k=1 single
+        hops, optionally pipelined; k>1 throughput mode publishing the
+        newest of each k-hop dispatch)."""
+        next_t = time.monotonic()
+        while not self._stop_evt.is_set():
+            if self._k > 1:
+                # throughput mode: k ingest-fed hops in ONE fused
+                # dispatch (the amortized step_multi program); the
+                # newest hop's outputs are published
+                result = self._server.step_multi(self._k)
+            else:
+                result = self._server.step(pipelined=self._pipelined)
+            self.stats["hops"] += self._k
+            if result is not None:  # None = pipelined priming hop
+                self._publish(*result)
+                if self._on_outputs is not None:
+                    self._on_outputs(*self._latest)
+            next_t += self._period
+            now = time.monotonic()
+            if now > next_t:
+                skipped = int((now - next_t) / self._period)
+                self.stats["skipped_deadlines"] += skipped
+                next_t += skipped * self._period
+            else:
+                self._stop_evt.wait(next_t - now)
+
+    def _run_cadenced(self) -> None:
+        """The CADENCED mode (``publish="per_hop"``): each dispatch is one
+        fused k-hop program (``step_multi(per_hop=True)``) whose per-hop
+        outputs come back stacked; the loop barriers ONCE per dispatch and
+        then publishes each hop on its own 1/rate_hz grid slot. The device
+        owns the audio clock for k hops at a time, so the interactive
+        cadence pays one transport round-trip per k hops instead of per hop
+        — through a networked tunnel whose round-trip exceeds the hop
+        period, this is what makes 60 device-complete published hops/s
+        reachable (the reference's every-frame in-process update cadence,
+        pitchvis_viewer/src/app/common.rs:2082-2118). Consumers see hops
+        k..2k-1 while hops 2k..3k-1 compute; end-to-end added latency is
+        ~one dispatch window (k/rate_hz) + the round-trip."""
+        hop_period = self._period / self._k
+        prev = None  # the previous window's async (outputs_k, gains_k)
+
+        def publish_window(outputs_k, gains_k, t_d):
+            # ONE barrier per k-hop dispatch, then each hop on its grid
+            # slot; a stop() request short-circuits the waits but still
+            # publishes the computed tail immediately (no ingested hop is
+            # lost)
+            outputs_k = self._synced(outputs_k)
+            for i in range(self._k):
+                if t_d is not None and not self._stop_evt.is_set():
+                    wait = t_d + (i + 1) * hop_period - time.monotonic()
+                    if wait > 0:
+                        self._stop_evt.wait(wait)
+                outputs = jax.tree.map(lambda a, i=i: a[i], outputs_k)
+                self._publish(outputs, gains_k[i], synced=True)
+                if self._on_outputs is not None:
+                    self._on_outputs(*self._latest)
+
         try:
             next_t = time.monotonic()
             while not self._stop_evt.is_set():
-                if self._k > 1:
-                    # throughput mode: k ingest-fed hops in ONE fused
-                    # dispatch (the amortized step_multi program); the
-                    # newest hop's outputs are published
-                    result = self._server.step_multi(self._k)
-                else:
-                    result = self._server.step(pipelined=self._pipelined)
+                t_d = next_t
+                # dispatch window i WITHOUT a barrier; when pipelined
+                # (default), window i-1's barrier + paced publishes then
+                # overlap window i's device compute, so the tunnel
+                # round-trip and the fused compute both hide inside the
+                # k/rate_hz publish window instead of preceding it
+                cur = self._server.step_multi(self._k, per_hop=True)
                 self.stats["hops"] += self._k
-                if result is not None:  # None = pipelined priming hop
-                    self._publish(*result)
-                    if self._on_outputs is not None:
-                        self._on_outputs(*self._latest)
+                if not self._pipelined_multi:
+                    publish_window(*cur, t_d)
+                elif prev is not None:
+                    publish_window(*prev, t_d)
+                prev = cur
                 next_t += self._period
                 now = time.monotonic()
                 if now > next_t:
                     skipped = int((now - next_t) / self._period)
-                    self.stats["skipped_deadlines"] += skipped
+                    self.stats["skipped_deadlines"] += skipped * self._k
                     next_t += skipped * self._period
                 else:
+                    # in pipelined steady state the final publish slot IS
+                    # next_t, so this wait is ~0; it paces the first
+                    # (publish-free) window and the non-pipelined early-done
+                    # case
                     self._stop_evt.wait(next_t - now)
+        finally:
+            # drain the in-flight window on exit so its ingested hops are
+            # published before _done wakes any waiter
+            if self._pipelined_multi and prev is not None:
+                publish_window(*prev, None)
+
+    def _run(self) -> None:
+        try:
+            if self._per_hop:
+                self._run_cadenced()
+            else:
+                self._run_latest()
         except BaseException as e:  # surfaced via stop()/wait_next()
             self.error = e
         finally:

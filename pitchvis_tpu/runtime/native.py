@@ -270,14 +270,24 @@ class NativeRingBank:
         self._lib.pv_rb_snapshot(self._handle, _fptr(out), _fptr(gains), window)
         return out, gains
 
-    def consume(self, n: int, max_lag: int = -1) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def consume(
+        self, n: int, max_lag: int = -1, out: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Delta-ingest read: the next `n` unconsumed samples per stream ->
         ((B, n) chunks, gains[B], advanced[B] bool). All-or-nothing per
         stream: a row with fewer than n unread samples stays put (zeros,
         advanced=False) so its device window freezes like a stalled
         snapshot. Backlogs beyond `max_lag` samples (-1 = ring capacity)
-        are skipped realtime-style."""
-        out = np.empty((self.n_streams, n), np.float32)
+        are skipped realtime-style.
+
+        ``out`` (a C-contiguous float32 (B, n) view) receives the chunks in
+        place — step_multi stages k hops into one (k, B, n) buffer without
+        a second copy per hop."""
+        if out is None:
+            out = np.empty((self.n_streams, n), np.float32)
+        else:
+            assert out.dtype == np.float32 and out.shape == (self.n_streams, n)
+            assert out.flags["C_CONTIGUOUS"]
         gains = np.empty(self.n_streams, np.float32)
         adv = np.empty(self.n_streams, np.uint8)
         self._lib.pv_rb_consume(

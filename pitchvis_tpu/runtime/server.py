@@ -360,10 +360,33 @@ class StreamServer:
             )
             return fused_delta(arrays, state, mlp, window, chunks[-1], advs[-1], dt_hop)
 
+        def fused_delta_multi_perhop(arrays, state, mlp, window, chunks, advs, dt_hop):
+            # The CADENCED serving variant: same K-hop scan, but every hop's
+            # packed outputs are stacked along a leading hop axis so the
+            # serve loop can publish them individually (outputs stay on
+            # device; a sync="element" publish fetches one scalar for the
+            # whole dispatch, and consumers slice per hop). This is how the
+            # interactive cadence stops paying one transport round-trip per
+            # hop: the device advances K hops of the audio clock
+            # autonomously inside one dispatch (the reference pays zero
+            # per-frame transport — its VQT runs in-process,
+            # pitchvis_viewer/src/vqt_system.rs:40-68).
+            def body(carry, inp):
+                state, window = carry
+                chunk, adv = inp
+                window = roll_window(window, chunk, adv)
+                x_vqt = vqt_db_auto(arrays, window, path=path)
+                state, packed = advance(state, x_vqt, mlp, dt_hop)
+                return (state, window), packed
+
+            (state, window), packed = jax.lax.scan(body, (state, window), (chunks, advs))
+            return state, window, packed
+
         if self.mesh is None:
             self._step_fn = jax.jit(fused)
             self._delta_fn = jax.jit(fused_delta)
             self._delta_multi_fn = jax.jit(fused_delta_multi)
+            self._delta_multi_perhop_fn = jax.jit(fused_delta_multi_perhop)
         else:
             # shard_map boundary: the Pallas kernel is a Mosaic custom call
             # GSPMD cannot split on its own (parallel/sharding.py has the
@@ -393,6 +416,14 @@ class StreamServer:
                 fused_delta_multi, mesh=mesh,
                 in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
                 out_specs=(batch, batch, batch), check_vma=False,
+            ))
+            # per-hop outputs carry the (K, B, ...) stacking: hop axis
+            # replicated, stream axis sharded — same spec as the staged
+            # chunks going in
+            self._delta_multi_perhop_fn = jax.jit(jax.shard_map(
+                fused_delta_multi_perhop, mesh=mesh,
+                in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
+                out_specs=(batch, batch, scan_batch), check_vma=False,
             ))
             self.arrays = replicate(mesh, self.arrays)
         self._host_dtype = None
@@ -489,6 +520,19 @@ class StreamServer:
                 # client's audio (delta mode never re-ships it)
                 self._window = self._put_batch(self._window.at[stream].set(0))
             self._resets_in_flight.add(int(stream))
+
+    def retune_analysis(self, analysis_params: AnalysisParameters) -> None:
+        """Swaps the analysis parameter set while serving — the analysis
+        half of live tuning. The reference applies these per frame
+        (common.rs:847-1102, plain resource mutation); here they are
+        jit-static fields of the fused programs, so the swap rebuilds the
+        dispatch plan (a recompile, cached per parameter set — which is why
+        the tuning frontend debounces analysis keystrokes the same 2 s as
+        VQT ones, io/keytune.py). State carries are shape-independent of
+        these parameters and persist."""
+        with self._state_lock:
+            self.analysis_params = analysis_params
+            self._refresh_dispatch()
 
     def rebuild(self, vqt_params: VqtParameters) -> None:
         """Swaps in a new VQT parameter set while serving — the live-tuning
@@ -671,14 +715,21 @@ class StreamServer:
                 "before stepping manually"
             )
 
-    def step_multi(self, k: int, dt: float | None = None):
+    def step_multi(self, k: int, dt: float | None = None, per_hop: bool = False):
         """``k`` hops in ONE fused dispatch (lax.scan over the hop axis) —
         the ingest-fed twin of ``pipeline_step_multi``: amortizes the
         per-dispatch transport round-trip for throughput deployments
         (>realtime catch-up, offline drains, batch re-analysis of buffered
         audio). Returns the LAST hop's (outputs, gains); every hop advances
         analysis time by hop/sr (the audio clock — ``dt`` only overrides
-        that pacing). Requires ingest="delta". Race rules match step()."""
+        that pacing). Requires ingest="delta". Race rules match step().
+
+        ``per_hop=True`` returns EVERY hop's outputs stacked along a
+        leading hop axis (plus ``gains`` as (k, B)) — the cadenced serving
+        mode (``serve(publish="per_hop")``): one dispatch, one transport
+        round-trip, k individually publishable device-complete hops.
+        Bit-exact vs k single ``step()`` calls at audio-clock pacing
+        (tests/test_runtime.py::TestCadencedServing)."""
         if self.ingest != "delta":
             raise RuntimeError("step_multi requires ingest='delta'")
         if k < 1:
@@ -686,18 +737,21 @@ class StreamServer:
         self._guard_manual_dispatch()
         hop_dt = (self._hop / self.vqt_params.sr) if dt is None else dt
         self._last_step = time.monotonic()
+        fn_attr = "_delta_multi_perhop_fn" if per_hop else "_delta_multi_fn"
         for _ in range(3):  # retried only if a rebuild lands mid-step
             arrays, params, state, fn, snap_len, host_dtype, window = (
-                self._capture("_delta_multi_fn")
+                self._capture(fn_attr)
             )
             if window is None or window.shape[1] != snap_len:
                 window = self._materialize_window(snap_len, host_dtype)
             chunks = np.empty((k, self.n_streams, self._hop), np.float32)
             advs = np.empty((k, self.n_streams), bool)
-            gains = None
+            gains_all = np.empty((k, self.n_streams), np.float32)
             for i in range(k):
-                chunks[i], gains, advs[i] = self.rings.consume(
-                    self._hop, self._max_lag
+                # consume writes the hop's chunks straight into the staging
+                # buffer's row (no second (B, hop) copy per hop)
+                _, gains_all[i], advs[i] = self.rings.consume(
+                    self._hop, self._max_lag, out=chunks[i]
                 )
             staged = chunks.astype(host_dtype) if host_dtype is not None else chunks
             n_adv = int(advs.sum())
@@ -711,7 +765,7 @@ class StreamServer:
                 self.stats["hops"] += k
                 self.stats["advanced"] += n_adv
                 self.stats["frozen"] += k * self.n_streams - n_adv
-                return outputs, gains
+                return outputs, (gains_all if per_hop else gains_all[-1])
         raise RuntimeError("rebuild storm: step_multi() could not complete")
 
     def step(self, pipelined: bool = False, dt: float | None = None):
@@ -749,6 +803,7 @@ class StreamServer:
         on_outputs=None,
         sync: str = "element",
         hops_per_dispatch: int = 1,
+        publish: str = "latest",
     ):
         """Starts the self-driving dispatch loop: a background analysis
         thread paces ``step(pipelined=...)`` at ``rate_hz`` and publishes
@@ -770,6 +825,13 @@ class StreamServer:
         multi-thousand-stream capacity is actually served), publishes the
         newest hop, and the deadline grid spaces dispatches k/rate_hz
         apart so the audio cadence still averages ``rate_hz``.
+        ``publish="per_hop"`` (with ``hops_per_dispatch=k``) is the
+        CADENCED mode: the same k-hop fused dispatch, but EVERY hop's
+        outputs come back stacked and the loop publishes each on its own
+        1/rate_hz grid slot after ONE barrier — 60 device-complete
+        published hops/s through a tunnel whose round-trip exceeds the
+        hop period, at the cost of ~k/rate_hz added display latency
+        (the interactive serving mode; runtime/loop.py::_run_cadenced).
         One loop per server; ``stop()`` (or the context manager) releases
         it. The control plane (push / reset_stream / rebuild / checkpoint)
         stays available while serving — step()'s existing race rules cover
@@ -789,7 +851,8 @@ class StreamServer:
             # dispatched; its own exit path always drains the slot)
             self._pending = None
             self._serve_loop = ServeLoop(
-                self, rate_hz, pipelined, on_outputs, sync, hops_per_dispatch
+                self, rate_hz, pipelined, on_outputs, sync, hops_per_dispatch,
+                publish,
             )
             return self._serve_loop
 

@@ -41,6 +41,14 @@ from ..synth.sf2 import (
 SR = 22050
 
 
+# Corpus-scale presets shared by train_demo's auto gate, the CLI preset
+# flags, and the committed-artifact guards below (advisor round-4: keep the
+# preset values and the guards from diverging silently).
+DEMO_SCALE_FILES = 420
+FULL_SCALE_FILES = 1535  # the reference's corpus size (train.py:31 scale)
+DEMO_SECONDS_PER_FILE = 60.0
+
+
 def _timecents(seconds: float) -> int:
     return int(round(1200.0 * np.log2(max(seconds, 1e-4))))
 
@@ -231,8 +239,8 @@ def build_midi_corpus(
 
 def train_demo(
     out_dir: str = "artifacts/train_demo",
-    n_files: int = 420,
-    seconds_per_file: float = 60.0,
+    n_files: int = DEMO_SCALE_FILES,
+    seconds_per_file: float = DEMO_SECONDS_PER_FILE,
     epochs: int = 32,
     n_workers: int = 2,
     seed: int = 0,
@@ -254,7 +262,7 @@ def train_demo(
         # committed reference-hparams artifact — and only demo-scale runs
         # copy at all (a toy/smoke library call with a handful of files
         # must not clobber the committed evidence artifacts either)
-        if n_files >= 420:
+        if n_files >= DEMO_SCALE_FILES and seconds_per_file >= DEMO_SECONDS_PER_FILE:
             metrics_copy = (
                 "artifacts/TRAIN_DEMO_TUNED.json" if tuned
                 else "artifacts/TRAIN_DEMO.json"
@@ -316,8 +324,8 @@ def train_demo(
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--out", default="artifacts/train_demo")
-    ap.add_argument("--files", type=int, default=420)
-    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--files", type=int, default=DEMO_SCALE_FILES)
+    ap.add_argument("--seconds", type=float, default=DEMO_SECONDS_PER_FILE)
     ap.add_argument("--epochs", type=int, default=32)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
@@ -359,7 +367,7 @@ def main(argv: list[str] | None = None) -> int:
             args.epochs = 2
     if args.full:
         if args.files == ap.get_default("files"):
-            args.files = 1535
+            args.files = FULL_SCALE_FILES
         args.tuned = not args.reference_hparams
         if args.epochs == ap.get_default("epochs"):
             args.epochs = 32 if args.reference_hparams else 20
@@ -373,17 +381,23 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_compilation_cache()
     # The committed artifacts are evidence of runs at a stated scale; a
-    # downsized run (explicit --files below the preset's corpus size) keeps
-    # its own out_dir/metrics.json but must not clobber them.
+    # downsized run (explicit --files/--seconds/--epochs below the preset's
+    # corpus scale) keeps its own out_dir/metrics.json but must not clobber
+    # them. Corpus scale is files x seconds, and epochs change the stated
+    # result too, so all three gate.
+    at_scale = (
+        args.seconds >= DEMO_SECONDS_PER_FILE
+        and args.epochs >= (8 if args.tuned else 32)
+    )
     metrics_copy = None
-    if not args.quick:
+    if not args.quick and at_scale:
         if args.full and args.reference_hparams:
-            if args.files >= 1535:
+            if args.files >= FULL_SCALE_FILES:
                 metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE_REF.json"
         elif args.full:
-            if args.files >= 1535:
+            if args.files >= FULL_SCALE_FILES:
                 metrics_copy = "artifacts/TRAIN_DEMO_FULLSCALE.json"
-        elif args.files >= 420:
+        elif args.files >= DEMO_SCALE_FILES:
             metrics_copy = (
                 "artifacts/TRAIN_DEMO_TUNED.json"
                 if args.tuned

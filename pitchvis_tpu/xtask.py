@@ -15,6 +15,13 @@ xtask/src/main.rs:14-39):
                                                # reference corpus scale)
     python -m pitchvis_tpu.xtask soak [args]   # sustained capacity soak with
                                                # churn + live rebuild
+    python -m pitchvis_tpu.xtask longhaul      # 30-60 min serving stability
+                                               # run (per-minute RSS/device
+                                               # memory/cadence; bench/longhaul.py)
+
+`bench --check` is the perf regression gate: re-runs every committed
+BENCH_SWEEP.json config and exits nonzero on any best-of-N result below
+0.4x the committed median (beyond the host's ~2x throttle envelope).
 """
 
 from __future__ import annotations
@@ -170,6 +177,10 @@ def main(argv=None) -> int:
         from .bench.soak import main as soak_main
 
         return soak_main(rest)
+    if cmd == "longhaul":
+        from .bench.longhaul import main as longhaul_main
+
+        return longhaul_main(rest)
     print(f"unknown task {cmd!r}")
     print(__doc__)
     return 2

@@ -329,6 +329,42 @@ class TestShardedStreamServer:
             assert not peaks[s].any()
         srv.close()
 
+    def test_sharded_cadenced_serve(self, small_params):
+        """publish="per_hop" over a mesh: the per-hop stacked program is
+        shard_map-partitioned (hop axis replicated, stream axis sharded)
+        and every published slice is finite with the right peaks."""
+        from pitchvis_tpu.parallel.sharding import make_mesh
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        mesh = make_mesh(8)
+        B = 8
+        f = small_params.range.min_freq * 2.0 ** (30.0 / small_params.range.buckets_per_octave)
+        sr = small_params.sr
+        srv = StreamServer(
+            B, small_params, buffer_seconds=2.0, path="pallas", fast=True,
+            mesh=mesh,
+        )
+        t = np.arange(int(sr * 1.2)) / sr
+        tone = (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        for s in range(0, B, 2):
+            srv.push(s, tone)
+        with srv.serve(
+            rate_hz=240.0, hops_per_dispatch=2, publish="per_hop"
+        ) as loop:
+            trip = loop.wait_next(seq=3, timeout=240.0)
+            assert trip is not None
+        assert loop.stats["published"] == loop.stats["hops"]
+        _seq, out, gains = loop.latest()
+        assert gains.shape == (B,)
+        peaks = np.asarray(out.peaks)
+        assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+        for s in (0, 2, 4, 6):
+            idx = np.where(peaks[s])[0]
+            assert len(idx) == 1 and abs(idx[0] - 30) <= 1
+        for s in (1, 3, 5, 7):
+            assert not peaks[s].any()
+        srv.close()
+
     def test_custom_axis_name_mesh(self, small_params):
         """The server's device placement must follow the mesh's actual axis
         names (shard_batch defaults to every mesh axis), not assume 'dp'."""

@@ -196,6 +196,66 @@ class TestDistance:
         np.testing.assert_array_equal(kept, want)
 
 
+class TestExactTieOrder:
+    """Pins the min-distance tie-break (higher index wins exact-height
+    ties == greedy under a STABLE priority sort) with explicit fixtures —
+    the round-5 verdict's audit item. The reference's find_peaks crate
+    (v0.1.5) has a deterministic-but-unspecified equal-key order and its
+    source is unavailable in this environment (see ops/peaks.py
+    _suppress_by_distance docstring), so OUR order is the contract."""
+
+    def _stable_greedy(self, x, cand, d):
+        """Independent oracle: scipy's greedy with a STABLE priority sort
+        (ties processed highest-index-first, matching the pinned rule)."""
+        idx = np.where(cand)[0]
+        order = sorted(idx, key=lambda i: (x[i], i), reverse=True)
+        alive = set(idx.tolist())
+        kept = []
+        for i in order:
+            if i not in alive:
+                continue
+            kept.append(i)
+            for j in list(alive):
+                if j != i and abs(j - i) < d:
+                    alive.discard(j)
+        return np.asarray(sorted(kept))
+
+    def test_exact_tie_fixture(self):
+        # 2-tie within distance: the HIGHER index survives
+        x = np.array([0, 5, 0, 5, 0], np.float32)
+        cand = local_maxima(jnp.asarray(x))
+        kept = np.where(np.asarray(_suppress_by_distance(cand, jnp.asarray(x), 3)))[0]
+        np.testing.assert_array_equal(kept, [3])
+        # 3-tie chain: the middle falls to the top one, the far one is out
+        # of its range and survives -> {1, 5}
+        x = np.array([0, 5, 0, 5, 0, 5, 0], np.float32)
+        cand = local_maxima(jnp.asarray(x))
+        kept = np.where(np.asarray(_suppress_by_distance(cand, jnp.asarray(x), 3)))[0]
+        np.testing.assert_array_equal(kept, [1, 5])
+        # on these small fixtures scipy's argsort happens to be stable, so
+        # the pinned order coincides with scipy's observed behavior too
+        for fx in ([0, 5, 0, 5, 0], [0, 5, 0, 5, 0, 5, 0]):
+            fx = np.asarray(fx, np.float32)
+            want, _ = scipy.signal.find_peaks(fx, distance=3)
+            got = np.where(np.asarray(_suppress_by_distance(
+                local_maxima(jnp.asarray(fx)), jnp.asarray(fx), 3)))[0]
+            np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_tie_heavy_fuzz_vs_stable_greedy(self, seed):
+        """Quantized spectra (many exact ties) against the independent
+        stable-sort greedy oracle, several distances."""
+        rng = np.random.default_rng(seed)
+        x = np.round(rng.uniform(0.0, 4.0, 120) * 2.0) / 2.0  # 0.5 dB grid
+        x = x.astype(np.float32)
+        cand = np.asarray(local_maxima(jnp.asarray(x)))
+        for d in (2, 3, 5):
+            kept = np.where(
+                np.asarray(_suppress_by_distance(jnp.asarray(cand), jnp.asarray(x), d))
+            )[0]
+            np.testing.assert_array_equal(kept, self._stable_greedy(x, cand, d))
+
+
 class TestFullPipeline:
     @pytest.mark.parametrize("seed", range(5))
     def test_matches_scipy_pipeline(self, seed):

@@ -1,6 +1,7 @@
 """Rasterizer tests (models/render.py vs noisy_color_rings_2d.wgsl math +
 display_system scene composition)."""
 
+import dataclasses
 import math
 
 import jax.numpy as jnp
@@ -29,6 +30,25 @@ from pitchvis_tpu.models.viewer import (
 
 RANGE = VqtRange(min_freq=55.0, octaves=3, buckets_per_octave=24)
 CFG = RenderConfig(width=320, height=180, ball_patch=48)
+
+
+def _sbdt_np(col: np.ndarray) -> np.ndarray:
+    """Independent numpy SomewhatBoringDisplayTransform (Bevy's
+    tonemapping.wgsl / Stachowiak's SBDT), re-derived here as a cross-check
+    of models.render._tonemap. col: (..., 3) linear."""
+    col = np.maximum(np.asarray(col, np.float32), 0.0)
+    r, g, b = col[..., 0], col[..., 1], col[..., 2]
+    y = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    cb = -0.1146 * r - 0.3854 * g + 0.5 * b
+    cr = 0.5 * r - 0.4542 * g - 0.0458 * b
+    curve = lambda v: 1.0 - np.exp(-v)  # noqa: E731
+    bt = curve(np.hypot(cb, cr) * 2.4)
+    desat = np.maximum((bt - 0.7) * 0.8, 0.0) ** 2
+    desat_col = col * (1.0 - desat[..., None]) + y[..., None] * desat[..., None]
+    tm0 = col * np.maximum(0.0, curve(y) / np.maximum(1e-5, y))[..., None]
+    tm1 = curve(desat_col)
+    w = (bt * bt)[..., None]
+    return ((tm0 * (1.0 - w) + tm1 * w) * 0.97).astype(np.float32)
 
 
 def _scene(bins_sizes, calmness=1.0, accuracy=0.0, deviation=0.0):
@@ -129,15 +149,15 @@ class TestShaderMath:
 
 class TestScene:
     def test_background_only_matches_closed_form(self):
-        """No visible balls, no bass: every pixel is the tonemapped clear
-        color or net gray (both below the bloom threshold, so bloom is a
-        no-op)."""
+        """No visible balls, no bass, bloom/names off: every pixel is the
+        SBDT-tonemapped clear color or net gray, cross-checked against an
+        independent numpy SBDT (the published formula, re-derived here)."""
+        cfg = dataclasses.replace(CFG, with_bloom=False, with_pitch_names=False)
         balls, _ = _scene([])
-        img = np.asarray(render_frame(CFG, RANGE, balls, None, 0.0, 1.0))
-        st = make_scene(CFG, RANGE)
-        bg = np.asarray(st.background)[: CFG.height, : CFG.width]
-        lum = (0.2126 * bg[..., :1] + 0.7152 * bg[..., 1:2] + 0.0722 * bg[..., 2:])
-        expected = np.asarray(linear_to_srgb(jnp.asarray(bg / (1.0 + lum))))
+        img = np.asarray(render_frame(cfg, RANGE, balls, None, 0.0, 1.0))
+        st = make_scene(cfg, RANGE)
+        bg = np.asarray(st.background)[: cfg.height, : cfg.width]
+        expected = np.asarray(linear_to_srgb(jnp.asarray(_sbdt_np(bg))))
         expected = np.clip(np.round(expected * 255.0), 0, 255).astype(np.uint8)
         np.testing.assert_array_equal(img, expected)
 
@@ -154,8 +174,10 @@ class TestScene:
     def test_calm_ball_center_pixel_exact(self):
         """A fully calm lone peak renders a solid disk of exactly its
         material color (alpha = color coefficient = 1 for the only peak):
-        center pixel == tonemap(linear(material)) sRGB-encoded."""
-        cfg = RenderConfig(width=320, height=180, ball_patch=48, with_bloom=False)
+        center pixel == SBDT(linear(material)) sRGB-encoded (independent
+        numpy SBDT)."""
+        cfg = RenderConfig(width=320, height=180, ball_patch=48,
+                           with_bloom=False, with_pitch_names=False)
         b = 30
         balls, bass = _scene([(b, float(b), 40.0)], calmness=1.0)
         img = np.asarray(render_frame(cfg, RANGE, balls, bass, 0.5, 1.0))
@@ -163,8 +185,7 @@ class TestScene:
         mat = np.asarray(balls.rgba[b])
         assert abs(mat[3] - 1.0) < 1e-6
         lin = np.asarray(srgb_to_linear(jnp.asarray(mat[:3])))
-        lum = 0.2126 * lin[0] + 0.7152 * lin[1] + 0.0722 * lin[2]
-        expected = np.asarray(linear_to_srgb(jnp.asarray(lin / (1.0 + lum))))
+        expected = np.asarray(linear_to_srgb(jnp.asarray(_sbdt_np(lin[None, None]))))[0, 0]
         expected = np.clip(np.round(expected * 255.0), 0, 255).astype(np.uint8)
 
         x, y = bin_to_spiral(RANGE.buckets_per_octave, float(np.asarray(balls.position[b, 0] * 0 + b)))
@@ -416,6 +437,7 @@ class TestShardedRender:
         fn = jax.jit(jax.vmap(
             lambda ba, bsx, scx: _render_frame_impl(
                 cfg, RANGE, st.background, st.bass_idx, st.bass_cov,
+                st.text_premul, st.text_a,
                 ba, bsx, scx, 1.0,
             )
         ))
@@ -425,6 +447,83 @@ class TestShardedRender:
             "reduce-scatter",
         ):
             assert op not in text, f"collective {op} in sharded render"
+
+
+class TestExactPost:
+    """The round-5 exact post-processing: Bevy's mip-chain bloom and SBDT
+    tonemap as separable-matmul passes, plus the pitch-name ring."""
+
+    def test_tonemap_matches_independent_sbdt(self):
+        from pitchvis_tpu.models.render import _tonemap
+
+        rng = np.random.default_rng(3)
+        img = (rng.uniform(0.0, 4.0, (16, 16, 3))).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(_tonemap(jnp.asarray(img))), _sbdt_np(img),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_downsample_preserves_dc(self):
+        """The 13-tap filter's weights sum to 1; away from edges a constant
+        image passes through every pyramid level unchanged (the separable
+        inner+outer decomposition must preserve that)."""
+        from pitchvis_tpu.models.render import _apply_pair, _bloom_ops
+
+        down, up = _bloom_ops(160, 96)
+        level = jnp.ones((96, 160, 3), jnp.float32)
+        for inner, outer in down:
+            level = _apply_pair(level, inner) + _apply_pair(level, outer)
+            np.testing.assert_allclose(np.asarray(level), 1.0, atol=1e-5)
+        for pair in up:
+            level = _apply_pair(level, pair)
+            np.testing.assert_allclose(np.asarray(level), 1.0, atol=1e-5)
+
+    def test_mip_sizes_follow_bevy_sizing(self):
+        from pitchvis_tpu.models.render import _bloom_mip_sizes
+
+        sizes = _bloom_mip_sizes(640, 360)
+        assert sizes[0] == (910, 512)  # height capped at MAX_MIP_DIMENSION
+        assert len(sizes) == 8
+        assert sizes[-1] == (7, 4)
+
+    def test_blend_factor_curve(self):
+        """curvature=1.0 specialization: weight `intensity` at mip 0,
+        (intensity+1)*high_pass below (see _bloom_blend_factor docstring)."""
+        from pitchvis_tpu.models.render import _bloom_blend_factor
+
+        assert _bloom_blend_factor(0.0, 0.0, 7.0) == 0.0
+        assert _bloom_blend_factor(0.5, 0.0, 7.0) == 0.5
+        assert _bloom_blend_factor(0.0, 1.0, 7.0) == 1.0
+        hp7 = 1.0 - min(max((1.0 - 0.52) / 0.52, 0.0), 1.0)
+        np.testing.assert_allclose(_bloom_blend_factor(0.3, 7.0, 7.0), 1.3 * hp7)
+
+    def test_soft_threshold_curve(self):
+        """The prefilter: zero until threshold-knee, quadratic knee, then
+        linear (the published soft_threshold with precomputations)."""
+        from pitchvis_tpu.models.render import _bloom
+
+        dark = np.full((36, 64, 3), 0.01, np.float32)
+        out = np.asarray(_bloom(jnp.asarray(dark), jnp.float32(1.0), 64, 36))
+        # 0.01 < threshold-knee=0.0306: brightpass is 0 -> bloom adds ~0
+        np.testing.assert_allclose(out, dark, atol=1e-4)
+        bright = np.full((36, 64, 3), 2.0, np.float32)
+        out_b = np.asarray(_bloom(jnp.asarray(bright), jnp.float32(1.0), 64, 36))
+        assert (out_b > bright + 0.5).all()  # strong additive bloom
+
+    def test_pitch_names_drawn_and_mode_gated(self):
+        full = RenderConfig.for_mode("full", width=320, height=184)
+        zen = RenderConfig.for_mode("zen", width=320, height=184)
+        perf = RenderConfig.for_mode("performance", width=320, height=184)
+        assert full.with_pitch_names and perf.with_pitch_names
+        assert not zen.with_pitch_names
+        balls, _ = _scene([])
+        big_rng = VqtRange(min_freq=55.0, octaves=7, buckets_per_octave=84)
+        f_full = np.asarray(render_frame(full, big_rng, balls, None, 0.0, 1.0))
+        f_zen = np.asarray(render_frame(zen, big_rng, balls, None, 0.0, 1.0))
+        assert (f_full != f_zen).any()  # glyph pixels present
+        st = make_scene(full, big_rng)
+        assert st.text_premul is not None
+        assert float(np.asarray(st.text_a).max()) > 0.5  # solid glyph cores
 
 
 class TestDebugOverlay:

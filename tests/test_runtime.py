@@ -691,11 +691,13 @@ class TestServeLoop:
             for cycle in range(6):
                 k = int(rng.choice([1, 1, 1, 2, 4]))
                 sync = str(rng.choice(["element", "host", "none"]))
+                publish = "per_hop" if k > 1 and rng.integers(2) else "latest"
                 loop = server.serve(
                     rate_hz=200.0,
                     pipelined=bool(rng.integers(2)),
                     sync=sync,
                     hops_per_dispatch=k,
+                    publish=publish,
                 )
                 trip = loop.wait_next(timeout=120.0)
                 assert trip is not None, cycle
@@ -741,6 +743,164 @@ class TestServeLoop:
         peaks0 = np.where(np.asarray(out.peaks[0]))[0]
         assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
         restored.close()
+
+
+class TestCadencedServing:
+    """publish="per_hop" (the round-5 interactive-cadence fix): each
+    dispatch is ONE fused k-hop scan whose per-hop outputs come back
+    stacked; the loop barriers once per dispatch and publishes every hop on
+    its own 1/rate_hz grid slot — the interactive cadence pays one
+    transport round-trip per k hops instead of per hop (the reference's
+    every-frame in-process update, pitchvis_viewer/src/app/common.rs:
+    2082-2118, has no per-frame transport at all)."""
+
+    def _tone(self, p, seconds=1.5):
+        f = p.range.min_freq * 2.0 ** (30.0 / p.range.buckets_per_octave)
+        t = np.arange(int(p.sr * seconds)) / p.sr
+        return (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32), f
+
+    def test_step_multi_per_hop_matches_hop_steps_exactly(self, small_params):
+        """step_multi(k, per_hop=True) must return EVERY hop's outputs and
+        gains bit-identical to k single steps at audio-clock pacing."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        tone, f = self._tone(small_params)
+        sr = small_params.sr
+        hop = int(sr / 60.0)
+        hop_dt = hop / sr
+        tt = np.arange(hop) / sr
+
+        single = StreamServer(
+            2, small_params, buffer_seconds=1.0, ingest="delta", max_catchup_hops=0
+        )
+        multi = StreamServer(2, small_params, buffer_seconds=1.0, ingest="delta")
+        try:
+            for srv in (single, multi):
+                srv.push(0, tone)
+                srv.step(dt=hop_dt)  # materialize both windows identically
+            # push ALL chunks up front: `gains` is a snapshot of the live
+            # native AGC gain taken at CONSUME time, so interleaving pushes
+            # between the single server's steps would legitimately give its
+            # early hops older gain readings than the multi dispatch sees
+            phase = len(tone) / sr
+            for _ in range(3):
+                chunk = (0.1 * np.sin(2 * np.pi * f * (tt + phase))).astype(np.float32)
+                phase += hop / sr
+                for srv in (single, multi):
+                    srv.push(0, chunk)
+            singles = [single.step(dt=hop_dt) for _ in range(3)]
+            out_m, gains_m = multi.step_multi(3, per_hop=True)
+            assert gains_m.shape == (3, 2)
+            for i, (out_s, gains_s) in enumerate(singles):
+                np.testing.assert_array_equal(
+                    np.asarray(out_m.x_vqt_smoothed[i]),
+                    np.asarray(out_s.x_vqt_smoothed),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(out_m.peaks[i]), np.asarray(out_s.peaks)
+                )
+                np.testing.assert_array_equal(gains_m[i], gains_s)
+        finally:
+            single.close()
+            multi.close()
+
+    def test_loop_publishes_every_hop_in_order(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params)[0])
+        seen = []
+        loop = server.serve(
+            rate_hz=240.0, hops_per_dispatch=4, publish="per_hop",
+            on_outputs=lambda s, o, g: seen.append(s),
+        )
+        try:
+            trip = loop.wait_next(seq=8, timeout=120.0)
+            assert trip is not None
+        finally:
+            final = loop.stop()
+        # every computed hop is published, seqs contiguous, none dropped
+        assert loop.stats["published"] == loop.stats["hops"]
+        assert seen == list(range(1, len(seen) + 1))
+        seq, outputs, gains = final
+        assert gains.shape == (2,)  # per-hop slice, not the (k, B) stack
+        peaks0 = np.where(np.asarray(outputs.peaks[0]))[0]
+        assert len(peaks0) == 1 and abs(peaks0[0] - 30) <= 1
+        server.close()
+
+    def test_stop_publishes_computed_tail_promptly(self, small_params):
+        """stop() mid-window short-circuits the grid waits but still
+        publishes the dispatch's remaining computed hops (no ingested hop
+        is lost) — it must not sleep out the rest of the k/rate window."""
+        import time as _time
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=2.0)
+        server.push(0, self._tone(small_params)[0])
+        # 0.5 Hz * k=4 => an 8 s publish window; stop right after hop 1
+        loop = server.serve(rate_hz=0.5, hops_per_dispatch=4, publish="per_hop")
+        assert loop.wait_next(timeout=120.0) is not None
+        t0 = _time.monotonic()
+        loop.stop()
+        assert _time.monotonic() - t0 < 6.0, "stop() slept out the grid"
+        # every computed hop published (the pipelined overlap means a second
+        # window is usually already in flight when stop lands — its hops
+        # drain too, none are lost)
+        assert loop.stats["published"] == loop.stats["hops"] >= 4
+        server.close()
+
+    def test_control_plane_during_cadenced_serve(self, small_params):
+        """reset_stream and a same-layout rebuild land safely while the
+        cadenced loop dispatches (step_multi's existing race rules)."""
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(2, small_params, buffer_seconds=2.0)
+        tone, _ = self._tone(small_params)
+        server.push(0, tone)
+        server.push(1, tone)
+        with server.serve(
+            rate_hz=240.0, hops_per_dispatch=2, publish="per_hop"
+        ) as loop:
+            assert loop.wait_next(timeout=120.0) is not None
+            server.reset_stream(1)
+            server.rebuild(small_params)
+            assert loop.wait_next(timeout=120.0) is not None
+        out, _ = server.step(dt=1.0 / 60.0)
+        assert np.asarray(out.peaks[0]).any()
+        assert not np.asarray(out.peaks[1]).any()
+        server.close()
+
+    def test_sync_host_publishes_numpy_slices(self, small_params):
+        import jax
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        server = StreamServer(1, small_params, buffer_seconds=2.0, fetch="led")
+        server.push(0, self._tone(small_params)[0])
+        with server.serve(
+            rate_hz=240.0, hops_per_dispatch=2, publish="per_hop", sync="host"
+        ) as loop:
+            trip = loop.wait_next(timeout=120.0)
+        assert trip is not None
+        nb = small_params.n_buckets
+        for leaf in jax.tree.leaves(trip[1]):
+            assert isinstance(leaf, np.ndarray)
+        assert trip[1].led.shape == (1, nb, 3)
+
+    def test_per_hop_validation(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        snap = StreamServer(1, small_params, buffer_seconds=1.0, ingest="snapshot")
+        with pytest.raises(ValueError, match="delta"):
+            snap.serve(publish="per_hop")
+        assert snap._serve_loop is None
+        snap.close()
+        srv = StreamServer(1, small_params, buffer_seconds=1.0)
+        with pytest.raises(ValueError, match="publish"):
+            srv.serve(publish="bogus")
+        assert srv._serve_loop is None
+        srv.close()
 
 
 class TestStreamChurn:
@@ -1011,7 +1171,7 @@ class TestIngestResampling:
 
 
 class TestCommitDir:
-    def test_fallback_generation_never_destroyed_early(self, tmp_path):
+    def test_fallback_generation_never_destroyed_early(self, tmp_path, monkeypatch):
         """When only ``path.old`` survives a crashed save (the recovery
         state _commit_dir exists for), the next commit must install the new
         generation BEFORE clearing the fallback — at every rmtree of the
@@ -1036,17 +1196,16 @@ class TestCommitDir:
                 observed.append(os.path.exists(path))
             return real_rmtree(p, *a, **kw)
 
-        orig = checkpoint.shutil.rmtree
-        checkpoint.shutil.rmtree = guarded
-        try:
-            checkpoint._commit_dir(tmp, path)
-            # and the ordinary path-exists case keeps the same invariant
-            os.makedirs(tmp)
-            with open(os.path.join(tmp, "meta.json"), "w") as f:
-                f.write("{}")
-            checkpoint._commit_dir(tmp, path)
-        finally:
-            checkpoint.shutil.rmtree = orig
+        # monkeypatch owns the restoration (checkpoint.shutil IS the global
+        # shutil module, so a leaked patch would poison the whole process)
+        monkeypatch.setattr(checkpoint.shutil, "rmtree", guarded)
+        checkpoint._commit_dir(tmp, path)
+        # and the ordinary path-exists case keeps the same invariant
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            f.write("{}")
+        checkpoint._commit_dir(tmp, path)
+        monkeypatch.undo()
         assert observed and all(observed)
         assert os.path.isdir(path) and not os.path.isdir(old)
         assert not os.path.isdir(tmp)
