@@ -27,7 +27,12 @@ that number and writes the evidence to ``artifacts/SOAK.json``:
   pass (``serve_loop_throughput``) runs the same leg with
   ``hops_per_dispatch=k``, where each dispatch scan-amortizes k hops so
   the audio cadence holds rate_hz through a tunnel whose round-trip
-  exceeds the hop period.
+  exceeds the hop period; a third (``serve_loop_cadenced``) runs the
+  INTERACTIVE round-5 mode (``publish="per_hop"``: every hop of the fused
+  k-hop dispatch published on its own grid slot, one barrier per window,
+  one-deep dispatch overlap) — the leg whose published_per_s /
+  served_realtime_fraction answer "does 60 Hz interactive serving hold
+  through this tunnel".
 
 Run:  python -m pitchvis_tpu.bench.soak [--streams 3840] [--minutes 3] ...
 (also ``python -m pitchvis_tpu.xtask soak``). The driver-facing capacity
@@ -313,15 +318,27 @@ def soak_serve_loop(
     threads, writes = _start_producers(server, stop, n_streams, n_producers, sr)
 
     # compile the program the LOOP will dispatch before pacing starts (the
-    # multi-hop modes run step_multi variants, different jitted programs)
-    if publish == "per_hop":
-        out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
-        out = __import__("jax").tree.map(lambda a: a[-1], out)
-    elif hops_per_dispatch > 1:
-        out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0)
-    else:
-        out, _ = server.step(dt=1.0 / 60.0)
-    np.asarray(out.peaks[0])
+    # multi-hop modes run step_multi variants, different jitted programs) —
+    # for BOTH parameter sets, so the mid-soak live rebuild swaps kernels
+    # without paying a fresh jit compile inside the measurement window (a
+    # deployment pays it once per set via the persistent cache; longhaul
+    # primes the same way)
+    retuned = dataclasses.replace(params, quality=params.quality * 1.1)
+
+    def prime():
+        if publish == "per_hop":
+            out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
+            out = out[-1]  # per_hop returns a k-tuple of per-hop trees
+        elif hops_per_dispatch > 1:
+            out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0)
+        else:
+            out, _ = server.step(dt=1.0 / 60.0)
+        np.asarray(out.peaks[0])
+
+    prime()
+    server.rebuild(retuned)
+    prime()
+    server.rebuild(params)
 
     for th in threads:
         th.start()

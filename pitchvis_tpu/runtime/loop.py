@@ -14,6 +14,19 @@ missed deadlines instead of bursting dispatches to catch up — the delta
 ingest already drains the accumulated audio backlog via its bounded
 catch-up hops inside the next step (runtime/server.py::_dispatch_delta),
 which keeps the audio clock correct without flooding the device queue.
+
+Three publish modes:
+
+* ``publish="latest"`` k=1 (default): one step() per grid slot, optionally
+  pipelined one deep.
+* ``publish="latest"`` k>1 (throughput): each dispatch scan-amortizes k
+  ingest-fed hops and publishes the newest — max capacity, bursty cadence.
+* ``publish="per_hop"`` (cadenced, interactive): each dispatch fuses k
+  hops and returns EVERY hop's outputs as a k-tuple sliced on device; the
+  loop barriers once per dispatch, publishes each hop on its own grid
+  slot, and overlaps the previous window's barrier+publishes with the next
+  window's device compute — the per-hop transport round-trip leaves the
+  cadence (see _run_cadenced).
 """
 
 from __future__ import annotations
@@ -174,17 +187,20 @@ class ServeLoop:
             # slot; a stop() request short-circuits the waits but still
             # publishes the computed tail immediately (no ingested hop is
             # lost)
+            # outputs_k is a K-TUPLE of per-hop trees sliced inside the one
+            # dispatch (runtime/server.py::fused_delta_multi_perhop) —
+            # publishing costs no further device calls
             outputs_k = self._synced(outputs_k)
             for i in range(self._k):
                 if t_d is not None and not self._stop_evt.is_set():
                     wait = t_d + (i + 1) * hop_period - time.monotonic()
                     if wait > 0:
                         self._stop_evt.wait(wait)
-                outputs = jax.tree.map(lambda a, i=i: a[i], outputs_k)
-                self._publish(outputs, gains_k[i], synced=True)
+                self._publish(outputs_k[i], gains_k[i], synced=True)
                 if self._on_outputs is not None:
                     self._on_outputs(*self._latest)
 
+        body_exc = None
         try:
             next_t = time.monotonic()
             while not self._stop_evt.is_set():
@@ -213,11 +229,20 @@ class ServeLoop:
                     # (publish-free) window and the non-pipelined early-done
                     # case
                     self._stop_evt.wait(next_t - now)
+        except BaseException as e:
+            body_exc = e
+            raise
         finally:
             # drain the in-flight window on exit so its ingested hops are
-            # published before _done wakes any waiter
+            # published before _done wakes any waiter; a drain failure must
+            # not mask the loop body's own exception (it re-raises only
+            # when the body exited cleanly)
             if self._pipelined_multi and prev is not None:
-                publish_window(*prev, None)
+                try:
+                    publish_window(*prev, None)
+                except BaseException:
+                    if body_exc is None:
+                        raise
 
     def _run(self) -> None:
         try:

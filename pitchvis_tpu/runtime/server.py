@@ -362,15 +362,17 @@ class StreamServer:
 
         def fused_delta_multi_perhop(arrays, state, mlp, window, chunks, advs, dt_hop):
             # The CADENCED serving variant: same K-hop scan, but every hop's
-            # packed outputs are stacked along a leading hop axis so the
-            # serve loop can publish them individually (outputs stay on
-            # device; a sync="element" publish fetches one scalar for the
-            # whole dispatch, and consumers slice per hop). This is how the
-            # interactive cadence stops paying one transport round-trip per
-            # hop: the device advances K hops of the audio clock
-            # autonomously inside one dispatch (the reference pays zero
-            # per-frame transport — its VQT runs in-process,
-            # pitchvis_viewer/src/vqt_system.rs:40-68).
+            # packed outputs come back as a K-TUPLE of separate trees —
+            # sliced INSIDE this one program, so the serve loop publishes
+            # hop i with zero additional device calls (a lazy host-side
+            # a[i] tree-map would cost ~n_leaves dispatch round-trips per
+            # hop through a networked runtime, which measurably re-created
+            # the per-hop RTT this mode exists to remove). One dispatch,
+            # one barrier, K individually publishable device-complete hop
+            # trees: the device advances K hops of the audio clock
+            # autonomously (the reference pays zero per-frame transport —
+            # its VQT runs in-process, pitchvis_viewer/src/vqt_system.rs:
+            # 40-68).
             def body(carry, inp):
                 state, window = carry
                 chunk, adv = inp
@@ -380,7 +382,11 @@ class StreamServer:
                 return (state, window), packed
 
             (state, window), packed = jax.lax.scan(body, (state, window), (chunks, advs))
-            return state, window, packed
+            k = chunks.shape[0]
+            per_hop = tuple(
+                jax.tree.map(lambda a, i=i: a[i], packed) for i in range(k)
+            )
+            return state, window, per_hop
 
         if self.mesh is None:
             self._step_fn = jax.jit(fused)
@@ -417,13 +423,12 @@ class StreamServer:
                 in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
                 out_specs=(batch, batch, batch), check_vma=False,
             ))
-            # per-hop outputs carry the (K, B, ...) stacking: hop axis
-            # replicated, stream axis sharded — same spec as the staged
-            # chunks going in
+            # per-hop outputs are a K-tuple of (B, ...) trees: every leaf
+            # is stream-sharded like a single hop's outputs
             self._delta_multi_perhop_fn = jax.jit(jax.shard_map(
                 fused_delta_multi_perhop, mesh=mesh,
                 in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
-                out_specs=(batch, batch, scan_batch), check_vma=False,
+                out_specs=(batch, batch, batch), check_vma=False,
             ))
             self.arrays = replicate(mesh, self.arrays)
         self._host_dtype = None
@@ -724,11 +729,12 @@ class StreamServer:
         analysis time by hop/sr (the audio clock — ``dt`` only overrides
         that pacing). Requires ingest="delta". Race rules match step().
 
-        ``per_hop=True`` returns EVERY hop's outputs stacked along a
-        leading hop axis (plus ``gains`` as (k, B)) — the cadenced serving
-        mode (``serve(publish="per_hop")``): one dispatch, one transport
-        round-trip, k individually publishable device-complete hops.
-        Bit-exact vs k single ``step()`` calls at audio-clock pacing
+        ``per_hop=True`` returns EVERY hop's outputs as a k-TUPLE of
+        per-hop trees, sliced inside the one dispatch (plus ``gains`` as
+        (k, B)) — the cadenced serving mode (``serve(publish="per_hop")``):
+        one dispatch, one transport round-trip, k individually publishable
+        device-complete hops with zero per-hop host slicing. Bit-exact vs
+        k single ``step()`` calls at audio-clock pacing
         (tests/test_runtime.py::TestCadencedServing)."""
         if self.ingest != "delta":
             raise RuntimeError("step_multi requires ingest='delta'")

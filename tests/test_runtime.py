@@ -790,14 +790,15 @@ class TestCadencedServing:
                     srv.push(0, chunk)
             singles = [single.step(dt=hop_dt) for _ in range(3)]
             out_m, gains_m = multi.step_multi(3, per_hop=True)
+            assert isinstance(out_m, tuple) and len(out_m) == 3
             assert gains_m.shape == (3, 2)
             for i, (out_s, gains_s) in enumerate(singles):
                 np.testing.assert_array_equal(
-                    np.asarray(out_m.x_vqt_smoothed[i]),
+                    np.asarray(out_m[i].x_vqt_smoothed),
                     np.asarray(out_s.x_vqt_smoothed),
                 )
                 np.testing.assert_array_equal(
-                    np.asarray(out_m.peaks[i]), np.asarray(out_s.peaks)
+                    np.asarray(out_m[i].peaks), np.asarray(out_s.peaks)
                 )
                 np.testing.assert_array_equal(gains_m[i], gains_s)
         finally:
