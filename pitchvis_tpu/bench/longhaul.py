@@ -70,11 +70,12 @@ def longhaul(
     reset_every_s: float = 5.0,
     rebuild_every_s: float = 150.0,
     out_path: str = "artifacts/LONGHAUL.json",
+    vqt_params=None,
 ) -> dict:
     from ..core.config import VqtParameters
     from ..runtime.server import StreamServer
 
-    params = VqtParameters()
+    params = vqt_params or VqtParameters()
     server = StreamServer(
         n_streams, params, buffer_seconds=2.0, path=path, fast=fast
     )
@@ -85,11 +86,13 @@ def longhaul(
     # compile both parameter sets' programs up front so mid-run rebuilds
     # swap kernels, not compiles (the live-tuning debounce assumption)
     retuned = dataclasses.replace(params, quality=params.quality * 1.1)
-    out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
-    server.rebuild(retuned)
-    out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
-    server.rebuild(params)
-    np.asarray(out.peaks[-1, 0])
+    for pset in (params, retuned, params):
+        # each rebuild() re-creates the jit wrappers, so prime AFTER the
+        # final swap too — otherwise the loop's first window re-traces
+        if pset is not params or server.vqt_params is not pset:
+            server.rebuild(pset)
+        out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
+        np.asarray(out[-1].peaks[0])  # per_hop returns a k-tuple of hop trees
 
     publish_t: list[float] = []  # appended by the consumer thread (GIL-atomic)
     consumer_stop = threading.Event()

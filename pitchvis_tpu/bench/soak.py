@@ -339,6 +339,8 @@ def soak_serve_loop(
     server.rebuild(retuned)
     prime()
     server.rebuild(params)
+    prime()  # each rebuild re-creates the jit wrappers; prime the FINAL set
+    # too, or the loop's first window pays a re-trace
 
     for th in threads:
         th.start()

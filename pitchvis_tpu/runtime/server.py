@@ -205,6 +205,9 @@ class StreamServer:
         # ingest resamplers, one bank per producer rate, created lazily
         self._resamplers: dict[int, NativeResamplerBank] = {}
         self._resampler_lock = threading.Lock()
+        # memoized dispatch plans (see _refresh_dispatch): same-layout live
+        # rebuilds swap kernels without re-tracing the fused programs
+        self._dispatch_cache: dict = {}
 
         self._refresh_dispatch()
 
@@ -266,7 +269,14 @@ class StreamServer:
 
     def _refresh_dispatch(self) -> None:
         """(Re)builds the per-parameter-set dispatch plan; called at init and
-        after every rebuild(). Three bandwidth/latency decisions live here:
+        after every rebuild()/retune_analysis(). The jitted programs take
+        the kernel ARRAYS as arguments and close only over the analysis
+        parameters + bin layout (+ fixed per-instance config), so the plan
+        is memoized on (analysis_params, range): a same-layout VQT rebuild
+        — the live-tuning hot path — swaps kernels without re-tracing, and
+        the serving loop's next hop is an ordinary cached dispatch.
+
+        Three bandwidth/latency decisions live here:
 
         * ONE fused jit per hop (VQT + analysis) instead of two — each
           dispatch through a networked runtime costs up to ~30 ms, and the
@@ -287,6 +297,27 @@ class StreamServer:
         ml_model, with_led, with_viewer = self.ml_model, self.with_led, self.with_viewer
         fetch = self.fetch
         any_stage = ml_model is not None or with_led or with_viewer
+
+        # per-rebuild plumbing that depends on the ARRAYS (not the traces)
+        self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
+        self._host_dtype = None
+        if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
+            import ml_dtypes
+
+            self._host_dtype = ml_dtypes.bfloat16
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate as _replicate
+
+            self.arrays = _replicate(self.mesh, self.arrays)
+
+        # everything else in the plan closes only over (aparams, rng,
+        # snap_len) + fixed per-instance config -> memoize the jit wrappers
+        key = (aparams, rng, self._snap_len)
+        cached = self._dispatch_cache.get(key)
+        if cached is not None:
+            (self._step_fn, self._delta_fn, self._delta_multi_fn,
+             self._delta_multi_perhop_fn) = cached
+            return
 
         import jax.numpy as jnp
 
@@ -318,8 +349,6 @@ class StreamServer:
         def fused(arrays, state, mlp, x, dt):
             x_vqt = vqt_db_auto(arrays, x, path=path)
             return advance(state, x_vqt, mlp, dt)
-
-        self._snap_len = int(getattr(arrays, "tail", self.vqt_params.n_fft))
 
         snap_len = self._snap_len
 
@@ -400,8 +429,6 @@ class StreamServer:
             # stream slice — collective-free by construction
             from jax.sharding import PartitionSpec as P
 
-            from ..parallel.sharding import replicate
-
             mesh = self.mesh
             batch = P(tuple(mesh.axis_names))
             scan_batch = P(None, tuple(mesh.axis_names))
@@ -430,12 +457,12 @@ class StreamServer:
                 in_specs=(rep, batch, rep, batch, scan_batch, scan_batch, rep),
                 out_specs=(batch, batch, batch), check_vma=False,
             ))
-            self.arrays = replicate(mesh, self.arrays)
-        self._host_dtype = None
-        if path == "pallas" and arrays.weights[0].dtype == jax.numpy.bfloat16:
-            import ml_dtypes
-
-            self._host_dtype = ml_dtypes.bfloat16
+        self._dispatch_cache[key] = (
+            self._step_fn, self._delta_fn, self._delta_multi_fn,
+            self._delta_multi_perhop_fn,
+        )
+        if len(self._dispatch_cache) > 8:  # bound a pathological tuner storm
+            self._dispatch_cache.pop(next(iter(self._dispatch_cache)))
 
     # -- ingest side (any thread) -------------------------------------------
     def push(self, stream: int, samples: np.ndarray, sr: float | None = None) -> bool:
