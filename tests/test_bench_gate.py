@@ -89,3 +89,51 @@ class TestLonghaulSmoke:
         assert row["rss_mb"] > 0
         assert report["summary"]["minutes_recorded"] >= 1
         assert report["summary"]["all_outputs_finite"]
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+class TestServingMemoryFlat:
+    def test_serving_rss_flat_on_cpu(self, small_params):
+        """Framework-side leak regression (round-5 longhaul finding): the
+        45-minute longhaul measured host RSS growing ~1:1 with every
+        host->device transfer THROUGH THE AXON TUNNEL (platform bug: all
+        transfer APIs retain their payload, no reclaim API works —
+        docs/PERFORMANCE.md has the attribution matrix). The framework
+        itself must stay flat: on the CPU backend the same serving loop's
+        RSS drift over hundreds of windows is bounded by allocator noise,
+        proving no reference leak lives in step_multi/serve/publish."""
+        import gc
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        def rss_mb():
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+
+        B, k = 8, 4
+        srv = StreamServer(B, small_params, buffer_seconds=2.0)
+        hop = srv._hop
+        block = np.random.default_rng(0).standard_normal(
+            (B, hop * k)).astype(np.float32) * 0.05
+        try:
+            # warm: compile + let numpy/jax arenas settle
+            for _ in range(10):
+                srv.push_batch(block)
+                out, _ = srv.step_multi(k, per_hop=True)
+            np.asarray(out[-1].peaks[0, 0])
+            gc.collect()
+            r0 = rss_mb()
+            n = 150
+            for _ in range(n):
+                srv.push_batch(block)
+                out, _ = srv.step_multi(k, per_hop=True)
+                np.asarray(out[-1].peaks[0, 0])
+            gc.collect()
+            drift = rss_mb() - r0
+            # 150 windows x ~0.5 MB of staging each; a transfer-retention
+            # bug like the tunnel's would show >= 70 MB here
+            assert drift < 40.0, f"serving loop leaked {drift:.1f} MB on CPU"
+        finally:
+            srv.close()
