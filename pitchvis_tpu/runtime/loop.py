@@ -100,8 +100,13 @@ class ServeLoop:
         self._stop_evt = threading.Event()
         self.error: BaseException | None = None
         # hops = step() calls; published may lag by one when pipelined;
-        # skipped_deadlines counts grid slots dropped while the host stalled
-        self.stats = {"hops": 0, "published": 0, "skipped_deadlines": 0}
+        # skipped_deadlines counts grid slots dropped while the host
+        # stalled; catchup_windows counts the cadenced mode's double-width
+        # backlog-draining dispatches
+        self.stats = {
+            "hops": 0, "published": 0, "skipped_deadlines": 0,
+            "catchup_windows": 0,
+        }
         self._thread = threading.Thread(
             target=self._run, name="pitchvis-serve-loop", daemon=True
         )
@@ -183,15 +188,15 @@ class ServeLoop:
         prev = None  # the previous window's async (outputs_k, gains_k)
 
         def publish_window(outputs_k, gains_k, t_d):
-            # ONE barrier per k-hop dispatch, then each hop on its grid
-            # slot; a stop() request short-circuits the waits but still
-            # publishes the computed tail immediately (no ingested hop is
-            # lost)
-            # outputs_k is a K-TUPLE of per-hop trees sliced inside the one
+            # ONE barrier per dispatch, then each hop on its grid slot
+            # (t_d=None publishes immediately: catch-up bursts and the
+            # shutdown drain); a stop() request short-circuits the waits
+            # but still publishes the computed tail (no ingested hop lost).
+            # outputs_k is a TUPLE of per-hop trees sliced inside the one
             # dispatch (runtime/server.py::fused_delta_multi_perhop) —
             # publishing costs no further device calls
             outputs_k = self._synced(outputs_k)
-            for i in range(self._k):
+            for i in range(len(outputs_k)):
                 if t_d is not None and not self._stop_evt.is_set():
                     wait = t_d + (i + 1) * hop_period - time.monotonic()
                     if wait > 0:
@@ -201,29 +206,42 @@ class ServeLoop:
                     self._on_outputs(*self._latest)
 
         body_exc = None
+        behind = False
         try:
             next_t = time.monotonic()
             while not self._stop_evt.is_set():
                 t_d = next_t
+                # CATCH-UP: a window that overran the grid leaves >= k hops
+                # of audio backlog; the next dispatch doubles its width and
+                # its publishes burst instead of pacing, so a degraded host
+                # window DRAINS the backlog (the throughput mode's draining,
+                # fused into the interactive loop) instead of letting the
+                # ingest rings max_lag-skip audio while the grid idles
+                k_used = 2 * self._k if behind else self._k
                 # dispatch window i WITHOUT a barrier; when pipelined
                 # (default), window i-1's barrier + paced publishes then
                 # overlap window i's device compute, so the tunnel
                 # round-trip and the fused compute both hide inside the
                 # k/rate_hz publish window instead of preceding it
-                cur = self._server.step_multi(self._k, per_hop=True)
-                self.stats["hops"] += self._k
+                cur = self._server.step_multi(k_used, per_hop=True)
+                self.stats["hops"] += k_used
+                if behind:
+                    self.stats["catchup_windows"] += 1
+                grid = None if behind else t_d
                 if not self._pipelined_multi:
-                    publish_window(*cur, t_d)
+                    publish_window(*cur, grid)
                 elif prev is not None:
-                    publish_window(*prev, t_d)
+                    publish_window(*prev, grid)
                 prev = cur
-                next_t += self._period
+                next_t += self._period * (k_used // self._k)
                 now = time.monotonic()
                 if now > next_t:
                     skipped = int((now - next_t) / self._period)
                     self.stats["skipped_deadlines"] += skipped * self._k
                     next_t += skipped * self._period
+                    behind = True
                 else:
+                    behind = False
                     # in pipelined steady state the final publish slot IS
                     # next_t, so this wait is ~0; it paces the first
                     # (publish-free) window and the non-pipelined early-done

@@ -2253,3 +2253,33 @@ class TestServerCheckpointConfig:
             )
         finally:
             srv2.close()
+
+
+class TestCadencedCatchup:
+    """The cadenced loop's adaptive catch-up: a window that overran its
+    grid doubles the next dispatch's width and bursts its publishes, so
+    degraded host windows DRAIN the audio backlog instead of letting the
+    ingest rings max_lag-skip it while the grid idles."""
+
+    def test_catchup_windows_drain_and_publish_everything(self, small_params):
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        p = small_params
+        f = p.range.min_freq * 2.0 ** (30.0 / p.range.buckets_per_octave)
+        t = np.arange(int(p.sr * 1.5)) / p.sr
+        server = StreamServer(1, p, buffer_seconds=2.0)
+        server.push(0, (0.1 * np.sin(2 * np.pi * f * t)).astype(np.float32))
+        # an absurd rate makes every window overrun its grid slot, so the
+        # loop is permanently "behind" -> every window after the first two
+        # is a double-width catch-up dispatch
+        loop = server.serve(
+            rate_hz=100000.0, hops_per_dispatch=2, publish="per_hop"
+        )
+        try:
+            assert loop.wait_next(seq=20, timeout=240.0) is not None
+        finally:
+            loop.stop()
+        assert loop.stats["catchup_windows"] >= 2
+        # burst publishes still deliver EVERY computed hop, in order
+        assert loop.stats["published"] == loop.stats["hops"] >= 22
+        server.close()
