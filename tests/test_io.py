@@ -416,6 +416,67 @@ class TestServeDemo:
         assert "loop stats" in proc.stderr.decode()
 
 
+    def test_serve_loop_cadenced_mode(self):
+        """--serve --loop --hops-per-dispatch K: the cadenced interactive
+        mode end to end through the CLI (per-hop publishes, catch-up safe
+        on a slow CI host)."""
+        import os
+        import subprocess
+        import sys
+
+        sr = 22050
+        t = np.arange(int(sr * 1.2)) / sr
+        tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pitchvis_tpu.demo",
+                "--serve", "--loop", "--hops-per-dispatch", "4",
+                "--fps", "30",
+            ],
+            input=tone.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        stdout = proc.stdout.decode()
+        assert "A4" in stdout, f"no A4 in cadenced output:\n{stdout[-2000:]}"
+        assert "loop stats" in proc.stderr.decode()
+
+    def test_serve_tune_without_tty_degrades_gracefully(self):
+        """--tune in a session with no controlling terminal (CI, pipes)
+        must disable tuning with a notice and serve normally."""
+        import os
+        import subprocess
+        import sys
+
+        sr = 22050
+        t = np.arange(int(sr * 1.0)) / sr
+        tone = (0.2 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pitchvis_tpu.demo",
+                "--serve", "--loop", "--tune", "--fps", "30",
+            ],
+            input=tone.tobytes(),
+            capture_output=True,
+            timeout=600,
+            env=env,
+            start_new_session=True,  # guarantee no controlling tty
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        err = proc.stderr.decode()
+        assert "tuning disabled" in err, err[-2000:]
+        assert "A4" in proc.stdout.decode()
+
     def test_serve_render_gif_pipelined_drains_tail(self, tmp_path):
         """--serve --pipelined --render out.gif: live ingest -> fused viewer
         outputs -> rasterized frames -> animated GIF (the reference's live
