@@ -214,7 +214,7 @@ def _suppress_by_distance(
     source is not vendored in the reference tree and this environment has no
     cargo/network to fetch it (attempt recorded, ROADMAP.md), so the pin is
     a checked fixture rather than a source-matched one:
-    tests/test_peaks.py::TestDistance::test_exact_tie_fixture pins 2-tie and
+    tests/test_peaks.py::TestExactTieOrder pins 2-tie and
     3-tie clusters (where scipy's small-array argsort happens to agree) and
     fuzzes tie-heavy spectra against an independent stable-sort greedy.
 
