@@ -2283,3 +2283,52 @@ class TestCadencedCatchup:
         # burst publishes still deliver EVERY computed hop, in order
         assert loop.stats["published"] == loop.stats["hops"] >= 22
         server.close()
+
+
+class TestDispatchPlanMemo:
+    """Same-layout live rebuilds must swap kernels WITHOUT re-tracing: the
+    jitted dispatch plan is memoized per (analysis params, bin layout)
+    (_refresh_dispatch), so the serve loop's post-rebuild hop is an
+    ordinary cached dispatch — the live-tuning hot path."""
+
+    def test_same_layout_rebuild_reuses_jits(self, small_params):
+        from dataclasses import replace
+
+        from pitchvis_tpu.runtime.server import StreamServer
+
+        srv = StreamServer(1, small_params, buffer_seconds=1.0)
+        try:
+            fns0 = (srv._step_fn, srv._delta_fn, srv._delta_multi_fn,
+                    srv._delta_multi_perhop_fn)
+            retuned = replace(small_params, quality=small_params.quality * 1.2)
+            srv.rebuild(retuned)  # same bin layout, same window tail?
+            # tail may change with Q; only assert reuse when the cache key
+            # (aparams, range, snap_len) actually matched
+            if srv._snap_len == int(getattr(srv.arrays, "tail", 0)) and (
+                (srv.analysis_params, srv.vqt_params.range, srv._snap_len)
+                in srv._dispatch_cache
+            ):
+                srv.rebuild(small_params)  # back to the original set
+                fns1 = (srv._step_fn, srv._delta_fn, srv._delta_multi_fn,
+                        srv._delta_multi_perhop_fn)
+                assert all(a is b for a, b in zip(fns0, fns1)), (
+                    "same-layout rebuild re-traced the dispatch plan"
+                )
+            # analysis retune changes the key -> new plan; retuning BACK
+            # must reuse the original
+            srv.rebuild(small_params)
+            base = srv._delta_fn
+            ap2 = replace(
+                srv.analysis_params, harmonic_threshold=0.4
+            )
+            srv.retune_analysis(ap2)
+            assert srv._delta_fn is not base
+            srv.retune_analysis(replace(ap2, harmonic_threshold=0.3))
+            # (original analysis params were the defaults with 0.3)
+            assert srv._delta_fn is base
+            # the plan still WORKS after cache round-trips
+            srv.push(0, np.zeros(4096, np.float32))
+            out, _ = srv.step(dt=1.0 / 60.0)
+            assert np.isfinite(np.asarray(out.x_vqt_smoothed)).all()
+        finally:
+            srv.close()
